@@ -1,0 +1,126 @@
+"""Text-analysis column expressions for the training-data pipeline:
+token counting, quality scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (regex + higher-order functions) so they
+run vectorized JVM-side over 100 TB of documents — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the language-ID heuristic. Real
+# deployments would swap in fastText/cld3 behind the same column API.
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "mit", "von", "ist"],
+}
+
+_WORD_SPLIT = "\\s+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(_c(col)), _WORD_SPLIT)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WORD_SPLIT)))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    n = token_count(col)
+    return F.when(n > 0, F.length(F.regexp_replace(F.trim(_c(col)), _WORD_SPLIT, "")) / n)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not [A-Za-z0-9 ] — a cheap
+    boilerplate/noise signal for quality filtering."""
+    c = _c(col)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, "[^A-Za-z0-9 ]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang` — correlates with
+    natural prose vs. keyword spam / garbled text."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n = token_count(col)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: prose-length sweet spot,
+    low punctuation noise, some stopword mass. Mirrors the shape of
+    Gopher/C4-style quality rules; weights are illustrative."""
+    n_tok = token_count(col)
+    len_score = F.when(n_tok >= 50, F.lit(1.0)).otherwise(n_tok / F.lit(50.0))
+    punct_score = clamp01(F.lit(1.0) - punct_ratio(col) * 4)
+    sw_score = clamp01(stopword_ratio(col) * 5)
+    return F.round(0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score, 4)
+
+
+def clamp01(col: Column) -> Column:
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), col))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID over {en,es,fr,de}; 'und' if no vote.
+    A real system would use character n-gram models — this keeps the
+    same column signature with a pure-SQL-expressible heuristic."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    votes = {
+        lang: F.size(
+            F.filter(toks, lambda t, sw=sw: F.array_contains(F.array(*[F.lit(w) for w in sw]), t))
+        )
+        for lang, sw in _STOPWORDS.items()
+    }
+    best_count = F.greatest(*votes.values())
+    expr = F.when(best_count == 0, F.lit("und"))
+    # deterministic tie-break: alphabetical language order
+    for lang in sorted(votes):
+        expr = expr.when(votes[lang] == best_count, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text.
+    The exact-dedup key (SURVEY.md build plan §7 item 5)."""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles of normalized text → array<string>. Feeds
+    MinHash / n-gram-Jaccard near-dup detection."""
+    toks = F.split(normalized_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )

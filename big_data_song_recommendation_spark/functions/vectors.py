@@ -1,0 +1,47 @@
+"""Vector math over ``array<float|double>`` columns — JVM-side only.
+
+Replaces the reference's numpy driver-side linear algebra
+(``src/app_optimized.py:376-429`` dense dot scoring,
+``src/training_service.py:622-623`` all-pairs cosine) with Catalyst
+higher-order functions (``aggregate``/``zip_with``), which run inside
+whole-stage codegen and therefore distribute + scale. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Cast ``array<float>`` → ``array<double>`` so arithmetic matches a
+    double-precision oracle bit-for-bit (float32 accumulation drifts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via ``zip_with`` + ``aggregate`` (sequential left fold —
+    deterministic order, unlike a shuffle-dependent sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def normalize(a: Column) -> Column:
+    """L2-normalize an array column (pre-step for cosine-as-dot at scale:
+    normalizing once then joining on dot product halves the work)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)

@@ -1,0 +1,367 @@
+"""Named acceptance queries (Spark side).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; its
+DuckDB oracle twin lives in :mod:`.oracles` under the same key. Keys
+map to SURVEY.md §2 operators (cited per-query).
+
+Determinism rules (driver hashes values order-insensitively but
+exactly):
+
+- every computed float is wrapped in ``F.round(...)`` so engine-level
+  ulp differences (shuffle-order double sums) cannot surface;
+- every top-k/limit has a total-order sort (tie-break on a key);
+- no nondeterministic functions (rand, current_timestamp) in checked
+  queries;
+- timestamps that appear in output are formatted to strings (Spark is
+  session-TZ'd, DuckDB is UTC-naive).
+
+Scale notes are inline: broadcast hints for dimension joins, window
+top-k instead of sort-all, single-pass aggregations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalars, text, vectors
+from ..sources.readers import load_table
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter→8-agg groupBy (A1/A4/A5, P3).
+
+    Single shuffle; partial aggregation is map-side (Catalyst default),
+    so at 100 TB this moves only (flag,status)-grouped partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter→join→join→agg→top-10 (J1, A7, O1).
+
+    customer is filtered before the join (predicate pushdown) and the
+    orders⋈lineitem join shuffles on orderkey; top-10 is a
+    TakeOrderedAndProject, not a full sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-table star join → per-(region,nation) revenue
+    (J1-J3 analogue on the TPC-H star; A3/A5).
+
+    region/nation are broadcast (SURVEY.md §4 item 1) — at 100 TB the
+    fact-side lineitem⋈orders join shuffles on orderkey and the tiny
+    dims never shuffle at all."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q04_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats (A1/A3/A4/A5; exact distinct for the oracle —
+    the scale path swaps in approx_count_distinct, see
+    q23_approx_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q05_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via window row_number (§2.5; replaces the
+    reference's Python sort+slice A7/A9). One shuffle on the partition
+    key; no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "user_id", "value", "rnk")
+        .orderBy("event_type", "rnk")
+    )
+
+
+def q06_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (O4, `GET /songs?limit&offset`): keyset-ordered
+    offset+limit. Spark 3.4+ has native DataFrame.offset."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .offset(40)
+        .limit(20)
+    )
+
+
+def q07_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 urgent order (U3
+    analogue). Semi-join avoids materializing the join product."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q08_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): the reference's processed-files
+    set-difference (U3/S14) as a relational operator."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q09_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based CASE bucketing (F7/F8: popularity→rating thresholds)
+    applied to event values, then a frequency histogram (A6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("rating", scalars.rating_from_popularity("value"))
+        .groupBy("rating")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("rating")
+    )
+
+
+def q10_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour batch aggregation (T3/T4 batch twin): the
+    streaming job computes the same groupBy over F.window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+def q11_union_order_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-with-tag (U1: hybrid concat) then histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 50000).select(
+        F.lit("high_value").alias("bucket"), "o_orderstatus"
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select(F.lit("recent").alias("bucket"), "o_orderstatus")
+    return (
+        high.unionByName(recent)
+        .groupBy("bucket", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket", "o_orderstatus")
+    )
+
+
+def q12_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join lineitem⋈part (J2 analogue) + per-type
+    revenue. part is a classic broadcast dimension."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def q13_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (F18:
+    from_json/get_json_object) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q14_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-language stats (text-analysis operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", text.token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q15_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy dedup):
+    per-doc keep/duplicate decision. Keeps the smallest doc_id per
+    fingerprint group (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("fp", text.fingerprint("text"))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fp",
+            (F.col("rnk") == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q16_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 probe vectors (M13/M14 rebuilt:
+    all math in Catalyst higher-order fns, double precision).
+
+    The probe side is broadcast, so at scale this is a single pass over
+    the corpus with a map-side top-k (window on the tiny probe key)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        vectors.as_double_array("embedding").alias("qv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vectors.as_double_array("embedding").alias("nv"),
+        F.col("label").alias("neighbor_label"),
+    )
+    sim = F.round(vectors.cosine(F.col("qv"), F.col("nv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "neighbor_label", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_event_type_stats": q04_event_type_stats,
+    "q05_top_events_per_type": q05_top_events_per_type,
+    "q06_orders_page": q06_orders_page,
+    "q07_active_customers": q07_active_customers,
+    "q08_inactive_customers": q08_inactive_customers,
+    "q09_value_buckets": q09_value_buckets,
+    "q10_hourly_events": q10_hourly_events,
+    "q11_union_order_classes": q11_union_order_classes,
+    "q12_part_type_revenue": q12_part_type_revenue,
+    "q13_props_json": q13_props_json,
+    "q14_doc_stats_by_lang": q14_doc_stats_by_lang,
+    "q15_doc_exact_dedup": q15_doc_exact_dedup,
+    "q16_knn_cosine": q16_knn_cosine,
+}

@@ -1,0 +1,192 @@
+"""Schema'd sources (SURVEY.md §2.1, S1-S7).
+
+The reference reads CSVs either with ``inferSchema=true``
+(``src/spark/training.py:113-116``) or all-string followed by per-column
+defensive casts (``src/spark/training.py:37-65``). This engine instead
+declares fixed :class:`StructType` schemas per table and funnels every
+dirty input through one hardening pass (:func:`read_csv_hardened` +
+:func:`..operators.clean.clean`), which keeps scans single-pass and
+lets Catalyst push filters/projections into the file format.
+
+Parquet is the canonical storage format (columnar, pushdown, stats);
+CSV/JSON readers exist for ingest parity with the reference (S1-S3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver testdata tables (TESTDATA.md / FIXTURES.md §B) — parquet carries its
+# own schema; this registry documents the contract and gives a single
+# load/register entry point.
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always travel to a join as the
+# broadcast side (SURVEY.md §4 item 1).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a long via the
+    legacy conf and convert to a microsecond timestamp (lossless here:
+    the generator emits µs resolution; DuckDB performs the same ns→µs
+    truncation).
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # The driver harness builds its own SparkSession; pin the runtime-
+    # settable confs our queries depend on (UTC formatting parity with
+    # the DuckDB oracle) rather than assuming our factory was used.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-domain schemas (FIXTURES.md §A), declared instead of inferred.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES = (
+    "acousticness",
+    "danceability",
+    "energy",
+    "instrumentalness",
+    "liveness",
+    "loudness",
+    "speechiness",
+    "tempo",
+    "valence",
+)
+
+TRACKS_SCHEMA = T.StructType(
+    [T.StructField("id", T.StringType(), False),
+     T.StructField("name", T.StringType(), True),
+     T.StructField("artists_id", T.StringType(), True),  # stringified list; see functions.scalars.parse_stringified_list
+     T.StructField("album_id", T.StringType(), True)]
+    + [T.StructField(f, T.DoubleType(), True) for f in AUDIO_FEATURES]
+    + [T.StructField("popularity", T.DoubleType(), True),
+       T.StructField("duration_ms", T.DoubleType(), True),
+       T.StructField("key", T.IntegerType(), True),
+       T.StructField("mode", T.IntegerType(), True),
+       T.StructField("time_signature", T.IntegerType(), True),
+       T.StructField("preview_url", T.StringType(), True),
+       T.StructField("href", T.StringType(), True)]
+)
+
+ARTISTS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("followers", T.LongType(), True),
+        T.StructField("genres", T.StringType(), True),
+        T.StructField("popularity", T.DoubleType(), True),
+    ]
+)
+
+ALBUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("release_date", T.StringType(), True),
+        T.StructField("total_tracks", T.IntegerType(), True),
+    ]
+)
+
+EMOTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("song", T.StringType(), True),
+        T.StructField("emotion", T.StringType(), True),
+        T.StructField("variance", T.DoubleType(), True),
+        T.StructField("Genre", T.StringType(), True),
+    ]
+)
+
+INTERACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.IntegerType(), True),
+        T.StructField("track_id", T.StringType(), True),
+        T.StructField("rating", T.DoubleType(), True),
+        T.StructField("action", T.StringType(), True),
+        T.StructField("play_duration_ms", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField(
+            "context",
+            T.StructType(
+                [
+                    T.StructField("device", T.StringType(), True),
+                    T.StructField("location", T.StringType(), True),
+                    T.StructField("time_of_day", T.IntegerType(), True),
+                    T.StructField("day_of_week", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def read_csv_hardened(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """CSV scan with the reference's defensive options (S1,
+    ``src/spark/training.py:37-42``) but a declared schema.
+
+    All columns are read as string then cast via ANSI ``try_cast``
+    semantics (``mode=PERMISSIVE`` + typed schema gives the same
+    null-on-failure behavior), matching the reference's per-column
+    cast-with-fallback loop (``src/spark/training.py:45-65``) in one
+    vectorized pass.
+    """
+    return (
+        spark.read.options(
+            header=True,
+            nullValue="",
+            nanValue="NaN",
+            mode="PERMISSIVE",
+        )
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_json_hardened(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON scan with declared schema (S3, ``src/spark/training.py:142-147``
+    used inference; declaring the schema avoids a double read at scale)."""
+    return spark.read.schema(schema).json(path)
