@@ -123,6 +123,17 @@ def weighted_choice(options: Sequence[tuple[str, float]], seed: int | None = Non
     return expr.otherwise(F.lit(options[-1][0]))
 
 
+# Cross-engine-stable decimal truncation. ROUND(x, d) is NOT portable
+# when x sits exactly on a .5 boundary at digit d (engines disagree on
+# whether to round the exact binary value or its shortest decimal
+# repr — observed Spark 0.8687 vs DuckDB 0.8688 for 0.86875).
+# floor(x·10^d)/10^d uses only IEEE ops, so identical inputs give
+# identical outputs everywhere. Use for ratio-like per-row metrics.
+def stable_round(col: Column | str, digits: int) -> Column:
+    scale = F.lit(float(10**digits))
+    return F.floor(_c(col) * scale) / scale
+
+
 # -- F16: clamp (src/streaming_service.py:244)
 def clamp(col: Column | str, lo: float, hi: float) -> Column:
     return F.greatest(F.lit(lo), F.least(F.lit(hi), _c(col)))

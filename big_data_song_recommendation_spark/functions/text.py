@@ -70,11 +70,16 @@ def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: prose-length sweet spot,
     low punctuation noise, some stopword mass. Mirrors the shape of
     Gopher/C4-style quality rules; weights are illustrative."""
+    from .scalars import stable_round
+
     n_tok = token_count(col)
     len_score = F.when(n_tok >= 50, F.lit(1.0)).otherwise(n_tok / F.lit(50.0))
     punct_score = clamp01(F.lit(1.0) - punct_ratio(col) * 4)
     sw_score = clamp01(stopword_ratio(col) * 5)
-    return F.round(0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score, 4)
+    # stable_round, not F.round: weighted sums of small-denominator
+    # ratios land on exact .5 decimal boundaries where engines'
+    # ROUND disagrees.
+    return stable_round(0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score, 4)
 
 
 def clamp01(col: Column) -> Column:
@@ -86,12 +91,14 @@ def lang_id(col: Column | str) -> Column:
     A real system would use character n-gram models — this keeps the
     same column signature with a pure-SQL-expressible heuristic."""
     toks = F.transform(tokens(col), lambda t: F.lower(t))
-    votes = {
-        lang: F.size(
-            F.filter(toks, lambda t, sw=sw: F.array_contains(F.array(*[F.lit(w) for w in sw]), t))
-        )
-        for lang, sw in _STOPWORDS.items()
-    }
+
+    def _vote(sw: list[str]) -> Column:
+        # NB: the lambda must take exactly one arg — Spark treats a
+        # two-arg lambda as (element, index).
+        arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    votes = {lang: _vote(sw) for lang, sw in _STOPWORDS.items()}
     best_count = F.greatest(*votes.values())
     expr = F.when(best_count == 0, F.lit("und"))
     # deterministic tie-break: alphabetical language order
@@ -120,7 +127,11 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     MinHash / n-gram-Jaccard near-dup detection."""
     toks = F.split(normalized_text(col), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+    # to an empty shingle set instead.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
     )

@@ -1,0 +1,217 @@
+"""Deduplication operators for the training-data pipeline: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+All are pure DataFrame compositions (explode/groupBy/join) — no UDFs —
+so they distribute and benefit from AQE. Hashes are md5-derived 60-bit
+integers (``conv(substr(md5(x),1,15),16,10)``): deterministic across
+runs/engines (unlike xxhash64, which has no DuckDB twin, or Python
+``hash``, which is salted — the reference's F6 pitfall).
+
+Scale notes: the shingle self-join shuffles on the shingle string —
+the frequency cap in :func:`_shingle_sets` (drop shingles appearing in
+more than ``max_df`` docs) bounds worst-case fan-out the same way
+common-word filtering does in production MinHash pipelines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as Ftext
+
+HASH_HEX_DIGITS = 15  # 60 bits — fits signed int64 in Spark AND DuckDB
+
+
+def hash60(col: Column, prefix: str | None = None) -> Column:
+    """Deterministic 60-bit non-negative hash of a string column."""
+    c = F.concat(F.lit(f"{prefix}:"), col) if prefix is not None else col
+    return F.conv(F.substring(F.md5(c), 1, HASH_HEX_DIGITS), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: per-row keep flag
+    (smallest id per fingerprint group wins, deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", Ftext.fingerprint(text_col))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(id_col, "fp", (F.col("rnk") == 1).alias("keep"))
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None = None
+) -> DataFrame:
+    """(id, shingle) distinct pairs; optionally drop shingles present
+    in more than ``max_df`` docs (stop-shingle cap for skew)."""
+    sets = (
+        df.select(F.col(id_col).alias("sid"), F.explode(Ftext.word_shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    if max_df is not None:
+        freq = sets.groupBy("sh").agg(F.count("*").alias("df"))
+        sets = sets.join(freq.filter(F.col("df") <= max_df).select("sh"), "sh", "left_semi")
+    return sets
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram-shingle Jaccard ≥ threshold.
+
+    shuffle shape: explode→distinct (1 shuffle), self-join on shingle
+    (1 shuffle on the shingle key), pair-count groupBy. The shingle
+    join's fan-out is Σ df(sh)² — bounded by ``max_df`` at scale; for
+    100 TB prefer :func:`minhash_lsh_pairs`, which replaces the full
+    self-join with banded buckets.
+    """
+    sets = _shingle_sets(df, id_col, text_col, k, max_df).cache()
+    sizes = sets.groupBy("sid").agg(F.count("*").alias("n"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+    return (
+        inter.join(na, F.col("id_a") == F.col("na.sid"))
+        .join(nb, F.col("id_b") == F.col("nb.sid"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: ``h_i = min over shingles of
+    hash60(i + ':' + shingle)``. One explode + one groupBy with
+    ``num_hashes`` min-aggregates — map-side combinable, single
+    shuffle. Empty docs (no shingles) are absent from the output."""
+    sets = _shingle_sets(df, id_col, text_col, k)
+    aggs = [
+        F.min(hash60(F.col("sh"), str(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sets.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    LSH stage: signature split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band key become
+    candidates (shuffle on band key — tiny vs. the full shingle
+    self-join). Verify stage: exact Jaccard on candidates only.
+    This is the 100-TB path for near-dedup.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, k=k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])).alias(
+                "key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("sid"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification restricted to candidate docs
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("cid"))
+        .union(candidates.select("id_b"))
+        .distinct()
+    )
+    subset = df.join(cand_ids, df[id_col] == F.col("cid"), "left_semi")
+    verified = ngram_jaccard_pairs(
+        subset, id_col, text_col, k=k, threshold=verify_threshold
+    )
+    return candidates.join(verified, ["id_a", "id_b"], "inner")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 32
+) -> DataFrame:
+    """SimHash over the token multiset: per bit b, sum +1/-1 by token
+    hash bit, then pack sign bits into one integer. ``bits``
+    sum-aggregates in a single groupBy (map-side combinable)."""
+    toks = df.select(
+        F.col(id_col), F.explode(Ftext.tokens(Ftext.normalized_text(text_col))).alias("tok")
+    )
+    h = hash60(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    summed = toks.groupBy(id_col).agg(*aggs)
+    packed = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return summed.select(F.col(id_col), packed.alias("simhash"))
+
+
+def embedding_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold (brute-force
+    all-pairs baseline; the scale path buckets through
+    ``similarity.lsh_model`` first)."""
+    from ..functions import vectors
+
+    v = df.select(
+        F.col(id_col).alias("vid"), vectors.as_double_array(vec_col).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = vectors.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (replaces the reference's
+driver-side all-pairs cosine, ``src/training_service.py:622-623`` M13
+and numpy dot scoring ``src/app_optimized.py:376-429`` M14).
+
+Three tiers:
+
+- :func:`brute_force_knn` — exact top-k, probes broadcast, one pass
+  over the corpus. The correctness baseline.
+- :func:`lsh_model` / :func:`lsh_knn` — BucketedRandomProjectionLSH
+  (MLlib): sub-linear candidate generation at scale.
+- :func:`ivf_knn` — KMeans-partitioned inverted file: probe the
+  nearest ``nprobe`` centroids only; the classic 100-TB ANN layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of each probe against the corpus.
+
+    Probes are broadcast; the corpus is scanned once. The window
+    top-k shuffles only (probe_id, sim) pairs — fine for a bounded
+    probe set; for probe sets in the millions use lsh/ivf."""
+    p = probes.select(
+        F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vectors.as_double_array(vec_col).alias("nv")
+    )
+    cond = (
+        F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(p), cond)
+        .withColumn("sim", F.round(vectors.cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def _to_ml_vectors(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(vectors.as_double_array(vec_col)))
+
+
+def lsh_model(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+):
+    """Fit BucketedRandomProjectionLSH over an array column.
+
+    Returns (model, transformed_df). bucket_length rule of thumb:
+    ~pow(n, -1/dims)·range — tune empirically per corpus
+    (SURVEY.md §7 risk d)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    prepared = _to_ml_vectors(df, vec_col, "__features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(prepared)
+    return model, prepared
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    probe_vec,
+    *,
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+) -> DataFrame:
+    """Approximate top-k for a single probe vector (euclidean LSH)."""
+    from pyspark.ml.linalg import Vectors
+
+    model, prepared = lsh_model(
+        corpus, vec_col=vec_col, bucket_length=bucket_length, num_tables=num_tables
+    )
+    key = Vectors.dense(list(probe_vec))
+    return model.approxNearestNeighbors(prepared, key, k).drop("__features", "__hashes")
+
+
+def ivf_index(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+):
+    """Build an IVF index: KMeans centroids + cluster-assigned corpus.
+
+    Returns (centroids_df, assigned_df). At scale the assigned corpus
+    is written partitioned by cluster so probes read only their
+    ``nprobe`` partitions (partition pruning does the fan-in)."""
+    from pyspark.ml.clustering import KMeans
+
+    prepared = _to_ml_vectors(df, vec_col, "__features")
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+    model = km.fit(prepared)
+    assigned = model.transform(prepared).withColumnRenamed("prediction", "cluster")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centroids_df = df.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
+    return centroids_df, assigned.drop("__features", "__hashes")
+
+
+def ivf_knn(
+    centroids_df: DataFrame,
+    assigned: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k: route each probe to its ``nprobe`` nearest centroids,
+    then exact-search only those clusters. Search cost drops by
+    ~n_centroids/nprobe vs. brute force."""
+    p = probes.select(
+        F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
+    )
+    cent = centroids_df.select(
+        "cluster", vectors.as_double_array("centroid").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cluster"))
+    routed = (
+        p.join(F.broadcast(cent))
+        .withColumn("csim", vectors.cosine(F.col("qv"), F.col("cv")))
+        .withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.as_double_array(vec_col).alias("nv"),
+        "cluster",
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(routed), ["cluster"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(vectors.cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )

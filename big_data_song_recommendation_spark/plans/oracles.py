@@ -24,6 +24,70 @@ _TOKEN_COUNT = (
     " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 )
 
+# 60-bit md5-derived hash — the SQL twin of operators.dedup.hash60
+def _hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# distinct 3-word shingle sets of normalized text, as a CTE body
+_SHINGLE_SETS = f"""
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM (SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
+              FROM documents)
+    )
+"""
+
+_JACCARD_PAIRS = f"""
+    WITH sets AS ({_SHINGLE_SETS}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+_MINHASH_COLS = ",\n               ".join(
+    f"MIN({_hash60(repr(str(i) + ':') + ' || s')}) AS h{i}" for i in range(8)
+)
+
+_SIMHASH_BITS = 16
+_SIMHASH_SUMS = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+_STOPWORD_LISTS = {
+    "en": "['the','a','and','of','to','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','una','los','por']",
+    "fr": "['le','la','de','et','un','une','les','des','que','pour']",
+    "de": "['der','die','das','und','ein','eine','zu','mit','von','ist']",
+}
+
+_RAW_TOKENS_LOWER = "list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t))"
+
+
+def _votes(lang: str) -> str:
+    return (
+        f"len(list_filter({_RAW_TOKENS_LOWER},"
+        f" t -> list_contains({_STOPWORD_LISTS[lang]}, t)))"
+    )
+
 ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -219,5 +283,102 @@ ORACLES: dict[str, str] = {
         )
         WHERE rnk <= 5
         ORDER BY query_id, rnk
+    """,
+    "q17_ngram_jaccard_pairs": _JACCARD_PAIRS,
+    # q20's LSH pipeline must recover exactly the true pair set (every
+    # true pair here has j≈0.98 → band-collision probability ≈1), so
+    # its oracle is the same exact-Jaccard SQL.
+    "q20_minhash_lsh_pairs": _JACCARD_PAIRS,
+    "q18_minhash_signatures": f"""
+        WITH sets AS ({_SHINGLE_SETS})
+        SELECT doc_id,
+               {_MINHASH_COLS}
+        FROM sets
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "q19_simhash": f"""
+        SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash
+        FROM (
+            SELECT doc_id,
+               {_SIMHASH_SUMS}
+            FROM (
+                SELECT doc_id, {_hash60("tok")} AS h
+                FROM (SELECT doc_id,
+                             unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+                      FROM documents)
+            )
+            GROUP BY doc_id
+        )
+        ORDER BY doc_id
+    """,
+    "q21_embedding_dup_pairs": """
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        WHERE cosine >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    "q22_doc_quality": f"""
+        SELECT doc_id, n_tokens,
+               floor(punct_ratio * 10000.0) / 10000.0 AS punct_ratio,
+               floor(sw_ratio * 10000.0) / 10000.0 AS stopword_ratio,
+               floor((CAST(0.4 AS DOUBLE) * len_score
+                      + CAST(0.3 AS DOUBLE) * punct_score
+                      + CAST(0.3 AS DOUBLE) * sw_score) * 10000.0) / 10000.0 AS quality
+        FROM (
+            SELECT doc_id, n_tokens, punct_ratio, sw_ratio,
+                   CASE WHEN n_tokens >= 50 THEN CAST(1.0 AS DOUBLE)
+                        ELSE n_tokens / CAST(50.0 AS DOUBLE) END AS len_score,
+                   greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE) - punct_ratio * 4)) AS punct_score,
+                   greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                       sw_ratio * 5)) AS sw_score
+            FROM (
+                SELECT doc_id,
+                       {_TOKEN_COUNT} AS n_tokens,
+                       CASE WHEN len(text) > 0 THEN
+                           (len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                           * 1.0 / len(text)
+                       ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+                       CASE WHEN {_TOKEN_COUNT} > 0 THEN
+                           len(list_filter({_RAW_TOKENS_LOWER},
+                               t -> list_contains({_STOPWORD_LISTS["en"]}, t)))
+                           * 1.0 / ({_TOKEN_COUNT})
+                       ELSE CAST(0.0 AS DOUBLE) END AS sw_ratio
+                FROM documents
+            )
+        )
+        ORDER BY doc_id
+    """,
+    "q23_lang_confusion": f"""
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM (
+            SELECT lang,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN vde = best THEN 'de'
+                        WHEN ven = best THEN 'en'
+                        WHEN ves = best THEN 'es'
+                        WHEN vfr = best THEN 'fr'
+                        ELSE 'und' END AS predicted
+            FROM (
+                SELECT lang, vde, ven, ves, vfr,
+                       greatest(vde, ven, ves, vfr) AS best
+                FROM (
+                    SELECT lang,
+                           {_votes("de")} AS vde,
+                           {_votes("en")} AS ven,
+                           {_votes("es")} AS ves,
+                           {_votes("fr")} AS vfr
+                    FROM documents
+                )
+            )
+        )
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted
     """,
 }

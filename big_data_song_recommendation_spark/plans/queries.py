@@ -347,6 +347,85 @@ def q16_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.5 (the
+    dedup ground truth; the LSH path q20 must find the same pairs)."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q18_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signatures (md5-derived 60-bit hashes — engine-
+    portable, unlike xxhash64) for every doc."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, k=3
+    ).orderBy("doc_id")
+
+
+def q19_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc over the token multiset."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+def q20_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded near-dup pairs, exact-Jaccard verified at
+    ≥ 0.5. Oracle = the exact all-pairs Jaccard (q17's SQL): on this
+    corpus every true pair has j≈0.98, where 32-hash/8-band collision
+    probability is ≈1, so LSH must recover exactly the true pair set —
+    a real recall check, not a tautology."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, k=3, verify_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q21_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.4 (brute-force baseline)."""
+    from ..operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics: token count, punctuation ratio,
+    stopword ratio, composite quality score (Gopher/C4-style)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        scalars.stable_round(text.punct_ratio("text"), 4).alias("punct_ratio"),
+        scalars.stable_round(text.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        text.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q23_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword votes) vs. labeled lang —
+    confusion-matrix counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", text.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -364,4 +443,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_doc_stats_by_lang": q14_doc_stats_by_lang,
     "q15_doc_exact_dedup": q15_doc_exact_dedup,
     "q16_knn_cosine": q16_knn_cosine,
+    "q17_ngram_jaccard_pairs": q17_ngram_jaccard_pairs,
+    "q18_minhash_signatures": q18_minhash_signatures,
+    "q19_simhash": q19_simhash,
+    "q20_minhash_lsh_pairs": q20_minhash_lsh_pairs,
+    "q21_embedding_dup_pairs": q21_embedding_dup_pairs,
+    "q22_doc_quality": q22_doc_quality,
+    "q23_lang_confusion": q23_lang_confusion,
 }

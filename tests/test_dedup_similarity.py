@@ -1,0 +1,106 @@
+"""Behavioral tests for dedup + similarity operators on planted data
+(exact dups, near-dups, distinct docs) — complements the oracle suite,
+which checks engine parity but not semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill and birds sing in the garden outside today"
+)
+NEAR = BASE.replace("garden", "meadow")  # one-token change → high jaccard
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines here"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),            # exact dup of 1
+        (3, "  THE quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill and birds sing in the garden outside today!!"),  # dup after normalization
+        (4, NEAR),            # near-dup of 1
+        (5, OTHER),
+        (6, "tiny"),          # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: r["keep"] for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()}
+    assert out[1] is True and out[2] is False and out[3] is False
+    assert out[4] is True and out[5] is True and out[6] is True
+
+
+def test_short_doc_has_no_shingles(docs):
+    sets = dedup._shingle_sets(docs, "doc_id", "text", 3)
+    assert sets.filter(F.col("sid") == 6).count() == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert 0.5 < pairs[(1, 4)] < 1.0  # near-dup
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_recovers_true_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == want  # high-similarity pairs ⇒ LSH recall ≈ 1
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text", bits=32).collect()}
+    assert sh[1] == sh[2] == sh[3]  # identical normalized text
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[4]) <= 6  # near-dup: few bits differ
+    assert hamming(sh[1], sh[5]) > hamming(sh[1], sh[4])  # distinct doc further
+
+
+def test_brute_force_knn_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_knn(df, probes, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert order == [1, 2, 3]  # cosine ranking
+
+
+def test_ivf_knn_matches_brute_force_topk(spark, duck):
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_knn(emb, probes, k=3).collect()
+    cents, assigned = similarity.ivf_index(emb, n_centroids=8)
+    approx = similarity.ivf_knn(cents, assigned, probes, k=3, nprobe=8).collect()
+    # nprobe == n_centroids ⇒ exhaustive ⇒ must equal brute force
+    key = lambda rows: {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in rows}
+    assert key(brute) == key(approx)

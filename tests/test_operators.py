@@ -1,0 +1,109 @@
+"""Unit tests for the operator layer on dirty in-memory data — the
+FIXTURES.md §A dirty-data cases (nulls, NaN, ±inf, "", "NULL",
+duplicate ids, null keys)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_song_recommendation_spark.operators import aggregates, clean, joins
+
+
+def _dirty_tracks(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("tempo", T.DoubleType(), True),
+            T.StructField("popularity", T.StringType(), True),
+        ]
+    )
+    rows = [
+        ("t1", "Song A", 120.0, "50"),
+        ("t1", "Song A dup", 130.0, "60"),
+        ("t2", "", float("nan"), "NULL"),
+        ("t3", "NULL", float("inf"), "not_a_number"),
+        (None, "no id", 99.0, "10"),
+        ("t4", "Song D", None, ""),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_try_cast_columns(spark):
+    df = clean.try_cast_columns(_dirty_tracks(spark), {"popularity": "double"})
+    vals = {r["id"]: r["popularity"] for r in df.collect()}
+    assert vals["t3"] is None  # cast failure → null, no exception
+    assert vals["t4"] is None or vals["t4"] == ""  # empty string → null
+    assert vals["t2"] is None  # "NULL" sentinel not a number
+    assert vals["t1"] in (50.0, 60.0)
+
+
+def test_clean_defaults(spark):
+    df = clean.try_cast_columns(_dirty_tracks(spark), {"popularity": "double"})
+    df = clean.clean(df, {"tempo": 120.0, "popularity": 0.0, "name": "unknown"})
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["t2"]["tempo"] == 120.0  # NaN → default
+    assert rows["t3"]["tempo"] == 120.0  # inf → default
+    assert rows["t4"]["tempo"] == 120.0  # null → default
+    assert rows["t2"]["name"] == "unknown"  # "" sentinel
+    assert rows["t3"]["name"] == "unknown"  # "NULL" sentinel
+    assert rows["t3"]["popularity"] == 0.0
+    assert rows["t1"]["tempo"] in (120.0, 130.0)  # untouched real values
+
+
+def test_drop_invalid_and_keep_first(spark):
+    df = clean.try_cast_columns(_dirty_tracks(spark), {"popularity": "double"})
+    df = clean.drop_invalid(df, ["id", "tempo"])
+    ids = [r["id"] for r in df.collect()]
+    assert None not in ids and "t2" not in ids and "t4" not in ids
+
+    first = clean.keep_first_by(_dirty_tracks(spark), ["id"], ["name"])
+    names = {r["id"]: r["name"] for r in first.collect()}
+    assert names["t1"] == "Song A"  # deterministic winner
+
+
+def test_fuzzy_lookup_join(spark):
+    tracks = spark.createDataFrame(
+        [("1", "Bohemian Rhapsody"), ("2", "bohemian"), ("3", "Unknown Tune"),
+         ("4", "YELLOW SUBMARINE  ")],
+        ["id", "song_name"],
+    )
+    emotions = spark.createDataFrame(
+        [("Bohemian Rhapsody", "epic"), ("Yellow Submarine", "happy")],
+        ["song", "emotion"],
+    )
+    out = joins.fuzzy_lookup_join(
+        tracks, emotions, "song_name", "song", "emotion",
+        fallback=F.lit("neutral"),
+    )
+    got = {r["id"]: (r["emotion"], r["emotion_match_tier"]) for r in out.collect()}
+    assert got["1"] == ("epic", "exact")
+    assert got["4"] == ("happy", "exact")  # trim+lower normalization
+    assert got["2"] == ("epic", "contains")  # substring tier
+    assert got["3"] == ("neutral", "fallback")
+    assert out.count() == 4  # no fan-out from multi-match
+
+
+def test_argmax_and_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 5, "y"), ("b", 3, "z"), ("b", 2, "w")],
+        ["grp", "score", "payload"],
+    )
+    am = {r["grp"]: (r["max_score"], r["payload"])
+          for r in aggregates.argmax_per_group(df, ["grp"], "score", ["payload"]).collect()}
+    assert am == {"a": (5, "y"), "b": (3, "z")}
+
+    tk = aggregates.top_k_per_group(
+        df, ["grp"], [F.desc("score"), F.asc("payload")], 1
+    )
+    assert {r["payload"] for r in tk.collect()} == {"y", "z"}
+
+
+def test_positional_join(spark):
+    left = spark.createDataFrame([(i,) for i in range(5)], ["l"])
+    right = spark.createDataFrame([(i * 10,) for i in range(5)], ["r"])
+    out = joins.positional_join(left, right).collect()
+    assert len(out) == 5
