@@ -381,4 +381,117 @@ ORACLES: dict[str, str] = {
         GROUP BY lang, predicted
         ORDER BY lang, predicted
     """,
+    "q24_user_running_totals": """
+        SELECT user_id, event_id, value,
+               lag(value) OVER w AS prev_value,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn
+    """,
+    "q25_sessionization": """
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800.0
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WHERE user_id < 100
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "q26_rollup_revenue": """
+        SELECT r_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items,
+               GROUPING(r_name, n_name) AS grp_id
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY grp_id, r_name, n_name
+    """,
+    "q27_daily_event_pivot": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY day
+    """,
+    "q28_value_percentiles": """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median_value,
+               MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_value,
+               MAX(n) AS n
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q29_asof_last_click": """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime((
+                   SELECT MAX(c.ts) FROM events c
+                   WHERE c.user_id = p.user_id
+                     AND c.event_type = 'click'
+                     AND c.ts < p.ts
+               ), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id
+    """,
+    "q30_hash_attributes": """
+        SELECT color, COUNT(*) AS n,
+               ROUND(AVG(p_retailprice), 2) AS avg_retail
+        FROM (
+            SELECT (['red','green','blue','gold','silver'])[
+                       CAST(CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) + 1
+                   ] AS color,
+                   p_retailprice
+            FROM part
+        )
+        GROUP BY color
+        ORDER BY color
+    """,
+    "q31_duration_format": """
+        SELECT printf('%d:%02d',
+                      CAST(floor(value * 1000) AS BIGINT) // 60000,
+                      (CAST(floor(value * 1000) AS BIGINT) % 60000) // 1000) AS dur,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+        ORDER BY dur
+    """,
 }

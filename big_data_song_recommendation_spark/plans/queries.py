@@ -426,6 +426,165 @@ def q23_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (§2.5 superset): running spend per user (exact
+    decimal accumulation → double; frame-ordered double sums are not
+    engine-portable), lag, row_number."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(wrun)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("rn"),
+    ).orderBy("user_id", "rn")
+
+
+def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap cumsum sessions per user (lag +
+    running sum — the batch twin of streaming session_window)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q26_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region → nation → grand total) with grouping_id — a
+    capability beyond the reference that Spark/DuckDB both give free."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.grouping_id().alias("grp_id"),
+        )
+        .orderBy("grp_id", "r_name", "n_name")
+    )
+
+
+def q27_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns of daily counts (reference has no
+    pivot; Spark's .pivot vs oracle conditional aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day")
+
+
+def q28_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (median/p90) per event_type via window
+    rank — percentile_disc semantics return actual data values, which
+    are engine-portable (interpolated quantiles are not: engines
+    differ in formula ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    def disc(q: float) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value"))
+        )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            disc(0.5).alias("median_value"),
+            disc(0.9).alias("p90_value"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q29_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly-
+    prior click (sort-based union-window operator — single shuffle,
+    no range join; operators/asof.py)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, on="user_id", tiebreak="event_id", strict=True
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+    ).orderBy("event_id")
+
+
+def q30_hash_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 deterministic hash-derived pseudo-attributes (md5 bucket →
+    fixed pool pick), then a histogram over the synthetic attribute."""
+    part = load_table(spark, sf_dir, "part")
+    colors = ["red", "green", "blue", "gold", "silver"]
+    return (
+        part.withColumn("color", scalars.pick_deterministic("p_partkey", colors))
+        .groupBy("color")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+        )
+        .orderBy("color")
+    )
+
+
+def q31_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 ms→"m:ss" formatting (event value as seconds→ms), histogram
+    of formatted buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.floor(F.col("value") * 1000)
+    return (
+        ev.withColumn("dur", scalars.format_duration(ms))
+        .groupBy("dur")
+        .agg(F.count("*").alias("n"))
+        .orderBy("dur")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -450,4 +609,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_embedding_dup_pairs": q21_embedding_dup_pairs,
     "q22_doc_quality": q22_doc_quality,
     "q23_lang_confusion": q23_lang_confusion,
+    "q24_user_running_totals": q24_user_running_totals,
+    "q25_sessionization": q25_sessionization,
+    "q26_rollup_revenue": q26_rollup_revenue,
+    "q27_daily_event_pivot": q27_daily_event_pivot,
+    "q28_value_percentiles": q28_value_percentiles,
+    "q29_asof_last_click": q29_asof_last_click,
+    "q30_hash_attributes": q30_hash_attributes,
+    "q31_duration_format": q31_duration_format,
 }
