@@ -1,0 +1,1 @@
+from . import features, recommend, registry  # noqa: F401

@@ -1,0 +1,123 @@
+"""Recommendation models (SURVEY.md §2.9, M5-M10, M13-M14).
+
+ALS replaces both the reference's Spark ALS (``src/spark/training.py:
+473-483``) and its sklearn NMF twin (``src/training_service.py:
+520-555`` — NMF existed only because the lightweight path avoided
+Spark; one engine needs one factorizer). Defaults mirror
+``data/models/config/als_config.json``: rank 50, maxIter 10,
+regParam 0.1, implicitPrefs true, alpha 1.0, seed 42.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REFERENCE_ALS_CONFIG: dict = {
+    "rank": 50,
+    "maxIter": 10,
+    "regParam": 0.1,
+    "implicitPrefs": True,
+    "alpha": 1.0,
+    "seed": 42,
+    "coldStartStrategy": "drop",
+}
+
+
+@dataclass
+class ALSResult:
+    model: object
+    rmse: float | None = None
+    config: dict = field(default_factory=dict)
+
+
+def derive_ratings_from_events(events: DataFrame) -> DataFrame:
+    """Turn the generic event stream into (user, item, rating):
+    item = the JSON ``props.k`` field, rating = action-weighted value
+    bucket (the reference derived ratings from popularity buckets +
+    noise, F8 — here deterministic, no noise)."""
+    from ..functions.scalars import rating_from_popularity
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("item_id", k)
+        .filter(F.col("item_id").isNotNull())
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        .select(
+            "user_id",
+            "item_id",
+            rating_from_popularity(F.col("avg_value") % 100).alias("rating"),
+        )
+    )
+
+
+def train_als(
+    ratings: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rating_col: str = "rating",
+    evaluate: bool = True,
+    **overrides,
+) -> ALSResult:
+    """M5+M6+M8: seeded 80/20 split, ALS fit, RMSE evaluation."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+
+    config = {**REFERENCE_ALS_CONFIG, **overrides}
+    als = ALS(
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        **config,
+    )
+    if evaluate:
+        train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+        model = als.fit(train)
+        preds = model.transform(test)
+        rmse = RegressionEvaluator(
+            metricName="rmse", labelCol=rating_col, predictionCol="prediction"
+        ).evaluate(preds)
+        return ALSResult(model=model, rmse=rmse, config=config)
+    return ALSResult(model=als.fit(ratings), config=config)
+
+
+def recommend_top_n(als_model, n: int = 10, users: DataFrame | None = None) -> DataFrame:
+    """M7: top-n per user, exploded to flat (user_id, item_id, score)
+    rows — serving joins displays onto this in DataFrame land (fixing
+    the reference's collect-loop hotspot, ``src/app.py:233-245``)."""
+    recs = (
+        als_model.recommendForUserSubset(users, n)
+        if users is not None
+        else als_model.recommendForAllUsers(n)
+    )
+    user_col = als_model.getUserCol()
+    return recs.select(
+        user_col, F.posexplode("recommendations").alias("rank0", "rec")
+    ).select(
+        F.col(user_col),
+        F.col("rec.*"),
+        (F.col("rank0") + 1).alias("rnk"),
+    )
+
+
+def train_kmeans(
+    df: DataFrame,
+    *,
+    features_col: str = "scaled_features",
+    k: int | None = None,
+    seed: int = 42,
+):
+    """M9: KMeans with the reference's adaptive k =
+    clamp(rows/1000, 10, 50) (``src/spark/training.py:377-402``)."""
+    from pyspark.ml.clustering import KMeans
+
+    if k is None:
+        n = df.count()
+        k = max(10, min(50, n // 1000))
+    km = KMeans(k=k, seed=seed, featuresCol=features_col)
+    model = km.fit(df)
+    return model, model.transform(df).withColumnRenamed("prediction", "cluster")

@@ -585,6 +585,128 @@ def q31_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ML / serving queries — genuinely non-SQL-expressible (iterative model
+# fits); no oracle entry → the driver records a rows-only check.
+# ---------------------------------------------------------------------------
+
+def q40_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/M7: ALS collaborative top-5 per user (users < 20), flat rows.
+    Query-sized config (rank 16, 5 iters) for the bench loop; the
+    operator default mirrors the reference's als_config.json."""
+    from ..ml import recommend
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = recommend.derive_ratings_from_events(ev)
+    res = recommend.train_als(
+        ratings, evaluate=False, rank=16, maxIter=5, implicitPrefs=False
+    )
+    users = ratings.select("user_id").filter(F.col("user_id") < 20).distinct()
+    recs = recommend.recommend_top_n(res.model, 5, users=users)
+    return recs.select(
+        "user_id", "item_id", F.round(F.col("rating"), 4).alias("score"), "rnk"
+    ).orderBy("user_id", "rnk")
+
+
+def q41_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: KMeans over embeddings (seed 42), cluster size histogram."""
+    from pyspark.ml.functions import array_to_vector
+
+    from ..ml import recommend
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "scaled_features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    _, assigned = recommend.train_kmeans(emb, k=10)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("cluster"))
+    )
+
+
+def q42_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: TF-IDF vectors over documents; per-language mean non-zero
+    term count (vector column summarized relationally)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml import features
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, out = features.fit_transform(features.tfidf_pipeline("text", vocab_size=100), docs)
+    nnz = F.size(
+        F.filter(vector_to_array(F.col("tfidf_features")), lambda x: x != 0.0)
+    )
+    return (
+        out.withColumn("nnz", nnz)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nnz"), 2).alias("avg_terms"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q43_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + M7 + M13: hybrid 0.7·collaborative + 0.3·content top-5.
+    Content side: cosine neighbors of each user's top-rated item
+    (item_id ↔ vec_id). All-DataFrame serving path — no collect loops
+    (the reference's ``src/app.py:233-245`` hotspot, fixed)."""
+    from ..ml import recommend
+    from ..operators import similarity
+
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ratings = recommend.derive_ratings_from_events(ev).cache()
+    users = ratings.select("user_id").filter(F.col("user_id") < 10).distinct()
+
+    res = recommend.train_als(
+        ratings, evaluate=False, rank=16, maxIter=5, implicitPrefs=False
+    )
+    collab = recommend.recommend_top_n(res.model, 10, users=users).select(
+        "user_id",
+        "item_id",
+        (F.lit(0.7) * (1.0 / F.col("rnk"))).alias("score"),
+        F.lit("collaborative").alias("source"),
+    )
+
+    # each user's favorite item (argmax rating, tie-break smallest id)
+    fav = (
+        ratings.join(users, "user_id")
+        .groupBy("user_id")
+        .agg(F.min_by("item_id", F.struct(-F.col("rating"), F.col("item_id"))).alias("fav_item"))
+    )
+    probes = fav.join(emb, fav.fav_item == emb.vec_id, "inner").select(
+        F.col("user_id").alias("vec_id"), "embedding"
+    )
+    # knn over the item-embedding space keyed by the probing user;
+    # the user's own favorite item is excluded afterwards (the probe id
+    # is a user id, so exclude_self would be comparing mixed id spaces)
+    content = (
+        similarity.brute_force_knn(emb, probes, k=10, exclude_self=False)
+        .withColumnRenamed("query_id", "user_id")
+        .join(fav, "user_id")
+        .filter(F.col("neighbor_id") != F.col("fav_item"))
+        .select(
+            "user_id",
+            F.col("neighbor_id").alias("item_id"),
+            (F.lit(0.3) * F.col("sim")).alias("score"),
+            F.lit("content").alias("source"),
+        )
+    )
+
+    hybrid = collab.unionByName(content)
+    w = Window.partitionBy("user_id").orderBy(F.desc("total"), F.asc("item_id"))
+    return (
+        hybrid.groupBy("user_id", "item_id")
+        .agg(F.round(F.sum("score"), 6).alias("total"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("user_id", "rnk")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -617,4 +739,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_asof_last_click": q29_asof_last_click,
     "q30_hash_attributes": q30_hash_attributes,
     "q31_duration_format": q31_duration_format,
+    "q40_als_recommendations": q40_als_recommendations,
+    "q41_kmeans_clusters": q41_kmeans_clusters,
+    "q42_tfidf_features": q42_tfidf_features,
+    "q43_hybrid_recommendations": q43_hybrid_recommendations,
 }

@@ -1,0 +1,236 @@
+"""Structured Streaming jobs (SURVEY.md §2.10, T1-T7).
+
+The reference's "streaming" is hand-rolled: Kafka consumers buffering
+dicts, count-based flushes, timer threads, raw-vs-processed directory
+diffs (``src/streaming_service.py``, ``src/streaming/kafka_consumer.py``,
+``src/training_service.py:305-341``). Here each piece maps to the
+engine:
+
+- T1 multi-topic consume  → one kafka readStream + topic filter fan-out
+- T2 count-based flush    → no native count trigger; approximated with
+  short processing-time micro-batches (documented divergence)
+- T3 timer flush          → ``trigger(processingTime=...)``
+- T4 batch snapshot       → real groupBys inside ``foreachBatch``
+- T5 processed-file dedup → file source + checkpointing (exactly-once)
+- T6 arrival-triggered retrain → ``foreachBatch`` callback hook
+- plus the event-time superset the reference lacks: watermarks,
+  tumbling/sliding/session windows.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ACTIONS = ["play", "like", "replay", "skip", "share"]
+
+
+def synthetic_interactions(spark: SparkSession, rows_per_second: int = 50) -> DataFrame:
+    """S9: deterministic synthetic interaction stream from the rate
+    source — hash-derived users/items/ratings (the reference's random
+    generator, ``src/streaming_service.py:233-300``, made
+    replayable)."""
+    from ..functions.scalars import md5_bucket, weighted_choice
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    rating = (md5_bucket(F.col("value") * 7, 401) / F.lit(100.0)) + 1.0  # 1.00-5.00
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        md5_bucket(F.col("value"), 500).alias("user_id"),
+        F.concat(F.lit("item_"), md5_bucket(F.col("value") * 13, 100)).alias("item_id"),
+        F.round(rating, 2).alias("rating"),
+        weighted_choice(
+            [("play", 0.4), ("like", 0.2), ("replay", 0.15), ("skip", 0.15), ("share", 0.1)]
+        ).alias("action"),
+    )
+
+
+def kafka_topic_stream(
+    spark: SparkSession, bootstrap: str, topics: list[str], value_schema: T.StructType
+) -> DataFrame:
+    """T1/S8: one Kafka stream over N topics, JSON values parsed with a
+    declared schema; downstream fan-out filters on ``topic``. Requires
+    the spark-sql-kafka package on the classpath (not in this image —
+    covered by contract tests only where available)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", ",".join(topics))
+        .load()
+    )
+    return raw.select(
+        F.col("topic"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+    ).select("topic", "kafka_ts", "v.*")
+
+
+def file_stream(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """T5/S14: file-discovery source. Spark's file source tracks
+    processed files in the checkpoint — replacing the reference's
+    raw-vs-processed directory diff with exactly-once semantics."""
+    reader = spark.readStream.schema(schema)
+    return getattr(reader, fmt)(path) if fmt in ("parquet", "json", "csv") else reader.format(fmt).load(path)
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+    value_col: str = "rating",
+) -> DataFrame:
+    """T3/T4 as event-time windows (the superset the reference lacks):
+    tumbling (or sliding when ``slide`` is given) per-window stats with
+    late-data handling via watermark."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    group = [win] + [F.col(k) for k in (keys or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*group)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(k) for k in (keys or [])],
+            "n",
+            "avg_value",
+            "approx_users",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Event-time sessionization (streaming twin of q25)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def batch_snapshot(batch_df: DataFrame) -> dict:
+    """T4: the reference's per-batch UI/training summary
+    (``src/streaming_service.py:306-354``) as real aggregations in ONE
+    pass (multi-agg + map_from_entries instead of Python loops)."""
+    from ..operators.aggregates import top_k_per_group
+
+    agg = batch_df.agg(
+        F.count("*").alias("size"),
+        F.round(F.avg("rating"), 2).alias("avg_rating"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.countDistinct("item_id").alias("unique_items"),
+    ).first()
+    action_hist = {
+        r["action"]: r["n"]
+        for r in batch_df.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    top_items = [
+        (r["item_id"], r["max_rating"])
+        for r in top_k_per_group(
+            batch_df.groupBy("item_id").agg(F.max("rating").alias("max_rating")),
+            [],
+            [F.desc("max_rating"), F.asc("item_id")],
+            5,
+        ).collect()
+    ]
+    return {
+        "size": agg["size"],
+        "avg_rating": float(agg["avg_rating"]) if agg["avg_rating"] is not None else None,
+        "unique_users": agg["unique_users"],
+        "unique_items": agg["unique_items"],
+        "action_distribution": action_hist,
+        "featured_items": top_items,
+    }
+
+
+class BatchSink:
+    """T4+T5+T6 composed: ``foreachBatch`` handler that (a) appends the
+    micro-batch to partitioned parquet, (b) writes a JSON snapshot of
+    per-batch aggregates, (c) fires a retrain callback once
+    ``retrain_every`` batches have accumulated (the reference's
+    ≥3-pending-batches trigger, ``src/training_service.py:134-135``).
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        *,
+        snapshot: bool = True,
+        retrain_every: int | None = None,
+        on_retrain: Callable[[int], None] | None = None,
+    ):
+        self.out_dir = Path(out_dir)
+        self.snapshot = snapshot
+        self.retrain_every = retrain_every
+        self.on_retrain = on_retrain
+        self._since_retrain = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(str(self.out_dir / "data"))
+        )
+        if self.snapshot:
+            snap = batch_snapshot(batch_df)
+            snap["epoch"] = epoch_id
+            snap_dir = self.out_dir / "snapshots"
+            snap_dir.mkdir(parents=True, exist_ok=True)
+            (snap_dir / f"batch_{epoch_id:06d}.json").write_text(json.dumps(snap))
+        if self.retrain_every is not None:
+            self._since_retrain += 1
+            if self._since_retrain >= self.retrain_every:
+                self._since_retrain = 0
+                if self.on_retrain is not None:
+                    self.on_retrain(epoch_id)
+
+
+def start_pipeline(
+    stream: DataFrame,
+    sink: BatchSink,
+    *,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = 5,
+):
+    """Wire a stream into a BatchSink. Count-based flushes (T2) have no
+    native trigger; short processing-time micro-batches approximate
+    them (documented divergence from the reference's 50-record flush).
+    """
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

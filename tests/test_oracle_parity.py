@@ -20,7 +20,14 @@ def test_query_matches_oracle(spark, duck, name):
 def test_every_query_has_oracle_or_is_declared():
     # queries without oracles are allowed (rows-only gate) but must be
     # deliberate: keep the allowlist here explicit.
-    rows_only_allowed = set()
+    rows_only_allowed = {
+        # iterative ML fits — not expressible in ANSI SQL; driver
+        # records rows-only checks for these.
+        "q40_als_recommendations",
+        "q41_kmeans_clusters",
+        "q42_tfidf_features",
+        "q43_hybrid_recommendations",
+    }
     missing = set(QUERIES) - set(ORACLES) - rows_only_allowed
     assert not missing, f"queries missing oracles: {missing}"
 

@@ -1,0 +1,129 @@
+"""Streaming tests: file-source → event-time windows → memory sink
+(synchronous via processAllAvailable), BatchSink foreachBatch handler,
+session windows, and the synthetic stream's schema contract."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_song_recommendation_spark.streaming import jobs
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("item_id", T.StringType(), True),
+        T.StructField("rating", T.DoubleType(), True),
+        T.StructField("action", T.StringType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def interactions_dir(spark, tmp_path_factory):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (base + timedelta(seconds=10 * i + (0 if u % 2 else 5)), u, f"item_{i % 7}",
+         1.0 + (i % 9) / 2.0, jobs.ACTIONS[i % 5])
+        for i in range(120)
+        for u in (i % 10, (i * 3) % 10)
+    ]
+    d = tmp_path_factory.mktemp("stream_in")
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def test_file_stream_tumbling_window(spark, interactions_dir, tmp_path):
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    assert stream.isStreaming
+    # data spans ~20 min; a 2-min watermark lets append mode emit the
+    # earlier closed windows after the single micro-batch
+    agg = jobs.tumbling_window_stats(
+        stream, window="5 minutes", watermark="2 minutes", value_col="rating"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM tumbling_out").collect()
+    # 120 events over ~20 min → windows exist; append mode emits only
+    # watermark-closed windows, so just check plausibility + totals
+    assert len(out) >= 3
+    assert all(r["n"] > 0 and r["window_start"] < r["window_end"] for r in out)
+
+
+def test_batch_sink_foreach_batch(spark, interactions_dir, tmp_path):
+    retrains: list[int] = []
+    sink = jobs.BatchSink(
+        str(tmp_path / "out"),
+        retrain_every=1,
+        on_retrain=retrains.append,
+    )
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    q = jobs.start_pipeline(
+        stream, sink, checkpoint_dir=str(tmp_path / "ck2"), trigger_seconds=None
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    written = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert written.count() == 240
+    snaps = sorted((tmp_path / "out" / "snapshots").glob("*.json"))
+    assert snaps, "snapshot files written"
+    snap = json.loads(snaps[0].read_text())
+    assert snap["size"] > 0 and 1.0 <= snap["avg_rating"] <= 5.0
+    assert set(snap["action_distribution"]) <= set(jobs.ACTIONS)
+    assert len(snap["featured_items"]) == 5
+    assert retrains, "retrain hook fired"
+
+
+def test_session_window_stats(spark, interactions_dir, tmp_path):
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    # per-user event spacing is ~50-100s → a 30s gap yields many closed
+    # sessions; 2-min watermark lets append mode emit them
+    sess = jobs.session_window_stats(stream, gap="30 seconds", watermark="2 minutes")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(out) > 0
+    assert all(r["n_events"] >= 1 for r in out)
+
+
+def test_synthetic_stream_schema(spark):
+    stream = jobs.synthetic_interactions(spark)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "ts", "user_id", "item_id", "rating", "action",
+    ]
+
+
+def test_batch_snapshot_direct(spark):
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1), 1, "item_a", 4.5, "play"),
+            (datetime(2024, 1, 1), 2, "item_b", 3.0, "like"),
+            (datetime(2024, 1, 1), 1, "item_a", 5.0, "share"),
+        ],
+        SCHEMA,
+    )
+    snap = jobs.batch_snapshot(df)
+    assert snap["size"] == 3
+    assert snap["unique_users"] == 2
+    assert snap["featured_items"][0][0] == "item_a"  # max rating 5.0
