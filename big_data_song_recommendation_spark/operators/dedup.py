@@ -31,6 +31,23 @@ def hash60(col: Column, prefix: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, HASH_HEX_DIGITS), 16, 10).cast("long")
 
 
+def widen(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Repartition up to the cluster's parallelism if the input arrives
+    narrow (a small file scans as ONE partition, serializing every
+    downstream regex/explode onto one core). At real scale inputs are
+    already wide and this is a no-op.
+
+    Call with ``enabled=False`` for intermediate (post-shuffle) inputs:
+    the partition-count probe (``df.rdd``) forces AQE to EXECUTE the
+    upstream plan, so it must only run on cheap leaf scans."""
+    if not enabled:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by normalized-text fingerprint: per-row keep flag
     (smallest id per fingerprint group wins, deterministic)."""
@@ -44,15 +61,46 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, *, widen_input: bool = True
+) -> DataFrame:
+    """(sid, sh) row per k-word shingle, built by exploding TOKENS and
+    assembling shingles with window ``lead()``.
+
+    Why not ``explode(word_shingles(...))``: Catalyst collapses the
+    array-building projection into Generate, re-evaluating the O(n)
+    transform+slice lambda once per OUTPUT row — O(n²) per doc (12.8 s
+    vs 0.33 s for a plain-split explode at sf0.1). Tokens explode
+    cheaply; lead() runs in whole-stage codegen; the window shuffle is
+    keyed by doc id, which is perfectly spreadable at any scale."""
+    from pyspark.sql import Window
+
+    toks = widen(df, widen_input).select(
+        F.col(id_col).alias("sid"),
+        F.posexplode(F.split(Ftext.normalized_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("sid").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        toks.withColumn("sh", F.concat_ws(" ", *parts))
+        .withColumn("last", parts[-1])
+        .filter(F.col("last").isNotNull() & (F.col("tok") != ""))
+        .select("sid", "sh")
+    )
+
+
 def _shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None = None,
+    *,
+    widen_input: bool = True,
 ) -> DataFrame:
     """(id, shingle) distinct pairs; optionally drop shingles present
     in more than ``max_df`` docs (stop-shingle cap for skew)."""
-    sets = (
-        df.select(F.col(id_col).alias("sid"), F.explode(Ftext.word_shingles(text_col, k)).alias("sh"))
-        .distinct()
-    )
+    sets = shingle_rows(df, id_col, text_col, k, widen_input=widen_input).distinct()
     if max_df is not None:
         freq = sets.groupBy("sh").agg(F.count("*").alias("df"))
         sets = sets.join(freq.filter(F.col("df") <= max_df).select("sh"), "sh", "left_semi")
@@ -67,6 +115,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    widen_input: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram-shingle Jaccard ≥ threshold.
 
@@ -76,7 +125,7 @@ def ngram_jaccard_pairs(
     100 TB prefer :func:`minhash_lsh_pairs`, which replaces the full
     self-join with banded buckets.
     """
-    sets = _shingle_sets(df, id_col, text_col, k, max_df).cache()
+    sets = _shingle_sets(df, id_col, text_col, k, max_df, widen_input=widen_input).cache()
     sizes = sets.groupBy("sid").agg(F.count("*").alias("n"))
     a, b = sets.alias("a"), sets.alias("b")
     inter = (
@@ -152,6 +201,9 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
         .distinct()
+        # consumed 3× downstream (both cand_ids branches + final join);
+        # without a cache the whole signature+banding DAG re-runs each time
+        .cache()
     )
 
     # exact-Jaccard verification restricted to candidate docs
@@ -161,8 +213,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     subset = df.join(cand_ids, df[id_col] == F.col("cid"), "left_semi")
+    # subset is post-join (already wide); widening would force an AQE
+    # pre-execution of the whole candidate subplan just to probe it
     verified = ngram_jaccard_pairs(
-        subset, id_col, text_col, k=k, threshold=verify_threshold
+        subset, id_col, text_col, k=k, threshold=verify_threshold, widen_input=False
     )
     return candidates.join(verified, ["id_a", "id_b"], "inner")
 
@@ -173,9 +227,10 @@ def simhash(
     """SimHash over the token multiset: per bit b, sum +1/-1 by token
     hash bit, then pack sign bits into one integer. ``bits``
     sum-aggregates in a single groupBy (map-side combinable)."""
-    toks = df.select(
-        F.col(id_col), F.explode(Ftext.tokens(Ftext.normalized_text(text_col))).alias("tok")
-    )
+    toks = widen(df).select(
+        F.col(id_col),
+        F.explode(F.split(Ftext.normalized_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
     h = hash60(F.col("tok"))
     aggs = [
         F.sum(
@@ -201,11 +256,25 @@ def embedding_dup_pairs(
     ``similarity.lsh_model`` first)."""
     from ..functions import vectors
 
+    # Norms are computed ONCE per row and the pair-side dot product is
+    # unrolled to codegen arithmetic (vectors.dot_expanded) — the
+    # per-pair higher-order-function fold was the engine's worst
+    # hotspot (140 s at sf0.1 for 2M pairs). Values are bit-identical.
+    dim = vectors.infer_dim(df, vec_col)
     v = df.select(
         F.col(id_col).alias("vid"), vectors.as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(vectors.sq_norm_expanded(F.col("v"), dim)))
+    # The theta-join is a broadcast nested loop whose parallelism is the
+    # STREAM side's partition count — a small parquet corpus arrives as
+    # 1 partition, serializing all O(n²) pair evals onto one core.
+    # Explicit numPartitions pins the fan-out (AQE does not coalesce
+    # user-specified repartitions).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    a = v.repartition(n_part, F.col("vid")).alias("a")
+    b = F.broadcast(v).alias("b")
+    sim = vectors.dot_expanded(F.col("a.v"), F.col("b.v"), dim) / (
+        F.col("a.nrm") * F.col("b.nrm")
     )
-    a, b = v.alias("a"), v.alias("b")
-    sim = vectors.cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .select(

@@ -1,0 +1,216 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, plus decode / feature-extract / resize /
+frame-sample operators.
+
+The reference has no media handling; this is part of the engine's
+training-data-pipeline superset (SURVEY.md §7 item 5). Design rules:
+
+- A media row = ``payload: binary`` + a ``meta`` struct
+  (modality/format/width/height/sample_rate/n_frames/fps). The payload
+  is never interpreted by Catalyst — it travels as opaque bytes, so
+  column pruning drops it for metadata-only queries and parquet keeps
+  it in its own column chunk.
+- Decode and feature extraction run in Arrow-batched ``mapInPandas``
+  (the only tier that can touch raw bytes); everything metadata-only
+  (resize planning, frame sampling) stays in pure column expressions.
+- Real codecs (PIL/librosa/av) are NOT in this container. The decode
+  step is gated behind an import-try; without codecs it falls back to
+  a DETERMINISTIC FAKE decoder (documented below) so the Spark-side
+  plumbing — schema, batching, partitioning — is fully real and
+  testable end-to-end.
+
+Deterministic fake decoder contract (oracle-checkable by design):
+
+- ``n_bytes``   = len(payload)
+- ``checksum``  = md5(payload) hexdigest
+- ``byte_sum``  = sum of payload bytes
+- ``mean_byte`` = floor(byte_sum / n_bytes * 1e4) / 1e4
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalars import md5_bucket, pick_deterministic
+
+MODALITIES = ("audio", "image", "video")
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),  # image/video only
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),  # audio only
+        T.StructField("n_frames", T.IntegerType(), True),  # video only
+        T.StructField("fps", T.DoubleType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.StringType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+_FMT_BY_MODALITY = {"audio": "wav", "image": "png", "video": "mp4"}
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from ``documents``:
+    payload = utf-8 bytes of the text, metadata hash-derived from
+    doc_id (engine-portable md5 buckets, the F5 pattern). Stands in
+    for a real parquet media lake in tests and oracle queries."""
+    sid = F.col("doc_id").cast("string")
+    modality = pick_deterministic(sid, list(MODALITIES))
+    fmt = (
+        F.when(modality == "audio", F.lit("wav"))
+        .when(modality == "image", F.lit("png"))
+        .otherwise(F.lit("mp4"))
+    )
+    visual = modality.isin("image", "video")
+    width = F.when(visual, (64 + md5_bucket(F.concat(F.lit("w:"), sid), 961)).cast("int"))
+    height = F.when(visual, (64 + md5_bucket(F.concat(F.lit("h:"), sid), 961)).cast("int"))
+    sample_rate = F.when(
+        modality == "audio",
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+            (md5_bucket(F.concat(F.lit("sr:"), sid), 4) + 1).cast("int"),
+        ),
+    )
+    n_frames = F.when(
+        modality == "video", (1 + md5_bucket(F.concat(F.lit("nf:"), sid), 300)).cast("int")
+    )
+    fps = F.when(modality == "video", F.lit(24.0))
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            fmt.alias("fmt"),
+            width.alias("width"),
+            height.alias("height"),
+            sample_rate.alias("sample_rate"),
+            n_frames.alias("n_frames"),
+            fps.alias("fps"),
+        ).alias("meta"),
+    )
+
+
+def _try_real_decoder():
+    """Real codec path, gated: returns a PIL-based image decoder if the
+    library exists, else None (this container ships no codecs)."""
+    try:  # pragma: no cover - PIL absent in the target container
+        import io
+
+        from PIL import Image
+
+        def decode(payload: bytes):
+            img = Image.open(io.BytesIO(payload))
+            return img.width, img.height
+
+        return decode
+    except ImportError:
+        return None
+
+
+def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFrame:
+    """Decode + feature-extract over the binary payload via Arrow-batched
+    ``mapInPandas`` — the engine's template for any byte-touching
+    media op. Emits :data:`DECODED_SCHEMA` rows.
+
+    With a real codec installed the width/height would come from the
+    decoded image; here they pass through from metadata and the
+    byte-level stats come from the actual payload bytes (real
+    computation, deterministic, cross-engine checkable)."""
+    real = _try_real_decoder()
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            n_bytes, checksums, byte_sums, means = [], [], [], []
+            widths = pdf["width"].tolist()
+            heights = pdf["height"].tolist()
+            for i, p in enumerate(pdf["payload"]):
+                b = bytes(p)
+                n = len(b)
+                s = int(np.frombuffer(b, dtype=np.uint8).sum()) if n else 0
+                n_bytes.append(n)
+                checksums.append(hashlib.md5(b).hexdigest())
+                byte_sums.append(s)
+                means.append(math.floor(s / n * 1e4) / 1e4 if n else 0.0)
+                if real is not None:  # pragma: no cover - codec-less container
+                    try:
+                        widths[i], heights[i] = real(b)
+                    except Exception:
+                        pass  # not decodable (fake payload) → metadata passthrough
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": n_bytes,
+                    "checksum": checksums,
+                    "byte_sum": byte_sums,
+                    "mean_byte": means,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def resize_plan(
+    media: DataFrame, *, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-preserving resize planning for visual rows — pure column
+    expressions (no bytes touched): target dims = floor(dim·scale),
+    scale = min(1, max_w/w, max_h/h). The byte-level resample would
+    plug into :func:`decode_media`'s mapInPandas with a codec."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_w) / w, F.lit(max_h) / h)
+    return media.filter(F.col("meta.modality").isin("image", "video")).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        w.alias("width"),
+        h.alias("height"),
+        F.greatest(F.lit(1), F.floor(w * scale).cast("int")).alias("target_w"),
+        F.greatest(F.lit(1), F.floor(h * scale).cast("int")).alias("target_h"),
+    )
+
+
+def sample_frames(media: DataFrame, *, every: int = 10) -> DataFrame:
+    """Frame sampling for video rows: one output row per kept frame
+    index (0, every, 2·every, …) with its presentation timestamp.
+    Metadata-only → pure ``explode(sequence(...))``, fully
+    distributed; the per-frame pixel fetch would be a byte-range read
+    inside mapInPandas with a codec."""
+    vids = media.filter(F.col("meta.modality") == "video")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+    ).alias("frame_index")
+    return vids.select("doc_id", F.col("meta.n_frames").alias("n_frames"), idx).withColumn(
+        "frame_ts_sec", F.round(F.col("frame_index") / F.lit(24.0), 6)
+    )

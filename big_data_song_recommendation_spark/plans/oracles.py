@@ -29,6 +29,11 @@ def _hash60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# 32-bit md5 bucket — the SQL twin of functions.scalars.md5_bucket
+def _MD5B(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
 # distinct 3-word shingle sets of normalized text, as a CTE body
 _SHINGLE_SETS = f"""
     SELECT DISTINCT doc_id, s FROM (
@@ -493,5 +498,78 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
         ORDER BY dur
+    """,
+    # Multimodal fake-media contract (operators.multimodal): modality and
+    # visual dims are md5-bucket-derived from doc_id; payload = utf-8
+    # bytes of text, so byte stats are expressible on the text column.
+    "q44_multimodal_decode": f"""
+        WITH media AS (
+            SELECT doc_id,
+                   (['audio','image','video'])[
+                       CAST({_MD5B("CAST(doc_id AS VARCHAR)")} % 3 AS INTEGER) + 1
+                   ] AS modality,
+                   text
+            FROM documents
+        )
+        SELECT doc_id,
+               modality,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(list_sum(list_transform(
+                   range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum,
+               CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                    ELSE floor(CAST(list_sum(list_transform(
+                             range(1, length(text) + 1),
+                             i -> ascii(substr(text, CAST(i AS INTEGER), 1))))
+                         AS DOUBLE) / octet_length(encode(text)) * 10000) / 10000
+               END AS mean_byte,
+               CASE WHEN modality IN ('image','video')
+                    THEN CAST(64 + {_MD5B("'w:' || CAST(doc_id AS VARCHAR)")} % 961 AS INTEGER)
+               END AS width,
+               CASE WHEN modality IN ('image','video')
+                    THEN CAST(64 + {_MD5B("'h:' || CAST(doc_id AS VARCHAR)")} % 961 AS INTEGER)
+               END AS height
+        FROM media
+        ORDER BY doc_id
+    """,
+    "q45_video_frame_sample": f"""
+        WITH vids AS (
+            SELECT doc_id,
+                   CAST(1 + {_MD5B("'nf:' || CAST(doc_id AS VARCHAR)")} % 300 AS INTEGER)
+                       AS n_frames
+            FROM documents
+            WHERE (['audio','image','video'])[
+                      CAST({_MD5B("CAST(doc_id AS VARCHAR)")} % 3 AS INTEGER) + 1
+                  ] = 'video'
+        ),
+        frames AS (
+            SELECT doc_id, n_frames,
+                   unnest(generate_series(0, n_frames - 1, 7)) AS frame_index
+            FROM vids
+        )
+        SELECT doc_id, n_frames, CAST(frame_index AS INTEGER) AS frame_index,
+               round(frame_index / 24.0, 6) AS frame_ts_sec
+        FROM frames
+        ORDER BY doc_id, frame_index
+    """,
+    "q46_image_resize_plan": f"""
+        WITH media AS (
+            SELECT doc_id,
+                   (['audio','image','video'])[
+                       CAST({_MD5B("CAST(doc_id AS VARCHAR)")} % 3 AS INTEGER) + 1
+                   ] AS modality,
+                   CAST(64 + {_MD5B("'w:' || CAST(doc_id AS VARCHAR)")} % 961 AS INTEGER) AS width,
+                   CAST(64 + {_MD5B("'h:' || CAST(doc_id AS VARCHAR)")} % 961 AS INTEGER) AS height
+            FROM documents
+        )
+        SELECT doc_id, modality, width, height,
+               CAST(greatest(1, floor(width * least(1.0, 256.0 / width, 256.0 / height)))
+                    AS INTEGER) AS target_w,
+               CAST(greatest(1, floor(height * least(1.0, 256.0 / width, 256.0 / height)))
+                    AS INTEGER) AS target_h
+        FROM media
+        WHERE modality IN ('image','video')
+        ORDER BY doc_id
     """,
 }

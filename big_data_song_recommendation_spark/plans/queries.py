@@ -586,6 +586,45 @@ def q31_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary columns (training-data-pipeline superset): decode /
+# feature-extract over opaque payload bytes via Arrow-batched
+# mapInPandas; resize planning + frame sampling as pure column exprs.
+# ---------------------------------------------------------------------------
+
+def q44_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+feature-extract over binary payloads (mapInPandas, Arrow
+    batches). The deterministic fake decoder computes real byte-level
+    stats (len / md5 / byte-sum / mean) from the payload, so the DuckDB
+    oracle checks the whole binary path value-exactly."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.decode_media(media).orderBy("doc_id")
+
+
+def q45_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: every 7th frame index + its
+    presentation timestamp — explode(sequence(...)), metadata-only (the
+    payload column is pruned from the scan entirely)."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.sample_frames(media, every=7).orderBy("doc_id", "frame_index")
+
+
+def q46_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (max 256×256) for visual
+    modalities — pure column expressions over the metadata struct."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.resize_plan(media, max_w=256, max_h=256).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # ML / serving queries — genuinely non-SQL-expressible (iterative model
 # fits); no oracle entry → the driver records a rows-only check.
 # ---------------------------------------------------------------------------
@@ -739,6 +778,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_asof_last_click": q29_asof_last_click,
     "q30_hash_attributes": q30_hash_attributes,
     "q31_duration_format": q31_duration_format,
+    "q44_multimodal_decode": q44_multimodal_decode,
+    "q45_video_frame_sample": q45_video_frame_sample,
+    "q46_image_resize_plan": q46_image_resize_plan,
     "q40_als_recommendations": q40_als_recommendations,
     "q41_kmeans_clusters": q41_kmeans_clusters,
     "q42_tfidf_features": q42_tfidf_features,

@@ -1,0 +1,90 @@
+"""Multimodal binary-column pipeline: decode via mapInPandas, resize
+planning, frame sampling. The fake-decoder contract is re-computed
+locally (hashlib/byte math) to pin the Spark-side plumbing exactly."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.operators import multimodal
+from big_data_song_recommendation_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return multimodal.media_from_documents(docs).cache()
+
+
+def test_media_schema_and_metadata(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    rows = media.limit(50).collect()
+    for r in rows:
+        m = r["meta"]
+        assert m["modality"] in multimodal.MODALITIES
+        if m["modality"] in ("image", "video"):
+            assert 64 <= m["width"] <= 1024 and 64 <= m["height"] <= 1024
+        if m["modality"] == "audio":
+            assert m["sample_rate"] in (8000, 16000, 22050, 44100)
+            assert m["width"] is None
+        if m["modality"] == "video":
+            assert 1 <= m["n_frames"] <= 300 and m["fps"] == 24.0
+
+
+def test_decode_matches_local_recompute(spark, media):
+    decoded = multimodal.decode_media(media).orderBy("doc_id").limit(20).collect()
+    docs = dict(
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert len(decoded) == 20
+    for r in decoded:
+        b = docs[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(b)
+        assert r["checksum"] == hashlib.md5(b).hexdigest()
+        assert r["byte_sum"] == sum(b)
+        assert r["mean_byte"] == math.floor(sum(b) / len(b) * 1e4) / 1e4
+
+
+def test_decode_partitioning_is_preserved(media):
+    # mapInPandas is a narrow transformation — no shuffle is introduced
+    wide = media.repartition(8)
+    assert multimodal.decode_media(wide).rdd.getNumPartitions() == 8
+
+
+def test_resize_plan_bounds_and_aspect(media):
+    plan = multimodal.resize_plan(media, max_w=256, max_h=256)
+    rows = plan.collect()
+    assert rows, "no visual rows"
+    for r in rows:
+        assert 1 <= r["target_w"] <= 256 and 1 <= r["target_h"] <= 256
+        if r["width"] <= 256 and r["height"] <= 256:
+            assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
+        else:
+            # aspect preserved within 1px of the exact scale
+            scale = min(1.0, 256 / r["width"], 256 / r["height"])
+            assert abs(r["target_w"] - r["width"] * scale) < 1
+            assert abs(r["target_h"] - r["height"] * scale) < 1
+
+
+def test_sample_frames_counts(media):
+    sampled = multimodal.sample_frames(media, every=7)
+    per_doc = sampled.groupBy("doc_id", "n_frames").agg(
+        F.count("*").alias("n"), F.max("frame_index").alias("last")
+    )
+    for r in per_doc.collect():
+        assert r["n"] == (r["n_frames"] + 6) // 7
+        assert r["last"] <= r["n_frames"] - 1
+    # only video rows are sampled
+    mods = media.select(F.col("meta.modality").alias("m"), "doc_id")
+    joined = sampled.select("doc_id").distinct().join(mods, "doc_id")
+    assert joined.filter(F.col("m") != "video").count() == 0
