@@ -75,12 +75,30 @@ def train_als(
         **config,
     )
     if evaluate:
-        train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+        # NOT randomSplit (the reference's M5): positional Bernoulli
+        # sampling depends on row order, which is nondeterministic
+        # after any shuffle — two runs on identical input get different
+        # splits. A content-hash split is deterministic at any scale
+        # and needs no sort.
+        from ..functions.scalars import md5_bucket
+
+        bucket = md5_bucket(
+            F.concat_ws(":", F.col(user_col), F.col(item_col)), 100
+        )
+        train = ratings.filter(bucket < 80)
+        test = ratings.filter(bucket >= 80)
         model = als.fit(train)
-        preds = model.transform(test)
-        rmse = RegressionEvaluator(
-            metricName="rmse", labelCol=rating_col, predictionCol="prediction"
-        ).evaluate(preds)
+        # coldStartStrategy="drop" can empty the eval set (every test
+        # user/item unseen in train on tiny corpora) — report no RMSE
+        # rather than crash the evaluator's summarizer
+        preds = model.transform(test).cache()
+        rmse = (
+            None
+            if preds.isEmpty()
+            else RegressionEvaluator(
+                metricName="rmse", labelCol=rating_col, predictionCol="prediction"
+            ).evaluate(preds)
+        )
         return ALSResult(model=model, rmse=rmse, config=config)
     return ALSResult(model=als.fit(ratings), config=config)
 
