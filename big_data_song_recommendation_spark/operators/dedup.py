@@ -126,6 +126,13 @@ def ngram_jaccard_pairs(
     self-join with banded buckets.
     """
     sets = _shingle_sets(df, id_col, text_col, k, max_df, widen_input=widen_input).cache()
+    return jaccard_pairs_from_sets(sets, threshold=threshold)
+
+
+def jaccard_pairs_from_sets(sets: DataFrame, *, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard ≥ threshold over precomputed (sid, sh) sets —
+    lets callers (e.g. LSH verification) reuse an already-cached
+    shingle table instead of re-running the shingling pipeline."""
     sizes = sets.groupBy("sid").agg(F.count("*").alias("n"))
     a, b = sets.alias("a"), sets.alias("b")
     inter = (
@@ -151,6 +158,12 @@ def minhash_signatures(
     ``num_hashes`` min-aggregates — map-side combinable, single
     shuffle. Empty docs (no shingles) are absent from the output."""
     sets = _shingle_sets(df, id_col, text_col, k)
+    return signatures_from_sets(sets, id_col, num_hashes=num_hashes)
+
+
+def signatures_from_sets(
+    sets: DataFrame, id_col: str, *, num_hashes: int = 16
+) -> DataFrame:
     aggs = [
         F.min(hash60(F.col("sh"), str(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -177,7 +190,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, k=k)
+    # shingle sets are shared by the signature AND verification stages —
+    # cache once instead of running the shingling pipeline twice
+    sets = _shingle_sets(df, id_col, text_col, k).cache()
+    sig = signatures_from_sets(sets, id_col, num_hashes=num_hashes)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -187,9 +203,16 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
-        F.col(id_col).alias("sid"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        sig.select(
+            F.col(id_col).alias("sid"), F.explode(F.array(*band_cols)).alias("bk")
+        )
+        .select("sid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        # both sides of the candidate self-join read this — without a
+        # cache the whole signature pipeline (explode+window+N md5-min
+        # aggs) executes twice
+        .cache()
+    )
 
     a, b_ = buckets.alias("a"), buckets.alias("b")
     candidates = (
@@ -206,18 +229,15 @@ def minhash_lsh_pairs(
         .cache()
     )
 
-    # exact-Jaccard verification restricted to candidate docs
+    # exact-Jaccard verification restricted to candidate docs, reusing
+    # the cached shingle sets (no re-shingling pass)
     cand_ids = (
         candidates.select(F.col("id_a").alias("cid"))
         .union(candidates.select("id_b"))
         .distinct()
     )
-    subset = df.join(cand_ids, df[id_col] == F.col("cid"), "left_semi")
-    # subset is post-join (already wide); widening would force an AQE
-    # pre-execution of the whole candidate subplan just to probe it
-    verified = ngram_jaccard_pairs(
-        subset, id_col, text_col, k=k, threshold=verify_threshold, widen_input=False
-    )
+    cand_sets = sets.join(cand_ids, sets["sid"] == F.col("cid"), "left_semi")
+    verified = jaccard_pairs_from_sets(cand_sets, threshold=verify_threshold)
     return candidates.join(verified, ["id_a", "id_b"], "inner")
 
 
@@ -246,6 +266,93 @@ def simhash(
         F.lit(0).cast("long"),
     )
     return summed.select(F.col(id_col), packed.alias("simhash"))
+
+
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via blocked matrix products —
+    the throughput path for all-pairs similarity.
+
+    Classic blocked-GEMM layout: rows are hashed into ``n_blocks``
+    buckets; every unordered block pair (p ≤ q) becomes one
+    ``applyInPandas`` group holding both blocks' vectors, and the
+    group computes an Arrow-batched numpy GEMM (A·Bᵀ / outer-norms)
+    instead of per-pair expression evaluation (~10× faster than the
+    unrolled-codegen join, ~100× vs higher-order folds). Replication
+    factor is ``n_blocks`` per row; per-group memory is
+    2·(n/n_blocks)·dim doubles — size blocks so a group fits an
+    executor (here: n/32 per block).
+    """
+    import math as _math
+
+    from pyspark.sql import types as T
+
+    from ..functions import vectors
+
+    n = df.count()
+    if n == 0:
+        schema = "id_a long, id_b long, cosine double"
+        return df.sparkSession.createDataFrame([], schema)
+    B = n_blocks or max(1, min(32, _math.ceil(n / 512)))
+    v = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        vectors.as_double_array(vec_col).alias("v"),
+        (F.pmod(F.hash(F.col(id_col)), F.lit(B))).alias("blk"),
+    )
+    # each row joins every block pair that involves its block
+    other = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other")
+    # row in block p → one copy per block pair (min(p,o), max(p,o));
+    # keys are distinct per o, so no dedup pass is needed
+    keyed = v.select("vid", "v", "blk", other).select(
+        "vid",
+        "v",
+        "blk",
+        F.least(F.col("blk"), F.col("other")).alias("kp"),
+        F.greatest(F.col("blk"), F.col("other")).alias("kq"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        kp, kq = int(pdf["kp"].iloc[0]), int(pdf["kq"].iloc[0])
+        left = pdf[pdf["blk"] == kp]
+        ids_l = left["vid"].to_numpy()
+        A = np.stack(left["v"].to_numpy())
+        norms_l = np.sqrt((A * A).sum(axis=1))
+        if kp == kq:
+            ids_r, Bm, norms_r = ids_l, A, norms_l
+        else:
+            right = pdf[pdf["blk"] == kq]
+            ids_r = right["vid"].to_numpy()
+            Bm = np.stack(right["v"].to_numpy())
+            norms_r = np.sqrt((Bm * Bm).sum(axis=1))
+        S = np.round((A @ Bm.T) / np.outer(norms_l, norms_r), 6)
+        mask = S >= threshold
+        if kp == kq:
+            # upper triangle only (each unordered pair once, no self)
+            mask &= ids_l[:, None] < ids_r[None, :]
+        ia, ib = np.nonzero(mask)
+        id_a, id_b = ids_l[ia], ids_r[ib]
+        # output convention: id_a < id_b regardless of block order
+        lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[ia, ib]})
+
+    return keyed.groupBy("kp", "kq").applyInPandas(gemm, schema=out_schema)
 
 
 def embedding_dup_pairs(

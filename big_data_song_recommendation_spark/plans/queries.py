@@ -392,11 +392,13 @@ def q20_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.4 (brute-force baseline)."""
+    """Embedding-cosine near-dup pairs ≥ 0.4 via blocked numpy GEMM
+    (the all-pairs throughput path; ``dedup.embedding_dup_pairs`` is
+    the pure-expression exact-parity baseline it is tested against)."""
     from ..operators import dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(
+    return dedup.embedding_dup_pairs_blocked(
         emb, "vec_id", "embedding", threshold=0.4
     ).orderBy("id_a", "id_b")
 
