@@ -173,6 +173,113 @@ def batch_snapshot(batch_df: DataFrame) -> dict:
     }
 
 
+#: output schema of :func:`count_based_batches`
+COUNT_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("item_id", T.StringType(), True),
+        T.StructField("rating", T.DoubleType(), True),
+        T.StructField("action", T.StringType(), True),
+    ]
+)
+
+_COUNT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("buf", T.StringType(), False),  # JSON-encoded rows
+    ]
+)
+
+
+def count_based_batches(
+    stream: DataFrame,
+    *,
+    key_col: str = "action",
+    batch_size: int = 50,
+    flush_timeout_ms: int | None = 60_000,
+):
+    """T2 — the reference's COUNT-based micro-batch flush (50 records
+    per topic buffer, ``src/streaming/kafka_consumer.py:27,37-55``) as
+    a real stateful streaming operator via ``applyInPandasWithState``.
+
+    SURVEY.md §2.10 called this "no native Spark equivalent"; the
+    stateful-processing API expresses it exactly: per key, rows buffer
+    in group state; every full ``batch_size`` flushes downstream tagged
+    with a monotonically increasing ``batch_seq``; the remainder waits
+    for more data or the processing-time timeout (the reference's 60 s
+    timer flush, T3 — both triggers in ONE operator).
+
+    Input: the interaction stream shape (:func:`synthetic_interactions`):
+    ts/user_id/item_id/rating/action. State is bounded by
+    ``batch_size`` rows per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def handle(key, pdfs, state):
+        import json as _json
+
+        import pandas as pd
+
+        (group_key,) = key
+        if state.exists:
+            seq, buf_json = state.get
+            buffered = _json.loads(buf_json)
+        else:
+            seq, buffered = 0, []
+
+        if state.hasTimedOut:
+            rows, buffered = buffered, []
+            if rows:
+                out = pd.DataFrame(rows)
+                out.insert(0, "batch_seq", seq)
+                out.insert(0, "group_key", group_key)
+                out["ts"] = pd.to_datetime(out["ts"])
+                seq += 1
+                state.update((seq, _json.dumps(buffered)))
+                yield out
+            else:
+                state.update((seq, "[]"))
+            return
+
+        for pdf in pdfs:
+            pdf = pdf[["ts", "user_id", "item_id", "rating", "action"]].copy()
+            pdf["ts"] = pdf["ts"].astype(str)
+            buffered.extend(pdf.to_dict("records"))
+
+        flushed = []
+        while len(buffered) >= batch_size:
+            rows, buffered = buffered[:batch_size], buffered[batch_size:]
+            out = pd.DataFrame(rows)
+            out.insert(0, "batch_seq", seq)
+            out.insert(0, "group_key", group_key)
+            out["ts"] = pd.to_datetime(out["ts"])
+            flushed.append(out)
+            seq += 1
+        state.update((seq, _json.dumps(buffered)))
+        if flush_timeout_ms is not None:
+            state.setTimeoutDuration(flush_timeout_ms)
+        yield from flushed
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    # applyInPandasWithState resolves grouping keys against the child's
+    # output — aliased expressions must be pre-projected
+    keyed = stream.withColumn("group_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        handle,
+        outputStructType=COUNT_BATCH_SCHEMA,
+        stateStructType=_COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 class BatchSink:
     """T4+T5+T6 composed: ``foreachBatch`` handler that (a) appends the
     micro-batch to partitioned parquet, (b) writes a JSON snapshot of

@@ -106,6 +106,44 @@ def test_session_window_stats(spark, interactions_dir, tmp_path):
     assert all(r["n_events"] >= 1 for r in out)
 
 
+def test_count_based_batches(spark, interactions_dir, tmp_path):
+    """T2: the 50-record count flush as a stateful operator — full
+    batches emitted with sequential ids, remainder held in state."""
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    batched = jobs.count_based_batches(
+        stream, key_col="action", batch_size=20, flush_timeout_ms=None
+    )
+    q = (
+        batched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("count_batches_out")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT group_key, batch_seq, COUNT(*) AS n FROM count_batches_out "
+        "GROUP BY group_key, batch_seq"
+    ).collect()
+    assert out, "at least one full batch flushed"
+    per_key: dict[str, list[int]] = {}
+    for r in out:
+        assert r["n"] == 20, "every flushed batch is exactly batch_size"
+        per_key.setdefault(r["group_key"], []).append(r["batch_seq"])
+    for key, seqs in per_key.items():
+        assert sorted(seqs) == list(range(len(seqs))), f"{key}: contiguous seq ids"
+        assert key in jobs.ACTIONS
+    # remainders (<20 per key) stay buffered: flushed ≤ input
+    flushed = spark.sql("SELECT COUNT(*) AS c FROM count_batches_out").first()["c"]
+    assert flushed == sum(len(s) for s in per_key.values()) * 20
+    assert flushed <= 240
+    # row payloads survive the buffer round-trip
+    row = spark.sql("SELECT * FROM count_batches_out LIMIT 1").first()
+    assert row["item_id"].startswith("item_") and 1.0 <= row["rating"] <= 5.5
+    assert row["ts"] is not None
+
+
 def test_synthetic_stream_schema(spark):
     stream = jobs.synthetic_interactions(spark)
     assert stream.isStreaming
