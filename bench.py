@@ -23,8 +23,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     spark = get_spark("bench")
-    # Warm the JVM/session so the first timed query doesn't pay startup.
+    # Warm the JVM/session so the first timed query doesn't pay startup:
+    # JIT the parquet reader/writer, hash-agg, broadcast-join, and window
+    # paths on throwaway data (never the benchmark inputs).
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(100_000).selectExpr(
+            "id", "id % 7 AS k", "cast(id AS double) AS v"
+        ).write.mode("overwrite").parquet(f"{d}/warm")
+        w = spark.read.parquet(f"{d}/warm")
+        dim = w.groupBy("k").count()
+        w.join(F.broadcast(dim), "k").groupBy("k").sum("v").collect()
+        w.withColumn(
+            "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+        ).filter("r <= 3").collect()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

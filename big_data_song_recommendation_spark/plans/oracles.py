@@ -499,6 +499,27 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY dur
     """,
+    "q32_cube_order_stats": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    "q33_intersect_buyers": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        ORDER BY custkey
+    """,
+    "q34_except_customers": """
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey
+    """,
     # Multimodal fake-media contract (operators.multimodal): modality and
     # visual dims are md5-bucket-derived from doc_id; payload = utf-8
     # bytes of text, so byte stats are expressible on the text column.

@@ -326,16 +326,22 @@ def q16_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe side is broadcast, so at scale this is a single pass over
     the corpus with a map-side top-k (window on the tiny probe key)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = vectors.infer_dim(emb, "embedding")
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         vectors.as_double_array("embedding").alias("qv"),
-    )
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded(F.col("qv"), dim)))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         vectors.as_double_array("embedding").alias("nv"),
         F.col("label").alias("neighbor_label"),
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded(F.col("nv"), dim)))
+    # per-row norms + unrolled codegen dot (see vectors.dot_expanded)
+    sim = F.round(
+        vectors.dot_expanded(F.col("qv"), F.col("nv"), dim)
+        / (F.col("qn") * F.col("nn")),
+        6,
     )
-    sim = F.round(vectors.cosine(F.col("qv"), F.col("nv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
@@ -587,6 +593,52 @@ def q31_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (superset of the reference's flat groupBys; A6-A8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q33_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both an urgent AND a low-priority
+    order (distinct set semantics on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low).orderBy("custkey")
+
+
+def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered but never urgently (distinct set
+    difference; the row-set twin of the q08 anti-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract == EXCEPT DISTINCT (exceptAll would keep a customer whose
+    # non-urgent order count merely exceeds their urgent count)
+    return all_c.subtract(urgent).orderBy("custkey")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (training-data-pipeline superset): decode /
 # feature-extract over opaque payload bytes via Arrow-batched
@@ -780,6 +832,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_asof_last_click": q29_asof_last_click,
     "q30_hash_attributes": q30_hash_attributes,
     "q31_duration_format": q31_duration_format,
+    "q32_cube_order_stats": q32_cube_order_stats,
+    "q33_intersect_buyers": q33_intersect_buyers,
+    "q34_except_customers": q34_except_customers,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
     "q46_image_resize_plan": q46_image_resize_plan,
