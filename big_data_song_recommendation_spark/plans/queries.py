@@ -741,6 +741,26 @@ def q42_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the 100-TB similarity-search
+    layout: KMeans centroids route each probe to its nprobe nearest
+    clusters; exact search runs only inside those clusters (search cost
+    ÷ n_centroids/nprobe vs. q16's full scan). KMeans-seeded but
+    data-order dependent → rows-only check; recall vs. the exact top-k
+    is pinned by tests/test_dedup_similarity.py."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = similarity.ivf_index(
+        emb, n_centroids=16, seed=42
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    return (
+        similarity.ivf_knn(centroids, assigned.cache(), probes, k=5, nprobe=4)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def q43_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 + M7 + M13: hybrid 0.7·collaborative + 0.3·content top-5.
     Content side: cosine neighbors of each user's top-rated item
@@ -842,4 +862,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_kmeans_clusters": q41_kmeans_clusters,
     "q42_tfidf_features": q42_tfidf_features,
     "q43_hybrid_recommendations": q43_hybrid_recommendations,
+    "q47_ivf_ann_search": q47_ivf_ann_search,
 }

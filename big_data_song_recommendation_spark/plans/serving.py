@@ -1,0 +1,181 @@
+"""Serving-layer queries (SURVEY.md §2.12) as library functions.
+
+Each reference REST endpoint becomes a composable DataFrame query:
+
+- ``GET /songs?limit&offset``                → :func:`browse`
+- ``GET /recommend/collaborative/<user>``    → :func:`collaborative`
+- ``GET /recommend/content/<track>``         → :func:`content`
+- ``GET /recommend/hybrid/<user>``           → :func:`hybrid`
+- ``GET /models/info``                       → :func:`models_info`
+
+Display enrichment happens IN the plan (broadcast join + coalesce
+fallback chain) — the reference collected the tracks table and looped
+per recommendation (``src/app.py:233-245``, its worst hotspot) and
+layered dict fallbacks in Python (``src/app_optimized.py:282-374``,
+J5). The md5-derived synthetic tier reproduces its deterministic
+pseudo-attributes relationally (F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import pick_deterministic, spotify_url
+from ..operators.aggregates import paginate
+from ..operators.similarity import brute_force_knn
+
+#: synthetic display pools (the reference's hash-pick pools,
+#: src/app_optimized.py:259-277)
+_NAME_POOL = ["Midnight Echo", "Golden Hour", "Neon Drift", "Silver Line", "Wildfire"]
+_ARTIST_POOL = ["The Wanderers", "Luna Park", "Static Bloom", "Coral Keys", "North Ave"]
+
+AUDIO_FEATURES_FOR_CONTENT = (
+    "acousticness",
+    "danceability",
+    "energy",
+    "instrumentalness",
+    "liveness",
+    "speechiness",
+    "valence",
+)
+
+
+def display_dim(tracks: DataFrame) -> DataFrame:
+    """Pre-projected display dimension: the broadcast side of every
+    serving join. Works on bare tracks or the enriched frame."""
+    artist = (
+        F.col("artist_name")
+        if "artist_name" in tracks.columns
+        else F.lit(None).cast("string")
+    )
+    return tracks.select(
+        F.col("id").alias("track_id"),
+        F.col("name").alias("track_name"),
+        artist.alias("artist_name"),
+        F.col("popularity").alias("track_popularity"),
+    )
+
+
+def with_display(recs: DataFrame, display: DataFrame, id_col: str = "track_id") -> DataFrame:
+    """J5: display lookup with tiered fallback — real display row if
+    the broadcast join hits, else deterministic md5-derived synthetic
+    attributes. One projection, no driver loops."""
+    joined = recs.join(F.broadcast(display), id_col, "left")
+    return joined.withColumns(
+        {
+            "track_name": F.coalesce(
+                F.col("track_name"), pick_deterministic(F.col(id_col), _NAME_POOL)
+            ),
+            "artist_name": F.coalesce(
+                F.col("artist_name"), pick_deterministic(F.col(id_col), _ARTIST_POOL)
+            ),
+            "url": spotify_url(F.col(id_col)),
+        }
+    )
+
+
+def browse(tracks: DataFrame, *, limit: int = 20, offset: int = 0) -> DataFrame:
+    """Paginated browse (O4) with a deterministic total order."""
+    page = paginate(tracks, sort=[F.col("id")], limit=limit, offset=offset)
+    return page.select("id", "name", "popularity")
+
+
+def collaborative(
+    als_model,
+    users: DataFrame,
+    display: DataFrame,
+    *,
+    n: int = 10,
+    index_map: DataFrame | None = None,
+) -> DataFrame:
+    """ALS top-n with display enrichment. ``index_map`` (track_index →
+    track_id, from the StringIndexer) converts model item indices back
+    to ids when the model was trained on indexed items."""
+    from ..ml.recommend import recommend_top_n
+
+    recs = recommend_top_n(als_model, n, users=users)
+    item_col = als_model.getItemCol()
+    if index_map is not None:
+        recs = recs.join(F.broadcast(index_map), item_col).drop(item_col)
+    else:
+        recs = recs.withColumnRenamed(item_col, "track_id")
+    out = with_display(recs, display)
+    return out.select(
+        F.col(als_model.getUserCol()).alias("user_id"),
+        "track_id",
+        "track_name",
+        "artist_name",
+        "url",
+        F.round(F.col("rating"), 4).alias("score"),
+        "rnk",
+    ).orderBy("user_id", "rnk")
+
+
+def content(
+    tracks: DataFrame,
+    seed_track_id: str,
+    display: DataFrame,
+    *,
+    n: int = 5,
+    feature_cols: tuple[str, ...] = AUDIO_FEATURES_FOR_CONTENT,
+) -> DataFrame:
+    """Content similarity: cosine over audio-feature vectors, seed
+    excluded (O1's self-skip as a filter, P11)."""
+    featured = tracks.select(
+        F.col("id"), F.array(*[F.col(c) for c in feature_cols]).alias("fv")
+    )
+    probes = featured.filter(F.col("id") == seed_track_id)
+    recs = brute_force_knn(
+        featured, probes, id_col="id", vec_col="fv", k=n, exclude_self=True
+    ).select(
+        F.col("neighbor_id").alias("track_id"),
+        F.col("sim").alias("score"),
+        "rnk",
+    )
+    return with_display(recs, display).select(
+        "track_id", "track_name", "artist_name", "url", "score", "rnk"
+    ).orderBy("rnk")
+
+
+def hybrid(
+    collab_recs: DataFrame,
+    content_recs: DataFrame,
+    *,
+    n: int = 10,
+    collab_weight: float = 0.7,
+) -> DataFrame:
+    """U1: weighted union-truncate (0.7 collaborative / 0.3 content,
+    BASELINE.md) with rank-reciprocal scores and a total-order tiebreak."""
+    from pyspark.sql import Window
+
+    c = collab_recs.select(
+        "track_id",
+        (F.lit(collab_weight) / F.col("rnk")).alias("score"),
+        F.lit("collaborative").alias("source"),
+    )
+    t = content_recs.select(
+        "track_id",
+        (F.lit(1.0 - collab_weight) / F.col("rnk")).alias("score"),
+        F.lit("content").alias("source"),
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("track_id"))
+    return (
+        c.unionByName(t)
+        .groupBy("track_id")
+        .agg(F.round(F.sum("score"), 6).alias("total"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .orderBy("rnk")
+    )
+
+
+def models_info(registry) -> list[dict]:
+    """Metadata projection over the registry (``GET /models/info``)."""
+    out = []
+    for name in sorted(p.name for p in registry.base.iterdir() if p.is_dir()):
+        try:
+            out.append(registry.metadata(name))
+        except FileNotFoundError:
+            continue
+    return out

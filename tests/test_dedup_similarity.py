@@ -104,3 +104,34 @@ def test_ivf_knn_matches_brute_force_topk(spark, duck):
     # nprobe == n_centroids ⇒ exhaustive ⇒ must equal brute force
     key = lambda rows: {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in rows}
     assert key(brute) == key(approx)
+
+
+def test_ivf_recall_improves_with_nprobe(spark):
+    """ANN quality contract: recall@5 has a sane floor at nprobe=4 and
+    is non-decreasing in nprobe (more clusters probed ⇒ superset of
+    candidates). Synthetic embeddings are near-random, so absolute
+    recall is modest by construction."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_knn(emb, probes, k=5).collect()
+    }
+    cents, assigned = similarity.ivf_index(emb, n_centroids=16, seed=42)
+    assigned = assigned.cache()
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_knn(
+                cents, assigned, probes, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r4 >= 0.35
+    assert r4 <= r8 <= r16
+    assert r16 == 1.0  # probing everything is exhaustive
