@@ -71,11 +71,14 @@ def shingle_rows(
     array-building projection into Generate, re-evaluating the O(n)
     transform+slice lambda once per OUTPUT row — O(n²) per doc (12.8 s
     vs 0.33 s for a plain-split explode at sf0.1). Tokens explode
-    cheaply; lead() runs in whole-stage codegen; the window shuffle is
-    keyed by doc id, which is perfectly spreadable at any scale."""
+    cheaply; lead() runs in whole-stage codegen; and the WINDOW's own
+    shuffle (keyed by doc id — perfectly spreadable) provides the
+    parallelism for everything downstream, so no widening repartition
+    is needed before the explode."""
     from pyspark.sql import Window
 
-    toks = widen(df, widen_input).select(
+    del widen_input  # window shuffle spreads; pre-explode work is trivial
+    toks = df.select(
         F.col(id_col).alias("sid"),
         F.posexplode(F.split(Ftext.normalized_text(text_col), " ")).alias("pos", "tok"),
     )
@@ -153,20 +156,35 @@ def jaccard_pairs_from_sets(sets: DataFrame, *, threshold: float = 0.5) -> DataF
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: ``h_i = min over shingles of
-    hash60(i + ':' + shingle)``. One explode + one groupBy with
-    ``num_hashes`` min-aggregates — map-side combinable, single
-    shuffle. Empty docs (no shingles) are absent from the output."""
+    """MinHash signature per doc: one 60-bit base hash per shingle,
+    ``num_hashes`` affine derivations (see :func:`signatures_from_sets`),
+    min-aggregated in a single map-side-combinable groupBy. Empty docs
+    (no shingles) are absent from the output."""
     sets = _shingle_sets(df, id_col, text_col, k)
     return signatures_from_sets(sets, id_col, num_hashes=num_hashes)
+
+
+#: Mersenne prime 2^31-1 for the affine MinHash family
+MINHASH_PRIME = 2_147_483_647
+
+
+def _affine(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for hash i — a odd, both SQL-mirrorable."""
+    return 2 * i + 1, 1_000_003 * i + 12_345
 
 
 def signatures_from_sets(
     sets: DataFrame, id_col: str, *, num_hashes: int = 16
 ) -> DataFrame:
-    aggs = [
-        F.min(hash60(F.col("sh"), str(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    """One md5 per shingle + ``num_hashes`` affine derivations
+    ``h_i = (a_i·base + b_i) mod p`` — the production MinHash layout
+    (N md5 evaluations per row would N× the hash cost for no recall
+    gain). All arithmetic stays in int64: a_i·base < 2^38."""
+    base = hash60(F.col("sh")) % MINHASH_PRIME
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _affine(i)
+        aggs.append(F.min((F.lit(a) * base + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}"))
     return sets.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
 
 
@@ -229,16 +247,30 @@ def minhash_lsh_pairs(
         .cache()
     )
 
-    # exact-Jaccard verification restricted to candidate docs, reusing
-    # the cached shingle sets (no re-shingling pass)
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("cid"))
-        .union(candidates.select("id_b"))
-        .distinct()
+    # exact-Jaccard verification computed PER CANDIDATE PAIR directly:
+    # broadcast the (small) candidate list into the shingle table, join
+    # the other side on (id, shingle), count intersections. Cheaper in
+    # stages than the generic all-pairs verify (no id-union/semi-join
+    # pass, no final intersect join).
+    pair_sh = sets.select(F.col("sid").alias("id_a"), "sh").join(
+        F.broadcast(candidates), "id_a"
     )
-    cand_sets = sets.join(cand_ids, sets["sid"] == F.col("cid"), "left_semi")
-    verified = jaccard_pairs_from_sets(cand_sets, threshold=verify_threshold)
-    return candidates.join(verified, ["id_a", "id_b"], "inner")
+    inter = (
+        pair_sh.join(
+            sets.select(F.col("sid").alias("id_b"), "sh"), ["id_b", "sh"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sets.groupBy("sid").agg(F.count("*").alias("n"))
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+    return (
+        inter.join(na, F.col("id_a") == F.col("na.sid"))
+        .join(nb, F.col("id_b") == F.col("nb.sid"))
+        .filter(jac >= verify_threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def simhash(

@@ -63,8 +63,13 @@ _JACCARD_PAIRS = f"""
     ORDER BY id_a, id_b
 """
 
+# affine family h_i = (a_i*base + b_i) mod p over one 60-bit base hash
+# (the SQL twin of operators.dedup.signatures_from_sets / _affine)
+_MINHASH_P = 2_147_483_647
 _MINHASH_COLS = ",\n               ".join(
-    f"MIN({_hash60(repr(str(i) + ':') + ' || s')}) AS h{i}" for i in range(8)
+    f"MIN(({2 * i + 1} * ({_hash60('s')} % {_MINHASH_P}) + {1_000_003 * i + 12_345})"
+    f" % {_MINHASH_P}) AS h{i}"
+    for i in range(8)
 )
 
 _SIMHASH_BITS = 16
