@@ -173,6 +173,14 @@ def batch_snapshot(batch_df: DataFrame) -> dict:
     }
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each streaming row with a broadcast
+    dimension lookup (the serving-side display join, applied to the
+    live stream — supported in every output mode, no watermark
+    needed because the static side is bounded)."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 #: output schema of :func:`count_based_batches`
 COUNT_BATCH_SCHEMA = T.StructType(
     [

@@ -152,6 +152,31 @@ def test_synthetic_stream_schema(spark):
     ]
 
 
+def test_stream_static_enrichment(spark, interactions_dir, tmp_path):
+    """Stream-static join: every streaming row picks up its broadcast
+    dimension attributes; unmatched items keep null (left join)."""
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    dim = spark.createDataFrame(
+        [(f"item_{i}", f"Item #{i}") for i in range(5)],  # items 5,6 unmatched
+        ["item_id", "item_name"],
+    )
+    enriched = jobs.enrich_with_dim(stream, dim, "item_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .option("checkpointLocation", str(tmp_path / "ck5"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT item_id, item_name FROM enriched_out").collect()
+    assert len(rows) == 240
+    for r in rows:
+        idx = int(r["item_id"].split("_")[1])
+        assert r["item_name"] == (f"Item #{idx}" if idx < 5 else None)
+
+
 def test_batch_snapshot_direct(spark):
     df = spark.createDataFrame(
         [
