@@ -122,6 +122,21 @@ def recommend_top_n(als_model, n: int = 10, users: DataFrame | None = None) -> D
     )
 
 
+def average_user_profile(als_model) -> list[float]:
+    """A10: the cold-start fallback profile — element-wise mean of all
+    user factor vectors (``np.mean(user_features, axis=0)`` at
+    ``src/app_optimized.py:398``), computed distributed via
+    ``Summarizer.mean`` over the factors DataFrame (never collected)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    factors = als_model.userFactors.select(
+        array_to_vector(F.col("features").cast("array<double>")).alias("f")
+    )
+    mean_vec = factors.select(Summarizer.mean(F.col("f")).alias("m")).first()["m"]
+    return [float(x) for x in mean_vec]
+
+
 def train_kmeans(
     df: DataFrame,
     *,

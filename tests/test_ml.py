@@ -93,3 +93,23 @@ def test_ml_queries_run(spark, name):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns  # stable schema
+
+
+def test_average_user_profile(spark):
+    """A10: distributed mean of user factors == local numpy mean."""
+    import numpy as np
+    from big_data_song_recommendation_spark.ml import recommend
+
+    ratings = spark.createDataFrame(
+        [(u, i, float(1 + (u * i) % 5)) for u in range(20) for i in range(10)],
+        ["user_id", "item_id", "rating"],
+    )
+    res = recommend.train_als(
+        ratings, evaluate=False, rank=4, maxIter=2, implicitPrefs=False
+    )
+    profile = recommend.average_user_profile(res.model)
+    local = np.mean(
+        [r["features"] for r in res.model.userFactors.collect()], axis=0
+    )
+    assert len(profile) == 4
+    assert np.allclose(profile, local, rtol=1e-6)
