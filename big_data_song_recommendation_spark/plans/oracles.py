@@ -525,6 +525,34 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q35_fuzzy_category_match": """
+        WITH dim AS (
+            SELECT * FROM (VALUES
+                ('economy','budget'), ('stand','mainline'), ('omo','deal'),
+                ('large','big'), ('smallest','tiny')
+            ) AS t(k, category)
+        ),
+        f AS (SELECT lower(trim(p_type)) AS ft FROM part),
+        e AS (
+            SELECT f.ft, d.category AS ep
+            FROM f LEFT JOIN dim d ON f.ft = d.k
+        ),
+        c AS (
+            SELECT m.ft, MIN(d.category) AS cp
+            FROM (SELECT DISTINCT ft FROM e WHERE ep IS NULL) m
+            JOIN dim d
+              ON m.ft LIKE '%' || d.k || '%' OR d.k LIKE '%' || m.ft || '%'
+            GROUP BY m.ft
+        )
+        SELECT COALESCE(ep, cp, 'misc') AS category,
+               CASE WHEN ep IS NOT NULL THEN 'exact'
+                    WHEN cp IS NOT NULL THEN 'contains'
+                    ELSE 'fallback' END AS tier,
+               COUNT(*) AS n
+        FROM e LEFT JOIN c USING (ft)
+        GROUP BY 1, 2
+        ORDER BY category, tier
+    """,
     # Multimodal fake-media contract (operators.multimodal): modality and
     # visual dims are md5-bucket-derived from doc_id; payload = utf-8
     # bytes of text, so byte stats are expressible on the text column.

@@ -639,6 +639,37 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q35_fuzzy_category_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+S7: tiered fuzzy lookup (exact normalized → bidirectional
+    containment → computed fallback) of part types against an
+    in-memory dimension. The dim is built to fire every tier: exact
+    ('economy','large'), fact⊃dim ('stand'⊂standard, 'omo'⊂promo),
+    dim⊃fact ('small'⊂'smallest'), fallback (medium)."""
+    from ..operators.joins import fuzzy_lookup_join
+
+    part = load_table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(
+        [
+            ("economy", "budget"),
+            ("stand", "mainline"),
+            ("omo", "deal"),
+            ("large", "big"),
+            ("smallest", "tiny"),
+        ],
+        ["key", "category"],
+    )
+    out = fuzzy_lookup_join(
+        part, dim, "p_type", "key", "category", fallback=F.lit("misc")
+    )
+    return (
+        out.groupBy(
+            F.col("category"), F.col("category_match_tier").alias("tier")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("category", "tier")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (training-data-pipeline superset): decode /
 # feature-extract over opaque payload bytes via Arrow-batched
@@ -855,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_cube_order_stats": q32_cube_order_stats,
     "q33_intersect_buyers": q33_intersect_buyers,
     "q34_except_customers": q34_except_customers,
+    "q35_fuzzy_category_match": q35_fuzzy_category_match,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
     "q46_image_resize_plan": q46_image_resize_plan,
