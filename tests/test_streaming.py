@@ -152,6 +152,36 @@ def test_synthetic_stream_schema(spark):
     ]
 
 
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """T5: the checkpoint replaces the reference's raw-vs-processed
+    directory diff. A restarted query with the same checkpoint must
+    process ONLY files that arrived since — no reprocessing, no loss."""
+    from datetime import datetime
+
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows_a = [(datetime(2024, 1, 1, 10, 0, i), i, f"item_{i}", 3.0, "play") for i in range(20)]
+    spark.createDataFrame(rows_a, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = jobs.file_stream(spark, in_dir, SCHEMA)
+        sink = jobs.BatchSink(out_dir, snapshot=False)
+        q = jobs.start_pipeline(stream, sink, checkpoint_dir=ck, trigger_seconds=None)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out_dir + "/data")
+    assert first.count() == 20
+
+    rows_b = [(datetime(2024, 1, 1, 11, 0, i), 100 + i, f"item_{i}", 4.0, "like") for i in range(7)]
+    spark.createDataFrame(rows_b, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    final = spark.read.parquet(out_dir + "/data")
+    assert final.count() == 27, "20 original (not reprocessed) + 7 new"
+    assert final.select("user_id").distinct().count() == 27
+
+
 def test_stream_static_enrichment(spark, interactions_dir, tmp_path):
     """Stream-static join: every streaming row picks up its broadcast
     dimension attributes; unmatched items keep null (left join)."""
