@@ -41,6 +41,27 @@ def write_events_by_day(df: DataFrame, path: str, *, ts_col: str = "ts") -> None
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-clustered into
+    ``n_buckets`` files per partition at WRITE time, so equi-joins and
+    aggregations on ``bucket_by`` between co-bucketed tables need no
+    shuffle at READ time — the join amortizes its exchange into the
+    write, the right trade for fact tables joined repeatedly on the
+    same key at 100 TB."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """S10 parity: CSV export with header (ingest-compatible with
     :func:`..sources.readers.read_csv_hardened`)."""

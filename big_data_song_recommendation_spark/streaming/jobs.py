@@ -173,6 +173,21 @@ def batch_snapshot(batch_df: DataFrame) -> dict:
     }
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming dedup (absent in the reference — its only
+    dedup was file-level, T5): drop repeated ``keys`` within the
+    watermark horizon. State is bounded by the watermark: a key older
+    than the horizon is evicted and a late duplicate would pass — the
+    standard exactly-once-within-horizon contract."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: enrich each streaming row with a broadcast
     dimension lookup (the serving-side display join, applied to the

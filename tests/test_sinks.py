@@ -40,3 +40,41 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert csv_back.count() == df.count()
     assert json_back.count() == df.count()
     assert set(json_back.columns) == set(df.columns)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables joined on the bucket key: the plan must show
+    NO Exchange on either join side (the shuffle happened at write)."""
+    import uuid
+
+    # warehouse dir is a static conf; unique names + DROP TABLE (which
+    # purges managed files) keep the default warehouse clean
+    suffix = uuid.uuid4().hex[:8]
+    t1, t2 = f"orders_b_{suffix}", f"li_b_{suffix}"
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    sinks.write_bucketed_table(orders, t1, bucket_by="o_orderkey", n_buckets=8)
+    sinks.write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), t2,
+        bucket_by="o_orderkey", n_buckets=8,
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small-SF sides would broadcast, hiding the bucket path; the
+        # scenario under test is two tables too big to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t1).join(spark.table(t2), "o_orderkey").groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("Join")[1] if "Join" in plan else plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # no Exchange between the scans and the join: bucket layout is
+        # reused (the only exchange allowed is the final groupBy's)
+        pre_join = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan.split("ShuffledHashJoin")[-1]
+        assert "Exchange hashpartitioning(o_orderkey" not in pre_join
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

@@ -220,3 +220,30 @@ def test_batch_snapshot_direct(spark):
     assert snap["size"] == 3
     assert snap["unique_users"] == 2
     assert snap["featured_items"][0][0] == "item_a"  # max rating 5.0
+
+
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    """Stateful dedup: repeated (user_id, item_id) rows within the
+    watermark horizon are emitted once."""
+    from datetime import datetime
+
+    rows = []
+    for i in range(10):
+        r = (datetime(2024, 1, 1, 12, 0, i), i % 3, f"item_{i % 2}", 3.0, "play")
+        rows.extend([r, r])  # every row duplicated
+    in_dir = str(tmp_path / "dups_in")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(in_dir)
+    stream = jobs.file_stream(spark, in_dir, SCHEMA)
+    deduped = jobs.dedup_stream(stream, ["user_id", "item_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck6"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT user_id, item_id FROM dedup_out").collect()
+    assert len(out) == 6  # 3 users x 2 items, each exactly once
+    assert len({(r["user_id"], r["item_id"]) for r in out}) == 6
