@@ -118,16 +118,19 @@ def ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 42,
+    max_iter: int = 10,
 ):
     """Build an IVF index: KMeans centroids + cluster-assigned corpus.
 
     Returns (centroids_df, assigned_df). At scale the assigned corpus
     is written partitioned by cluster so probes read only their
-    ``nprobe`` partitions (partition pruning does the fan-in)."""
+    ``nprobe`` partitions (partition pruning does the fan-in).
+    ``max_iter`` defaults below MLlib's 20: routing quality saturates
+    early and index build time is the cost that scales."""
     from pyspark.ml.clustering import KMeans
 
     prepared = _to_ml_vectors(df, vec_col, "__features")
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features")
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", maxIter=max_iter)
     model = km.fit(prepared)
     assigned = model.transform(prepared).withColumnRenamed("prediction", "cluster")
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

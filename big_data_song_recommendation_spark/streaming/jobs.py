@@ -347,6 +347,42 @@ class BatchSink:
                     self.on_retrain(epoch_id)
 
 
+def retrain_from_lake(
+    spark,
+    lake_dir: str,
+    registry,
+    *,
+    epoch_id: int,
+    als_overrides: dict | None = None,
+):
+    """T6: the retrain callback body — refit ALS from everything the
+    BatchSink has accumulated and version it in the registry. The
+    reference's twin is ``process_batches_for_training``
+    (``src/training_service.py:385-440``): read pending batch JSONs,
+    refit, save pickle. Here the 'pending set' is simply the parquet
+    lake (the checkpoint already guarantees exactly-once appends), and
+    the artifact is an MLlib-native versioned model."""
+    from ..ml import recommend
+
+    data = spark.read.parquet(f"{lake_dir}/data")
+    ratings = (
+        data.groupBy("user_id", "item_id")
+        .agg(F.round(F.avg("rating"), 4).alias("rating"))
+        .withColumn("item_idx", F.abs(F.xxhash64("item_id")) % (1 << 31))
+        .withColumn("item_idx", F.col("item_idx").cast("int"))
+    )
+    res = recommend.train_als(
+        ratings,
+        item_col="item_idx",
+        evaluate=False,
+        **{"rank": 8, "maxIter": 3, "implicitPrefs": False, **(als_overrides or {})},
+    )
+    n = ratings.count()
+    return registry.save(
+        "als_stream", res.model, {"epoch": epoch_id, "n_ratings": n}
+    )
+
+
 def start_pipeline(
     stream: DataFrame,
     sink: BatchSink,

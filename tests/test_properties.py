@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the cross-engine primitives
+the oracle gate rests on, and algebraic invariants of the cleaning and
+dedup operators. Each example evaluates one small Spark job over a
+generated batch."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.functions.scalars import (
+    format_duration,
+    md5_bucket,
+    stable_round,
+)
+from big_data_song_recommendation_spark.operators.clean import clean
+from big_data_song_recommendation_spark.operators.dedup import hash60
+
+SETTINGS = dict(max_examples=10, deadline=None)
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(finite_doubles, min_size=1, max_size=40))
+def test_stable_round_matches_duckdb(spark, duck, xs):
+    """floor(x·1e4)/1e4 must agree bit-for-bit across engines — the
+    portability claim stable_round exists for (plain ROUND does not
+    hold cross-engine on .5 boundaries)."""
+    df = spark.createDataFrame([(float(x),) for x in xs], ["x"])
+    got = [r["y"] for r in df.select(stable_round("x", 4).alias("y")).collect()]
+    want = [
+        r[0]
+        for r in duck.execute(
+            "SELECT floor(x * 10000) / 10000 FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            [list(map(float, xs))],
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=30))
+def test_hash60_matches_duckdb_and_range(spark, duck, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = [r["h"] for r in df.select(hash60(F.col("k")).alias("h")).collect()]
+    want = [
+        r[0]
+        for r in duck.execute(
+            "SELECT CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)"
+            " FROM (SELECT unnest(?::VARCHAR[]) AS k)",
+            [list(keys)],
+        ).fetchall()
+    ]
+    assert got == want
+    assert all(0 <= h < 2**60 for h in got)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30))
+def test_format_duration_matches_python(spark, ms_list):
+    df = spark.createDataFrame([(m,) for m in ms_list], ["ms"])
+    got = [r["d"] for r in df.select(format_duration("ms").alias("d")).collect()]
+    want = [f"{m // 60000}:{(m % 60000) // 1000:02d}" for m in ms_list]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            finite_doubles,
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.just(float("-inf")),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_clean_is_idempotent_and_total(spark, xs):
+    """clean() leaves no missing values in defaulted columns and is a
+    fixpoint: clean(clean(df)) == clean(df)."""
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    once = clean(df, {"x": 0.5})
+    vals = [r["x"] for r in once.collect()]
+    assert all(v is not None and math.isfinite(v) for v in vals)
+    twice = [r["x"] for r in clean(once, {"x": 0.5}).collect()]
+    assert vals == twice
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(st.characters(codec="ascii"), max_size=20), min_size=1, max_size=25))
+def test_md5_bucket_stable_and_bounded(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    a = [r["b"] for r in df.select(md5_bucket("k", 100).alias("b")).collect()]
+    b = [r["b"] for r in df.select(md5_bucket("k", 100).alias("b")).collect()]
+    assert a == b  # deterministic across evaluations
+    assert all(0 <= x < 100 for x in a)

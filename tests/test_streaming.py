@@ -247,3 +247,42 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
     out = spark.sql("SELECT user_id, item_id FROM dedup_out").collect()
     assert len(out) == 6  # 3 users x 2 items, each exactly once
     assert len({(r["user_id"], r["item_id"]) for r in out}) == 6
+
+
+def test_stream_to_retrain_loop(spark, interactions_dir, tmp_path):
+    """T6 end-to-end (the reference's §3.3 core loop, rebuilt): stream
+    → exactly-once parquet lake → retrain trigger → versioned ALS in
+    the registry, all driven by the streaming query itself."""
+    from big_data_song_recommendation_spark.ml.registry import ModelRegistry
+
+    reg = ModelRegistry(str(tmp_path / "registry"))
+    out_dir = str(tmp_path / "lake")
+    saved: list = []
+
+    def on_retrain(epoch_id: int) -> None:
+        saved.append(
+            jobs.retrain_from_lake(spark, out_dir, reg, epoch_id=epoch_id)
+        )
+
+    sink = jobs.BatchSink(
+        out_dir, snapshot=False, retrain_every=1, on_retrain=on_retrain
+    )
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    q = jobs.start_pipeline(stream, sink, checkpoint_dir=str(tmp_path / "ck7"),
+                            trigger_seconds=None)
+    q.processAllAvailable()
+    q.stop()
+
+    assert saved, "retrain fired from the stream"
+    from pyspark.ml.recommendation import ALSModel
+
+    model = reg.load("als_stream", ALSModel)
+    assert model.rank == 8
+    meta = reg.metadata("als_stream")
+    assert meta["n_ratings"] > 0 and "epoch" in meta
+    # the model is immediately servable: top-3 for an observed user
+    users = spark.createDataFrame([(0,)], ["user_id"])
+    from big_data_song_recommendation_spark.ml.recommend import recommend_top_n
+
+    recs = recommend_top_n(model, 3, users=users).collect()
+    assert len(recs) == 3
