@@ -525,6 +525,46 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q36_supplier_diversity": """
+        SELECT p_brand, p_size % 5 AS size_bucket,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_size % 5
+        HAVING COUNT(DISTINCT l_suppkey) >= 5
+        ORDER BY p_brand, size_bucket
+    """,
+    "q37_order_count_distribution": """
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+        ORDER BY n_orders
+    """,
+    "q38_small_quantity_revenue": """
+        WITH bounds AS (
+            SELECT l_partkey AS bp,
+                   SUM(l_quantity) / COUNT(*) * 0.5 AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN bounds ON l_partkey = bp
+        WHERE l_quantity < half_avg_qty
+    """,
+    "q39_late_shipment_priorities": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q35_fuzzy_category_match": """
         WITH dim AS (
             SELECT * FROM (VALUES

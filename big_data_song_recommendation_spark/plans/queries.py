@@ -639,6 +639,73 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q36_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-agg + HAVING — per (brand, size bucket)
+    count distinct suppliers, keep groups with ≥ 5."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        joined.groupBy("p_brand", (F.col("p_size") % 5).alias("size_bucket"))
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .filter(F.col("n_suppliers") >= 5)
+        .orderBy("p_brand", "size_bucket")
+    )
+
+
+def q37_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join histogram — how many customers have
+    0, 1, 2, … orders (zero-order customers must appear)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+def q38_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part avg as a correlated bound — revenue of
+    lineitems under half the part's average quantity. The bound is
+    sum(int-valued)/count, exact in IEEE → identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_partkey").alias("bp")).agg(
+        (F.sum("l_quantity") / F.count("*") * 0.5).alias("half_avg_qty"),
+    )
+    small = li.join(bounds, F.col("l_partkey") == F.col("bp")).filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(_revenue()), 2).alias("revenue"),
+    )
+
+
+def q39_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a cross-table predicate —
+    orders having at least one lineitem shipped >60 days after the
+    order date, counted by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q35_fuzzy_category_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+S7: tiered fuzzy lookup (exact normalized → bidirectional
     containment → computed fallback) of part types against an
@@ -887,6 +954,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_intersect_buyers": q33_intersect_buyers,
     "q34_except_customers": q34_except_customers,
     "q35_fuzzy_category_match": q35_fuzzy_category_match,
+    "q36_supplier_diversity": q36_supplier_diversity,
+    "q37_order_count_distribution": q37_order_count_distribution,
+    "q38_small_quantity_revenue": q38_small_quantity_revenue,
+    "q39_late_shipment_priorities": q39_late_shipment_priorities,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
     "q46_image_resize_plan": q46_image_resize_plan,
