@@ -173,6 +173,39 @@ def batch_snapshot(batch_df: DataFrame) -> dict:
     }
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with dual watermarks and a bounded
+    time condition (absent in the reference — its 'streams' never met).
+    Both sides buffer state only within [watermark + max_lag]; the time
+    bound is what lets Spark evict, so it is REQUIRED, not optional.
+    Right-side columns are suffixed ``_r`` (except the key)."""
+    r = right.select(
+        F.col(on).alias(f"{on}_r"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns if c != on],
+    )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = r.withWatermark(f"{right_ts}_r", watermark)
+    lts, rts = F.col(left_ts), F.col(f"{right_ts}_r")
+    # the range predicate must be IN the join condition — that is what
+    # lets the state store evict rows older than watermark+max_lag; a
+    # post-join filter would leave join state unbounded
+    cond = (
+        (F.col(on) == F.col(f"{on}_r"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond).drop(f"{on}_r")
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

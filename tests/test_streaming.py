@@ -286,3 +286,44 @@ def test_stream_to_retrain_loop(spark, interactions_dir, tmp_path):
 
     recs = recommend_top_n(model, 3, users=users).collect()
     assert len(recs) == 3
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with dual watermarks: plays match likes
+    of the same item within the lag window only."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    plays = [(base + timedelta(minutes=i), i, f"item_{i % 4}", 3.0, "play") for i in range(12)]
+    likes = (
+        # within 10 min of the matching play → joins
+        [(base + timedelta(minutes=i, seconds=120), 100 + i, f"item_{i % 4}", 5.0, "like") for i in range(6)]
+        # 2 h later → outside max_lag, must not join
+        + [(base + timedelta(hours=2, minutes=i), 200 + i, f"item_{i % 4}", 5.0, "like") for i in range(3)]
+    )
+    pd_dir, lk_dir = str(tmp_path / "plays"), str(tmp_path / "likes")
+    spark.createDataFrame(plays, SCHEMA).coalesce(1).write.parquet(pd_dir)
+    spark.createDataFrame(likes, SCHEMA).coalesce(1).write.parquet(lk_dir)
+
+    joined = jobs.join_streams(
+        jobs.file_stream(spark, pd_dir, SCHEMA),
+        jobs.file_stream(spark, lk_dir, SCHEMA),
+        "item_id",
+        watermark="4 hours",
+        max_lag="10 minutes",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ck8"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT ts, ts_r, item_id FROM ss_join_out").collect()
+    assert rows, "in-window matches joined"
+    for r in rows:
+        lag = (r["ts_r"] - r["ts"]).total_seconds()
+        assert 0 <= lag <= 600, f"pair outside the lag bound: {lag}s"
