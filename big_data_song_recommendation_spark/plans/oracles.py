@@ -525,6 +525,32 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q48_ntile_quartiles": """
+        SELECT c_mktsegment, quartile, COUNT(*) AS n,
+               ROUND(MIN(c_acctbal), 2) AS min_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM (
+            SELECT c_mktsegment, c_acctbal,
+                   ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+            FROM customer
+        )
+        GROUP BY c_mktsegment, quartile
+        ORDER BY c_mktsegment, quartile
+    """,
+    "q49_first_last_gap": """
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER w AS last_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(first_value(ts) OVER w)) AS BIGINT)
+                 AS sec_since_first
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id, event_id
+    """,
     "q36_supplier_diversity": """
         SELECT p_brand, p_size % 5 AS size_bucket,
                COUNT(DISTINCT l_suppkey) AS n_suppliers

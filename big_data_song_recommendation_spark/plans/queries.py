@@ -639,6 +639,41 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q48_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: ntile — customers quartiled by account balance within
+    market segment, with per-quartile stats."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+def q49_first_last_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: first_value/last_value over full-partition frames + the
+    gap of each event from its user's first event (time since first)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(wfull).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.first("ts").over(wfull)))
+        .alias("sec_since_first"),
+    ).orderBy("user_id", "event_id")
+
+
 def q36_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-agg + HAVING — per (brand, size bucket)
     count distinct suppliers, keep groups with ≥ 5."""
@@ -958,6 +993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_order_count_distribution": q37_order_count_distribution,
     "q38_small_quantity_revenue": q38_small_quantity_revenue,
     "q39_late_shipment_priorities": q39_late_shipment_priorities,
+    "q48_ntile_quartiles": q48_ntile_quartiles,
+    "q49_first_last_gap": q49_first_last_gap,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
     "q46_image_resize_plan": q46_image_resize_plan,
