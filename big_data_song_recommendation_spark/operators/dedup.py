@@ -1,11 +1,13 @@
 """Deduplication operators for the training-data pipeline: exact,
 n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
 
-All are pure DataFrame compositions (explode/groupBy/join) — no UDFs —
-so they distribute and benefit from AQE. Hashes are md5-derived 60-bit
-integers (``conv(substr(md5(x),1,15),16,10)``): deterministic across
-runs/engines (unlike xxhash64, which has no DuckDB twin, or Python
-``hash``, which is salted — the reference's F6 pitfall).
+Text-dedup operators are pure DataFrame compositions (explode/groupBy/
+join — no Python in the hot path); the embedding pair search also
+ships a blocked numpy-GEMM ``applyInPandas`` tier (the one place
+Arrow-batched Python beats codegen arithmetic). Hashes are md5-derived
+60-bit integers (``conv(substr(md5(x),1,15),16,10)``): deterministic
+across runs/engines (unlike xxhash64, which has no DuckDB twin, or
+Python ``hash``, which is salted — the reference's F6 pitfall).
 
 Scale notes: the shingle self-join shuffles on the shingle string —
 the frequency cap in :func:`_shingle_sets` (drop shingles appearing in
