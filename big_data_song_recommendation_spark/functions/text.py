@@ -123,8 +123,13 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """k-word shingles of normalized text → array<string>. Feeds
-    MinHash / n-gram-Jaccard near-dup detection."""
+    """k-word shingles of normalized text → array<string> (array-valued
+    form, e.g. for storing shingles as a column).
+
+    WARNING: do NOT ``explode`` this — Catalyst collapses the array
+    builder into Generate and re-evaluates it per output row (O(n²)
+    per doc). For row-per-shingle output use
+    ``operators.dedup.shingle_rows`` (posexplode + window lead)."""
     toks = F.split(normalized_text(col), " ")
     n = F.size(toks)
     # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
