@@ -525,6 +525,16 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q50_user_event_arrays": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS event_types,
+               CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+        FROM events
+        WHERE user_id < 40
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "q48_ntile_quartiles": """
         SELECT c_mktsegment, quartile, COUNT(*) AS n,
                ROUND(MIN(c_acctbal), 2) AS min_bal,

@@ -639,6 +639,23 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q50_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-user sorted array of distinct event
+    types + its cardinality. collect_set is order-nondeterministic —
+    array_sort makes the value oracle-comparable (determinism rule)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            F.array_join("types", ",").alias("event_types"),
+            F.size("types").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q48_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: ntile — customers quartiled by account balance within
     market segment, with per-quartile stats."""
@@ -999,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_small_quantity_revenue": q38_small_quantity_revenue,
     "q39_late_shipment_priorities": q39_late_shipment_priorities,
     "q48_ntile_quartiles": q48_ntile_quartiles,
+    "q50_user_event_arrays": q50_user_event_arrays,
     "q49_first_last_gap": q49_first_last_gap,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,

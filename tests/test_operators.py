@@ -107,3 +107,21 @@ def test_positional_join(spark):
     right = spark.createDataFrame([(i * 10,) for i in range(5)], ["r"])
     out = joins.positional_join(left, right).collect()
     assert len(out) == 5
+
+
+def test_sql_string_interface(spark):
+    """The engine's tables are queryable through plain spark.sql after
+    register_views — the SQL API surface works end-to-end."""
+    from big_data_song_recommendation_spark.sources.readers import register_views
+    from .conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    out = spark.sql(
+        """
+        SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["n_nations"] for r in out) == 25
