@@ -1,1 +1,1 @@
-from . import features, recommend, registry  # noqa: F401
+from . import evaluation, features, recommend, registry  # noqa: F401

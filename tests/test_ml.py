@@ -113,3 +113,58 @@ def test_average_user_profile(spark):
     )
     assert len(profile) == 4
     assert np.allclose(profile, local, rtol=1e-6)
+
+
+def test_ranking_metrics_known_values(spark):
+    """precision/recall@k on a hand-computable example."""
+    from big_data_song_recommendation_spark.ml import evaluation
+
+    # user 1: recs [a,b,c], relevant {a,c,d}  -> hits 2: p=2/3, r=2/3
+    # user 2: recs [x,y,z], relevant {q}      -> hits 0: p=0,   r=0
+    # user 3: no recs,      relevant {m}      -> counts, zero hits
+    recs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "x", 1), (2, "y", 2), (2, "z", 3)],
+        ["user_id", "item_id", "rnk"],
+    )
+    rel = spark.createDataFrame(
+        [(1, "a"), (1, "c"), (1, "d"), (2, "q"), (3, "m")],
+        ["user_id", "item_id"],
+    )
+    m = evaluation.ranking_metrics(recs, rel, k=3)
+    assert m.n_users == 3
+    assert m.precision_at_k == pytest.approx((2 / 3 + 0 + 0) / 3)
+    assert m.recall_at_k == pytest.approx((2 / 3 + 0 + 0) / 3)
+
+    ok, reasons = evaluation.passes_quality_gate(rmse=0.5, metrics=m)
+    assert ok  # p=0.22, r=0.22 clear the reference thresholds
+    ok2, reasons2 = evaluation.passes_quality_gate(rmse=None, metrics=m)
+    assert not ok2 and "not evaluable" in reasons2[0]
+    ok3, reasons3 = evaluation.passes_quality_gate(
+        rmse=0.5, metrics=m, thresholds={"min_precision_at_k": 0.9}
+    )
+    assert not ok3 and "precision@3" in reasons3[0]
+
+
+def test_quality_gate_on_trained_model(spark):
+    """End-to-end: train ALS, self-recommend, gate on train-set
+    relevance (sanity — a factorizer must retrieve its own strong
+    interactions far above the reference thresholds)."""
+    from big_data_song_recommendation_spark.ml import evaluation, recommend
+
+    ratings = spark.createDataFrame(
+        [(u, (u * 7 + j) % 30, 5.0 if j < 3 else 1.0)
+         for u in range(25) for j in range(8)],
+        ["user_id", "item_id", "rating"],
+    )
+    res = recommend.train_als(
+        ratings, evaluate=False, rank=8, maxIter=5, implicitPrefs=False
+    )
+    recs = recommend.recommend_top_n(res.model, 5)
+    recs = recs.withColumnRenamed(res.model.getItemCol(), "item_id")
+    relevant = ratings.filter(F.col("rating") >= 4.0)
+    m = evaluation.ranking_metrics(recs, relevant, k=5)
+    assert m.n_users == 25
+    assert m.recall_at_k >= 0.5  # retrieves most of its own 5-star items
+    ok, _ = evaluation.passes_quality_gate(rmse=0.3, metrics=m)
+    assert ok
