@@ -138,6 +138,24 @@ class TrainingArtifacts:
     kmeans_k: int
     als_rmse: float | None
     registry_dir: str
+    gate_passed: bool = False
+    gate_reasons: list | None = None
+
+
+def content_feature_pipeline(vocab_size: int = 100):
+    """M11+M12: the reference's content model input — TF-IDF over
+    ``artist + emotion`` text (``src/training_service.py:608-614``)
+    hstacked with the scaled audio features
+    (``src/training_service.py:616-620``) — as one declared Pipeline
+    over the enriched frame."""
+    from pyspark.ml import Pipeline
+
+    audio = features.feature_pipeline(list(FEATURE_COLS))
+    tfidf = features.tfidf_pipeline("artist_emotion", vocab_size=vocab_size)
+    concat = features.concat_features(
+        ["scaled_features", "tfidf_features"], output_col="content_features"
+    )
+    return Pipeline(stages=[audio, tfidf, concat])
 
 
 def train_all(
@@ -158,9 +176,17 @@ def train_all(
     ).cache()
     n = enriched.count()  # one materialization, reused by every stage
 
-    # content path: features → KMeans
-    pipe = features.feature_pipeline(list(FEATURE_COLS))
-    feat_model, feat_df = features.fit_transform(pipe, enriched)
+    # content path: audio features + TF-IDF(artist+emotion) → KMeans
+    with_text = enriched.withColumn(
+        "artist_emotion",
+        F.concat_ws(
+            " ", F.coalesce(F.col("artist_name"), F.lit("")),
+            F.coalesce(F.col("emotion"), F.lit("")),
+        ),
+    )
+    content_model, feat_df = features.fit_transform(
+        content_feature_pipeline(), with_text
+    )
     km_model, assigned = recommend.train_kmeans(feat_df, k=kmeans_k)
 
     # collaborative path: synthetic ratings → indexer → ALS
@@ -176,13 +202,41 @@ def train_all(
         **(als_overrides or {}),
     )
 
+    # quality gate (the reference declared thresholds but never
+    # enforced them): rank the train set itself and require the model
+    # to retrieve its own strong interactions before promotion
+    from ..ml import evaluation
+
+    recs = recommend.recommend_top_n(als.model, 10).withColumnRenamed(
+        "track_index", "item_id"
+    )
+    relevant = indexed.filter(F.col("rating") >= 4.0).select(
+        "user_id", F.col("track_index").alias("item_id")
+    )
+    metrics = evaluation.ranking_metrics(recs, relevant, k=10)
+    ok, reasons = evaluation.passes_quality_gate(rmse=als.rmse, metrics=metrics)
+
     reg = ModelRegistry(registry_dir)
-    reg.save("features", feat_model, {"cols": list(FEATURE_COLS), "rows": n})
+    reg.save("content_features", content_model, {"cols": list(FEATURE_COLS), "rows": n})
     reg.save("kmeans", km_model, {"k": km_model.getK()})
-    reg.save("als", als.model, {"rmse": als.rmse, **als.config})
+    v = reg.save(
+        "als",
+        als.model,
+        {
+            "rmse": als.rmse,
+            "precision_at_10": metrics.precision_at_k,
+            "recall_at_10": metrics.recall_at_k,
+            "gate_passed": ok,
+            **als.config,
+        },
+    )
+    if ok:
+        reg.mark_best("als", v.version)
     return TrainingArtifacts(
         enriched_count=n,
         kmeans_k=km_model.getK(),
         als_rmse=als.rmse,
         registry_dir=registry_dir,
+        gate_passed=ok,
+        gate_reasons=reasons,
     )

@@ -119,7 +119,18 @@ def test_training_artifacts_and_registry(artifacts):
     assert len(km.clusterCenters()) == 5
     als = reg.load("als", ALSModel)
     assert als.rank == 4
-    assert reg.metadata("als")["rmse"] == art.als_rmse
+    meta = reg.metadata("als")
+    assert meta["rmse"] == art.als_rmse
+    # quality gate computed and recorded; best-pointer only when passed
+    assert meta["gate_passed"] == art.gate_passed
+    assert 0.0 <= meta["precision_at_10"] <= 1.0
+    if art.gate_passed:
+        assert reg.load("als", ALSModel, pointer="best").rank == 4
+    # content model (audio + TF-IDF(artist+emotion)) is versioned too
+    from pyspark.ml import PipelineModel
+
+    content = reg.load("content_features", PipelineModel)
+    assert any("CountVectorizer" in type(s).__name__ for s in content.stages[1].stages)
 
 
 def test_reproducible_over_rerun(spark, artifacts, tmp_path):
