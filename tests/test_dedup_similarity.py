@@ -135,3 +135,42 @@ def test_ivf_recall_improves_with_nprobe(spark):
     assert r4 >= 0.35
     assert r4 <= r8 <= r16
     assert r16 == 1.0  # probing everything is exhaustive
+
+
+def test_lsh_knn_recall_against_brute_force(spark):
+    """BucketedRandomProjectionLSH tier (SURVEY §7 risk d: parameter
+    calibration): with enough hash tables the approx top-5 must
+    overlap the exact euclidean top-5 substantially on the driver
+    embeddings. Also pins that more tables never hurt recall."""
+    import numpy as np
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.filter(F.col("vec_id") < 10).collect()
+    corpus = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+
+    def exact_top5(q):
+        d = sorted(
+            ((np.linalg.norm(q - v), vid) for vid, v in corpus.items()),
+            key=lambda t: (t[0], t[1]),
+        )
+        return {vid for _, vid in d[:5]}
+
+    def recall(num_tables: int) -> float:
+        hit = tot = 0
+        for r in rows[:5]:
+            got = {
+                x["vec_id"]
+                for x in similarity.lsh_knn(
+                    emb, r["embedding"], k=5,
+                    bucket_length=2.0, num_tables=num_tables,
+                ).collect()
+            }
+            want = exact_top5(np.array(r["embedding"], dtype=float))
+            hit += len(got & want)
+            tot += len(want)
+        return hit / tot
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= 0.8, f"8-table LSH recall too low: {r8}"
+    assert r8 >= r1 - 0.2  # more tables must not collapse recall

@@ -125,3 +125,44 @@ def test_sql_string_interface(spark):
     ).collect()
     assert len(out) == 5
     assert sum(r["n_nations"] for r in out) == 25
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join vs pd.merge_asof on both strict modes, including
+    exact-timestamp collisions (the corner q29's oracle doesn't hit)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from big_data_song_recommendation_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    right_rows = [
+        (k, base + timedelta(minutes=7 * i), float(100 * k + i))
+        for k in range(4) for i in range(6)
+    ]
+    left_rows = [
+        (k, base + timedelta(minutes=m))
+        for k in range(4)
+        for m in (0, 3, 7, 20, 21, 36)  # 0/7/21 collide exactly with right ts
+    ]
+    right = spark.createDataFrame(right_rows, ["k", "ts", "price"])
+    left = spark.createDataFrame(left_rows, ["k", "ts"])
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "price"]).sort_values("ts")
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+
+    for strict in (True, False):
+        got = {
+            (r["k"], r["ts"]): r["asof_price"]
+            for r in asof_join(
+                left, right, on="k", right_payload=["price"], strict=strict
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k",
+            allow_exact_matches=not strict, direction="backward",
+        )
+        for _, row in want_df.iterrows():
+            w = None if pd.isna(row["price"]) else float(row["price"])
+            assert got[(row["k"], row["ts"].to_pydatetime())] == w, (
+                f"strict={strict} k={row['k']} ts={row['ts']}"
+            )
