@@ -525,6 +525,29 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q51_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q52_unpivot_event_stats": """
+        WITH wide AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS total,
+                   CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+            FROM events
+            GROUP BY 1
+        )
+        SELECT day, metric, ROUND(metric_value, 2) AS metric_value
+        FROM (UNPIVOT wide ON total, sum_value, n_users
+              INTO NAME metric VALUE metric_value)
+        ORDER BY day, metric
+    """,
     "q50_user_event_arrays": """
         SELECT user_id,
                array_to_string(list_sort(list(DISTINCT event_type)), ',')

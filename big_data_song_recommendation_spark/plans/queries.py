@@ -639,6 +639,52 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q51_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range predicates + single agg — the purest
+    pushdown test (date + discount + quantity filters all reach the
+    parquet scan; see tests/test_plan_shapes.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue_effect"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q52_unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-type daily counts back to long
+    (metric, value) rows — the inverse of q27's pivot, via the native
+    ``unpivot`` operator."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("total"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return (
+        wide.unpivot(
+            "day",
+            ["total", "sum_value", "n_users"],
+            "metric",
+            "metric_value",
+        )
+        .withColumn("metric_value", F.round(F.col("metric_value"), 2))
+        .orderBy("day", "metric")
+    )
+
+
 def q50_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-user sorted array of distinct event
     types + its cardinality. collect_set is order-nondeterministic —
@@ -1017,6 +1063,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_late_shipment_priorities": q39_late_shipment_priorities,
     "q48_ntile_quartiles": q48_ntile_quartiles,
     "q50_user_event_arrays": q50_user_event_arrays,
+    "q51_forecast_revenue": q51_forecast_revenue,
+    "q52_unpivot_event_stats": q52_unpivot_event_stats,
     "q49_first_last_gap": q49_first_last_gap,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
