@@ -161,9 +161,13 @@ def minhash_signatures(
     """MinHash signature per doc: one 60-bit base hash per shingle,
     ``num_hashes`` affine derivations (see :func:`signatures_from_sets`),
     min-aggregated in a single map-side-combinable groupBy. Empty docs
-    (no shingles) are absent from the output."""
-    sets = _shingle_sets(df, id_col, text_col, k)
-    return signatures_from_sets(sets, id_col, num_hashes=num_hashes)
+    (no shingles) are absent from the output.
+
+    Works on the raw shingle MULTISET — ``min`` is invariant under
+    dedup, so the distinct's extra shuffle is skipped entirely."""
+    return signatures_from_sets(
+        shingle_rows(df, id_col, text_col, k), id_col, num_hashes=num_hashes
+    )
 
 
 #: Mersenne prime 2^31-1 for the affine MinHash family

@@ -70,3 +70,12 @@ def test_exact_dedup_single_shuffle(spark):
     extra repartitions or joins."""
     plan = _plan(QUERIES["q15_doc_exact_dedup"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q51_all_filters_pushed_to_scan(spark):
+    """Q6-shape range predicates (date/discount/quantity) must all
+    reach the parquet scan as PushedFilters."""
+    plan = _plan(QUERIES["q51_forecast_revenue"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
