@@ -170,6 +170,36 @@ def hybrid(
     )
 
 
+def batch_stats(spark, lake_dir: str) -> DataFrame:
+    """``GET /batches/stats`` (§2.12): aggregate over the streaming
+    lake's parquet data — per-epoch size, avg rating, distinct users
+    (the reference's per-batch JSON summaries, recomputed relationally
+    so they stay correct under reprocessing)."""
+    data = spark.read.parquet(f"{lake_dir}/data")
+    return (
+        data.groupBy("epoch")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg("rating"), 2).alias("avg_rating"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.countDistinct("item_id").alias("unique_items"),
+        )
+        .orderBy("epoch")
+    )
+
+
+def featured_items(spark, lake_dir: str, *, n: int = 5) -> DataFrame:
+    """``GET /batches/featured``: top-n items by max rating across the
+    lake (the reference's T4 'featured tracks', A9 argmax shape)."""
+    data = spark.read.parquet(f"{lake_dir}/data")
+    return (
+        data.groupBy("item_id")
+        .agg(F.max("rating").alias("max_rating"), F.count("*").alias("n_plays"))
+        .orderBy(F.desc("max_rating"), F.desc("n_plays"), F.asc("item_id"))
+        .limit(n)
+    )
+
+
 def models_info(registry) -> list[dict]:
     """Metadata projection over the registry (``GET /models/info``)."""
     out = []

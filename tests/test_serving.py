@@ -118,3 +118,33 @@ def test_models_info(spark, domain, tmp_path):
     reg.save("als", model, {"rank": 4})
     infos = serving.models_info(reg)
     assert len(infos) == 1 and infos[0]["name"] == "als" and infos[0]["rank"] == 4
+
+
+def test_batch_endpoints_over_lake(spark, tmp_path):
+    """§2.12 /batches/stats and /batches/featured over a BatchSink lake."""
+    from datetime import datetime, timedelta
+
+    from big_data_song_recommendation_spark.streaming import jobs
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    schema = "ts timestamp, user_id long, item_id string, rating double, action string"
+    rows = [
+        (base + timedelta(seconds=i), i % 5, f"item_{i % 3}", 1.0 + (i % 5), "play")
+        for i in range(30)
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+    stream = jobs.file_stream(spark, in_dir, spark.read.parquet(in_dir).schema)
+    sink = jobs.BatchSink(str(tmp_path / "lake"), snapshot=False)
+    q = jobs.start_pipeline(stream, sink, checkpoint_dir=str(tmp_path / "ck"),
+                            trigger_seconds=None)
+    q.processAllAvailable()
+    q.stop()
+
+    stats = serving.batch_stats(spark, str(tmp_path / "lake")).collect()
+    assert sum(r["size"] for r in stats) == 30
+    assert all(1.0 <= r["avg_rating"] <= 5.0 and r["unique_users"] <= 5 for r in stats)
+
+    feat = serving.featured_items(spark, str(tmp_path / "lake"), n=2).collect()
+    assert len(feat) == 2
+    assert feat[0]["max_rating"] >= feat[1]["max_rating"]
