@@ -525,6 +525,18 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q53_click_attribution": """
+        SELECT p.user_id,
+               COUNT(DISTINCT p.event_id) AS attributed_purchases,
+               COUNT(*) AS click_pairs
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL 30 MINUTE
+        GROUP BY p.user_id
+        ORDER BY p.user_id
+    """,
     "q51_forecast_revenue": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
                COUNT(*) AS n_lines

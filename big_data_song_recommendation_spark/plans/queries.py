@@ -639,6 +639,36 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q53_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (equi on user + time-band predicate): purchases
+    attributed to clicks by the same user within the preceding 30
+    minutes. The equi key carries the shuffle; the range predicate
+    evaluates within user partitions — the scalable non-equi shape
+    (a pure theta-join would be a cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    attributed = purchases.join(
+        clicks,
+        ["user_id"],
+    ).filter(
+        (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.countDistinct("purchase_id").alias("attributed_purchases"),
+            F.count("*").alias("click_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q51_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight range predicates + single agg — the purest
     pushdown test (date + discount + quantity filters all reach the
@@ -1065,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_user_event_arrays": q50_user_event_arrays,
     "q51_forecast_revenue": q51_forecast_revenue,
     "q52_unpivot_event_stats": q52_unpivot_event_stats,
+    "q53_click_attribution": q53_click_attribution,
     "q49_first_last_gap": q49_first_last_gap,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,

@@ -78,3 +78,30 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_dynamic_partition_pruning_on_lake(spark, tmp_path):
+    """DPP: joining the date-partitioned lake against a filtered
+    broadcast dim prunes partitions at RUNTIME (dynamicpruning
+    subquery in the scan), so a 2-day dim touches 2 directories of a
+    multi-day lake."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "lake")
+    sinks.write_events_by_day(ev, out)
+    lake = spark.read.parquet(out)
+    days = [r["event_date"] for r in lake.select("event_date").distinct().collect()]
+    assert len(days) >= 3
+    # DPP plans the pruning subquery only when the dim side carries a
+    # filter (otherwise there is nothing dynamic to derive)
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 2 else "drop") for i, d in enumerate(sorted(days))],
+        ["event_date", "tag"],
+    ).filter(F.col("tag") == "keep")
+    joined = lake.join(F.broadcast(dim), "event_date").groupBy("tag").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in the scan"
+    assert joined.first()["count"] == lake.filter(
+        F.col("event_date").isin(sorted(days)[:2])
+    ).count()
