@@ -118,8 +118,8 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q04_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type stats (A1/A3/A4/A5; exact distinct for the oracle —
-    the scale path swaps in approx_count_distinct, see
-    q23_approx_distinct)."""
+    the scale path swaps in ``aggregates.distinct_count(approx=True)``,
+    accuracy pinned by tests/test_operators.py)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

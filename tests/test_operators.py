@@ -166,3 +166,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert got[(row["k"], row["ts"].to_pydatetime())] == w, (
                 f"strict={strict} k={row['k']} ts={row['ts']}"
             )
+
+
+def test_approx_distinct_within_rsd(spark):
+    """A3 at scale: HyperLogLog++ distinct counts land within ~3x the
+    requested relative standard deviation of the exact counts."""
+    from big_data_song_recommendation_spark.operators.aggregates import distinct_count
+    from big_data_song_recommendation_spark.sources.readers import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n_user_id"]
+        for r in distinct_count(ev, ["event_type"], "user_id").collect()
+    }
+    approx = {
+        r["event_type"]: r["n_user_id"]
+        for r in distinct_count(
+            ev, ["event_type"], "user_id", approx=True, rsd=0.05
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
