@@ -96,6 +96,20 @@ def drop_invalid(df: DataFrame, required: list[str]) -> DataFrame:
     return df.filter(reduce(lambda a, b: a & b, conds))
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the training-
+    data rebalancing tool (downsample over-represented languages/
+    sources before training). Seeded and executor-side; never
+    collects."""
+    return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
 def dedupe_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """P9: keep one row per key (``drop_duplicates(subset=keys)``).
     Spark's dropDuplicates keeps an arbitrary row; for deterministic

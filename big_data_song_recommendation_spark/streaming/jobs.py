@@ -361,10 +361,12 @@ class BatchSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # idempotent-by-epoch: foreachBatch can re-deliver a micro-batch
+        # after failure; overwriting THIS epoch's partition directory
+        # makes the retry exactly-once (append would duplicate it)
         (
-            batch_df.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(str(self.out_dir / "data"))
+            batch_df.write.mode("overwrite")
+            .parquet(str(self.out_dir / "data" / f"epoch={epoch_id}"))
         )
         if self.snapshot:
             snap = batch_snapshot(batch_df)

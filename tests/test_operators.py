@@ -189,3 +189,24 @@ def test_approx_distinct_within_rsd(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, approx[k], n)
+
+
+def test_stratified_sample_fractions(spark):
+    """Per-stratum sampling hits the requested fractions (±40% rel at
+    these row counts) and is deterministic under a fixed seed."""
+    from big_data_song_recommendation_spark.operators.clean import stratified_sample
+    from big_data_song_recommendation_spark.sources.readers import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    fracs = {lang: (0.2 if lang == "en" else 0.8) for lang in base}
+    s1 = stratified_sample(docs, "lang", fracs, seed=7)
+    got = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    for lang, n in base.items():
+        want = fracs[lang] * n
+        assert abs(got.get(lang, 0) - want) <= max(5, 0.4 * want), (lang, got.get(lang), want)
+    s2 = stratified_sample(docs, "lang", fracs, seed=7)
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )

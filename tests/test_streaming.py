@@ -327,3 +327,19 @@ def test_stream_stream_join(spark, tmp_path):
     for r in rows:
         lag = (r["ts_r"] - r["ts"]).total_seconds()
         assert 0 <= lag <= 600, f"pair outside the lag bound: {lag}s"
+
+
+def test_batch_sink_epoch_write_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivery: re-running the same epoch must not
+    duplicate rows (per-epoch partition overwrite)."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1, "item_1", 3.0, "play")] * 5, SCHEMA
+    )
+    sink = jobs.BatchSink(str(tmp_path / "lake"), snapshot=False)
+    sink(df, epoch_id=7)
+    sink(df, epoch_id=7)  # simulated retry of the same micro-batch
+    out = spark.read.parquet(str(tmp_path / "lake" / "data"))
+    assert out.count() == 5
+    assert out.select("epoch").distinct().collect()[0]["epoch"] == 7
