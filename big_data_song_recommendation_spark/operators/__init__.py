@@ -1,0 +1,10 @@
+from . import (  # noqa: F401
+    aggregates,
+    asof,
+    clean,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    skew,
+)

@@ -1,3 +1,4 @@
+from . import sinks  # noqa: F401
 from .readers import (  # noqa: F401
     TESTDATA_TABLES,
     load_table,
