@@ -525,6 +525,30 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
     """,
+    "q54_item_cooccurrence": """
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ui),
+        item_n AS (SELECT item_id, COUNT(*) AS n FROM ui GROUP BY item_id),
+        co AS (
+            SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS n_co
+            FROM ui a JOIN ui b
+              ON a.user_id = b.user_id AND a.item_id < b.item_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT item_a, item_b, n_co,
+               ROUND(n_co * (SELECT n_users FROM nu) / (na.n * nb.n), 4) AS lift
+        FROM co
+        JOIN item_n na ON co.item_a = na.item_id
+        JOIN item_n nb ON co.item_b = nb.item_id
+        ORDER BY n_co DESC, item_a ASC, item_b ASC
+        LIMIT 50
+    """,
     "q53_click_attribution": """
         SELECT p.user_id,
                COUNT(DISTINCT p.event_id) AS attributed_purchases,

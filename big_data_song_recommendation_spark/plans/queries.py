@@ -639,6 +639,47 @@ def q34_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(urgent).orderBy("custkey")
 
 
+def q54_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence with lift — item-based CF's statistical
+    core (complements ALS latent factors and content cosine). Distinct
+    (user, item) pairs self-join on user; the per-user fan-out is
+    capped by active-user filtering at scale (the shuffle key is
+    user_id). Lift = P(a,b) / (P(a)·P(b)) over the user universe."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+        )
+        .filter(F.col("item_id").isNotNull())
+        .distinct()
+    )
+    n_users = ui.select("user_id").distinct().count()
+    item_n = ui.groupBy(F.col("item_id").alias("iid")).agg(
+        F.count("*").alias("n")
+    )
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.item_id") < F.col("b.item_id")))
+        .groupBy(F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b"))
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    na, nb = item_n.alias("na"), item_n.alias("nb")
+    lift = (F.col("n_co") * F.lit(float(n_users))) / (F.col("na.n") * F.col("nb.n"))
+    return (
+        co.join(na, F.col("item_a") == F.col("na.iid"))
+        .join(nb, F.col("item_b") == F.col("nb.iid"))
+        .select(
+            "item_a", "item_b", "n_co",
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("n_co"), F.asc("item_a"), F.asc("item_b"))
+        .limit(50)
+    )
+
+
 def q53_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (equi on user + time-band predicate): purchases
     attributed to clicks by the same user within the preceding 30
@@ -1096,6 +1137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_forecast_revenue": q51_forecast_revenue,
     "q52_unpivot_event_stats": q52_unpivot_event_stats,
     "q53_click_attribution": q53_click_attribution,
+    "q54_item_cooccurrence": q54_item_cooccurrence,
     "q49_first_last_gap": q49_first_last_gap,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
