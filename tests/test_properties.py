@@ -102,3 +102,26 @@ def test_md5_bucket_stable_and_bounded(spark, keys):
     b = [r["b"] for r in df.select(md5_bucket("k", 100).alias("b")).collect()]
     assert a == b  # deterministic across evaluations
     assert all(0 <= x < 100 for x in a)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+def test_normalized_text_matches_duckdb_on_unicode(spark, duck, texts):
+    """The dedup-normalization expression agrees with its oracle SQL
+    twin on arbitrary unicode — beyond the ASCII-only corpus the
+    oracle queries exercise."""
+    from big_data_song_recommendation_spark.functions import text as Ftext
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["t"] for r in df.select(Ftext.normalized_text("text").alias("t")).collect()]
+    sql = (
+        "trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9\\s]', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {sql} FROM (SELECT unnest(?::VARCHAR[]) AS t)", [list(texts)]
+        ).fetchall()
+    ]
+    assert got == want
