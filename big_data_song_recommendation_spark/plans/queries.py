@@ -645,6 +645,8 @@ def q54_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, item) pairs self-join on user; the per-user fan-out is
     capped by active-user filtering at scale (the shuffle key is
     user_id). Lift = P(a,b) / (P(a)·P(b)) over the user universe."""
+    from ..operators import cooccur
+
     ev = load_table(spark, sf_dir, "events")
     ui = (
         ev.select(
@@ -653,28 +655,11 @@ def q54_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("item_id").isNotNull())
         .distinct()
+        .cache()  # read by the pair join AND the lift popularity scan
     )
-    n_users = ui.select("user_id").distinct().count()
-    item_n = ui.groupBy(F.col("item_id").alias("iid")).agg(
-        F.count("*").alias("n")
-    )
-    a, b = ui.alias("a"), ui.alias("b")
-    co = (
-        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-               & (F.col("a.item_id") < F.col("b.item_id")))
-        .groupBy(F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b"))
-        .agg(F.count("*").alias("n_co"))
-        .filter(F.col("n_co") >= 3)
-    )
-    na, nb = item_n.alias("na"), item_n.alias("nb")
-    lift = (F.col("n_co") * F.lit(float(n_users))) / (F.col("na.n") * F.col("nb.n"))
+    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
     return (
-        co.join(na, F.col("item_a") == F.col("na.iid"))
-        .join(nb, F.col("item_b") == F.col("nb.iid"))
-        .select(
-            "item_a", "item_b", "n_co",
-            F.round(lift, 4).alias("lift"),
-        )
+        cooccur.with_lift(pairs, ui)
         .orderBy(F.desc("n_co"), F.asc("item_a"), F.asc("item_b"))
         .limit(50)
     )

@@ -210,3 +210,19 @@ def test_stratified_sample_fractions(spark):
     assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
         r["doc_id"] for r in s2.collect()
     )
+
+
+def test_cooccurrence_cap_bounds_fanout(spark):
+    """The per-user item cap keeps hot users from quadratic pair
+    emission, deterministically (lowest item ids kept)."""
+    from big_data_song_recommendation_spark.operators import cooccur
+
+    rows = [(1, i) for i in range(20)] + [(2, 0), (2, 1), (3, 0), (3, 1)]
+    ui = spark.createDataFrame(rows, ["user_id", "item_id"])
+    full = cooccur.cooccurrence_pairs(ui, min_support=1)
+    assert full.count() == 20 * 19 // 2  # user1 clique; (0,1) merges into it
+    capped = cooccur.cooccurrence_pairs(ui, min_support=1, max_items_per_user=5)
+    # user1 contributes only C(5,2) pairs over items 0..4
+    assert capped.count() == 10
+    pair01 = capped.filter("item_a = 0 AND item_b = 1").first()
+    assert pair01["n_co"] == 3  # users 1 (capped set), 2, 3
