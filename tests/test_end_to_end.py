@@ -1,0 +1,108 @@
+"""Capstone: the reference's complete user journey on this engine in
+one flow — ingest dirty CSVs, batch-train, serve all three
+recommendation modes, stream new interactions through the exactly-once
+lake, retrain from it, and serve from the refreshed registry model.
+Every stage is the library API a reference user would call after
+switching."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.ml.recommend import recommend_top_n
+from big_data_song_recommendation_spark.ml.registry import ModelRegistry
+from big_data_song_recommendation_spark.plans import serving, training
+from big_data_song_recommendation_spark.streaming import jobs
+
+from .test_training_pipeline import _write_fixtures
+
+
+@pytest.mark.slow
+def test_full_reference_journey(spark, tmp_path):
+    # 1) ingest + batch training (src/train_models.py equivalent)
+    data_dir = tmp_path / "raw"
+    data_dir.mkdir()
+    _write_fixtures(data_dir)
+    reg_dir = str(tmp_path / "registry")
+    art = training.train_all(
+        spark, str(data_dir), reg_dir,
+        als_overrides={"rank": 4, "maxIter": 3, "implicitPrefs": False},
+        kmeans_k=5,
+    )
+    assert art.enriched_count > 0 and art.als_rmse is not None
+
+    # 2) serving (src/app.py equivalents), straight from the artifacts
+    from pyspark.ml.recommendation import ALSModel
+
+    reg = ModelRegistry(reg_dir)
+    als = reg.load("als", ALSModel)
+    tables = training.load_reference_tables(spark, str(data_dir))
+    tracks = training.clean_tracks(tables["tracks"]).cache()
+    enriched = training.enriched_tracks(
+        tracks, tables["artists"], tables["albums"], tables["emotions"]
+    )
+    disp = serving.display_dim(enriched)
+
+    page = serving.browse(tracks, limit=5).collect()
+    assert len(page) == 5
+
+    ratings = training.synthetic_ratings(tracks)
+    from big_data_song_recommendation_spark.ml import features
+
+    idx_model = features.string_indexer("track_id").fit(ratings)
+    index_map = (
+        idx_model.transform(ratings)
+        .select(F.col("track_id_index").cast("int").alias("track_index"), "track_id")
+        .distinct()
+    )
+    users = ratings.select("user_id").distinct().limit(2)
+    collab = serving.collaborative(als, users, disp, n=5, index_map=index_map)
+    assert collab.count() > 0
+    cont = serving.content(tracks, "t005", disp, n=5)
+    assert cont.count() == 5
+    hyb = serving.hybrid(collab, cont, n=5).collect()
+    assert 0 < len(hyb) <= 5
+
+    # 3) streaming ingest → lake → retrain (src/streaming_service +
+    # training_service equivalent, on checkpointed exactly-once files)
+    base = datetime(2024, 6, 1, 9, 0, 0)
+    events = [
+        (base + timedelta(seconds=i), i % 20, f"t{i % 40:03d}", 1.0 + i % 5, "play")
+        for i in range(200)
+    ]
+    in_dir = str(tmp_path / "stream_in")
+    schema = "ts timestamp, user_id long, item_id string, rating double, action string"
+    spark.createDataFrame(events, schema).coalesce(1).write.parquet(in_dir)
+
+    lake = str(tmp_path / "lake")
+    retrained: list = []
+
+    def on_retrain(epoch_id: int) -> None:
+        retrained.append(
+            jobs.retrain_from_lake(
+                spark, lake, reg, epoch_id=epoch_id,
+                als_overrides={"rank": 4, "maxIter": 2},
+            )
+        )
+
+    sink = jobs.BatchSink(lake, snapshot=True, retrain_every=1, on_retrain=on_retrain)
+    stream = jobs.file_stream(spark, in_dir, spark.read.parquet(in_dir).schema)
+    q = jobs.start_pipeline(
+        stream, sink, checkpoint_dir=str(tmp_path / "ck"), trigger_seconds=None
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert retrained, "stream triggered a retrain"
+
+    # 4) the refreshed model serves immediately (latest pointer)
+    als2 = reg.load("als_stream", ALSModel)
+    recs2 = recommend_top_n(als2, 3, users=spark.createDataFrame([(0,)], ["user_id"]))
+    assert recs2.count() == 3
+    # batch analytics endpoints over the same lake
+    stats = serving.batch_stats(spark, lake).collect()
+    assert sum(r["size"] for r in stats) == 200
+    feat = serving.featured_items(spark, lake, n=3).collect()
+    assert len(feat) == 3
