@@ -79,3 +79,75 @@ def test_q51_all_filters_pushed_to_scan(spark):
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_tpch_suite_joins_never_shuffle_fact_for_dims(spark):
+    """q55-q57 (TPC-H Q5/Q7/Q8 shapes): at any SF where a dimension fits
+    the broadcast threshold, every join must be a broadcast hash join —
+    the fact table shuffles only for the final aggregate."""
+    for q in (
+        "q55_local_supplier_volume",
+        "q56_bilateral_shipping",
+        "q57_national_market_share",
+    ):
+        plan = _plan(QUERIES[q](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, f"{q}: fact shuffled for a dim join"
+        assert "CartesianProduct" not in plan, q
+
+
+def test_q58_fact_filters_pushed_and_topk_never_global_sorts(spark):
+    """TPC-H Q10 shape: both fact filters reach their scans, and the
+    top-20 runs as TakeOrderedAndProject (per-partition heap + merge),
+    never a global sort of the aggregate."""
+    plan = _plan(QUERIES["q58_returned_item_revenue"](spark, SF_DIR))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q61_reduces_fact_before_touching_orders(spark):
+    """TPC-H Q18 shape: the >300-unit HAVING shrinks lineitem to a few
+    qualifying orders BEFORE the orders/customer joins — at 100 TB the
+    per-order aggregate is the only full-fact shuffle. The qualifying
+    set is then small enough that AQE broadcasts it into orders."""
+    plan = _plan(QUERIES["q61_large_volume_customers"](spark, SF_DIR))
+    agg_pos = plan.index("Exchange hashpartitioning(l_orderkey")
+    join_pos = plan.index("Join")
+    assert agg_pos > join_pos  # plan prints top-down: agg sits BELOW (inside) the join
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q62_disjunct_common_brand_filter_pushed(spark):
+    """TPC-H Q19 shape: the brand disjunct common to both OR arms is
+    pushed to the part scan; only per-arm residuals evaluate post-join."""
+    plan = _plan(QUERIES["q62_brand_quantity_revenue"](spark, SF_DIR))
+    assert "In(p_brand, [Brand#19,Brand#4])" in plan or "In(p_brand, [Brand#4,Brand#19])" in plan
+
+
+def test_runtime_bloom_filter_engages_when_dims_cannot_broadcast(spark):
+    """The 100 TB contingency: when a filtered creation side is too big
+    to broadcast (forced here via threshold=-1), Spark's runtime
+    bloom-filter rule must inject a semi-join reduction on the fact scan
+    side. Size-gated by applicationSideScanSizeThreshold (10 GB default,
+    lowered here because sf0.1 is tiny) — verifying the rule fires on
+    our join shapes, selectively: q61 has no selective creation-side
+    filter, so it must NOT get a bloom filter."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        def bloom(q):
+            opt = QUERIES[q](spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+            return "bloom_filter" in opt or "might_contain" in opt
+
+        assert bloom("q55_local_supplier_volume")
+        assert bloom("q58_returned_item_revenue")
+        assert not bloom("q61_large_volume_customers")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
