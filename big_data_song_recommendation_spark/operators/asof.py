@@ -26,6 +26,7 @@ def asof_join(
     right_payload: list[str] | None = None,
     tiebreak: str | None = None,
     strict: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts < left.ts`` (``<=`` when ``strict=False``) per key.
@@ -35,7 +36,13 @@ def asof_join(
     sorts before the left at equal ts only when ``strict=False``).
     Payload columns come back as ``asof_<name>``; the match timestamp
     as ``asof_ts``.
-    """
+
+    ``tolerance``: optional maximum lookback as an interval string
+    (e.g. ``"1 hour"`` — ``pd.merge_asof(tolerance=...)`` semantics):
+    a match older than ``left.ts - tolerance`` is discarded (payload
+    nulled), applied as a post-window filter so the plan shape is
+    unchanged. This is also the retention contract a streaming
+    deployment would use to bound per-key state."""
     right_payload = right_payload or []
 
     lt = left.withColumn("__side", F.lit(1))
@@ -75,6 +82,13 @@ def asof_join(
     out = unioned.withColumn("asof_ts", F.last("__rts", ignorenulls=True).over(w))
     for c in right_payload:
         out = out.withColumn(f"asof_{c}", F.last(f"__rp_{c}", ignorenulls=True).over(w))
+    if tolerance is not None:
+        in_window = F.col("asof_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        for c in right_payload:
+            out = out.withColumn(
+                f"asof_{c}", F.when(in_window, F.col(f"asof_{c}"))
+            )
+        out = out.withColumn("asof_ts", F.when(in_window, F.col("asof_ts")))
     return (
         out.filter(F.col("__side") == 1)
         .drop("__k", "__ts", "__side", "__rts", *[f"__rp_{c}" for c in right_payload])

@@ -167,6 +167,24 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 f"strict={strict} k={row['k']} ts={row['ts']}"
             )
 
+    # bounded lookback: matches older than the tolerance are dropped
+    got_tol = {
+        (r["k"], r["ts"]): (r["asof_price"], r["asof_ts"])
+        for r in asof_join(
+            left, right, on="k", right_payload=["price"],
+            strict=False, tolerance="5 minutes",
+        ).collect()
+    }
+    want_tol = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", allow_exact_matches=True,
+        direction="backward", tolerance=pd.Timedelta(minutes=5),
+    )
+    for _, row in want_tol.iterrows():
+        w = None if pd.isna(row["price"]) else float(row["price"])
+        price, asof_ts = got_tol[(row["k"], row["ts"].to_pydatetime())]
+        assert price == w, f"tolerance k={row['k']} ts={row['ts']}"
+        assert (asof_ts is None) == (w is None), "asof_ts nulled with payload"
+
 
 def test_approx_distinct_within_rsd(spark):
     """A3 at scale: HyperLogLog++ distinct counts land within ~3x the
