@@ -1,17 +1,28 @@
-"""Scaling probe: replicate the driver documents/embeddings N× (in a
-temp dir — never touching /root/testdata) and measure how the dedup
-paths scale. Evidence for the 100-TB design claims:
+"""Scaling probe: replicate driver tables N× (in a temp dir — never
+touching /root/testdata) and measure how the hot paths scale. Evidence
+for the 100-TB design claims.
+
+``dedup`` mode (documents/embeddings):
 
 - exact all-pairs Jaccard (q17 path) grows superlinearly (pair join);
 - MinHash+LSH (q20 path) stays near-linear (banded buckets);
 - blocked-GEMM embedding dedup grows with n^2/cores but at GEMM
   throughput (~10^9 mul-add/s/core), not expression-eval throughput.
 
-Run: python scripts/scale_probe.py [replications ...]
+``relational`` mode (lineitem/orders replicated, dimensions FIXED —
+the shape of real growth: facts scale, dims don't):
+
+- scan-aggregate (q01/TPC-H Q1) and the star joins (q55/Q5, q58/Q10,
+  q61/Q18) should scale ~linearly in fact rows;
+- plans must keep broadcasting the dimensions at every replication
+  (no SortMergeJoin creep) — asserted, not eyeballed.
+
+Run: python scripts/scale_probe.py [dedup|relational] [replications ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
@@ -21,7 +32,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, ".")
 from big_data_song_recommendation_spark.operators import dedup  # noqa: E402
 from big_data_song_recommendation_spark.session import get_spark  # noqa: E402
-from big_data_song_recommendation_spark.sources.readers import load_table  # noqa: E402
+from big_data_song_recommendation_spark.sources.readers import (  # noqa: E402
+    TESTDATA_TABLES,
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
 
 
 def replicate(df, times: int, id_col: str):
@@ -31,10 +47,52 @@ def replicate(df, times: int, id_col: str):
     ).drop("__r")
 
 
+def relational_probe(spark, reps: list[int]) -> None:
+    """Fact tables replicated (order keys remapped so lineitem⋈orders
+    stays 1:n), dimensions symlinked unchanged."""
+    from big_data_song_recommendation_spark.plans.queries import QUERIES
+
+    probe_queries = (
+        "q01_pricing_summary",
+        "q55_local_supplier_volume",
+        "q58_returned_item_revenue",
+        "q61_large_volume_customers",
+    )
+    li0 = load_table(spark, SF_DIR, "lineitem")
+    ord0 = load_table(spark, SF_DIR, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        for r in reps:
+            sf_dir = f"{d}/x{r}"
+            os.makedirs(sf_dir)
+            for t in TESTDATA_TABLES:
+                if t not in ("lineitem", "orders"):
+                    os.symlink(f"{SF_DIR}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+            replicate(ord0, r, "o_orderkey").write.parquet(f"{sf_dir}/orders.parquet")
+            replicate(li0, r, "l_orderkey").write.parquet(f"{sf_dir}/lineitem.parquet")
+            n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+            line = [f"x{r}: lineitem={n_li}"]
+            for q in probe_queries:
+                df = QUERIES[q](spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                assert "SortMergeJoin" not in plan, f"{q} x{r}: dim join stopped broadcasting"
+                t0 = time.perf_counter()
+                n = df.count()
+                line.append(f"{q.split('_')[0]}={time.perf_counter() - t0:.1f}s/{n}r")
+            print(" ".join(line), flush=True)
+
+
 def main() -> None:
-    reps = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    mode = "dedup"
+    if args and args[0] in ("dedup", "relational"):
+        mode, args = args[0], args[1:]
+    reps = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if mode == "relational":
+        relational_probe(spark, reps)
+        spark.stop()
+        return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
     emb0 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
 
