@@ -41,6 +41,15 @@ TESTDATA_TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+# (session, sf_dir, name) → lazy plan. A DataFrame is an immutable
+# logical plan, so reuse across queries is free and safe; what it saves
+# is the ~80-90 ms JVM round-trip per spark.read.parquet (file listing
+# + footer schema read), which across a 63-query bench run is seconds.
+# The session object is held in the value so id() keys can't be reused
+# by a garbage-collected successor.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table: ``{sf_dir}/{name}.parquet``.
 
@@ -56,6 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # settable confs our queries depend on (UTC formatting parity with
     # the DuckDB oracle) rather than assuming our factory was used.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -63,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 
