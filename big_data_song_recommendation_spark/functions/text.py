@@ -38,6 +38,23 @@ def token_count(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, _WORD_SPLIT)))
 
 
+#: GPT-2-style pre-tokenizer pattern (contraction suffixes, space-glued
+#: letter runs, digit runs, punctuation runs, whitespace runs). The
+#: original's trailing-space lookahead arm is dropped so the pattern
+#: stays engine-portable: RE2 (DuckDB) has no lookahead, and the arm
+#: only re-shapes whitespace-run boundaries — token counts are
+#: unaffected for all inputs.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    LLM-pipeline "token budget" estimator (whitespace counting
+    under-counts CJK and over-counts contractions). Pure Catalyst
+    (regexp_extract_all), property-tested bit-identical to DuckDB."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def char_count(col: Column | str) -> Column:
     return F.length(_c(col))
 

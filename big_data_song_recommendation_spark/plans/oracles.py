@@ -884,6 +884,26 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 10 AND 35)
     """,
+    "q64_token_budget_by_lang": f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+               CASE WHEN SUM(ws) > 0 THEN
+                   floor(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)
+                         * 10000.0) / 10000.0
+               END AS fertility
+        FROM (
+            SELECT lang,
+                   {_TOKEN_COUNT} AS ws,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+                   )) AS bpe
+            FROM documents
+        )
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q63_dormant_high_balance": """
         SELECT n_name,
                COUNT(*) AS n_custs,

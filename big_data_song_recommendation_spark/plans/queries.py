@@ -1391,6 +1391,36 @@ def q63_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token budget: whitespace vs BPE-pre-tokenizer
+    counts and their fertility ratio (bpe/ws) — the estimator an LLM
+    training pipeline runs before spending tokenizer compute. Both
+    counters are pure Catalyst regex expressions (functions/text.py),
+    one scan, one aggregate shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        text.token_count("text").alias("ws"),
+        text.bpe_token_count("text").alias("bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(
+                F.col("ws_tokens") > 0,
+                scalars.stable_round(F.col("bpe_tokens") / F.col("ws_tokens"), 4),
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -1455,4 +1485,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_large_volume_customers": q61_large_volume_customers,
     "q62_brand_quantity_revenue": q62_brand_quantity_revenue,
     "q63_dormant_high_balance": q63_dormant_high_balance,
+    "q64_token_budget_by_lang": q64_token_budget_by_lang,
 }

@@ -125,3 +125,27 @@ def test_normalized_text_matches_duckdb_on_unicode(spark, duck, texts):
         ).fetchall()
     ]
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+def test_bpe_token_count_matches_duckdb_on_unicode(spark, duck, texts):
+    """The BPE pre-tokenizer counter must agree across Java regex
+    (Spark) and RE2 (DuckDB) on arbitrary unicode — the portability
+    the lookahead-free pattern exists for."""
+    from big_data_song_recommendation_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["n"] for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    want = [
+        r[0]
+        for r in duck.execute(
+            "SELECT len(regexp_extract_all(t, ?))"
+            " FROM (SELECT unnest(?::VARCHAR[]) AS t)",
+            [BPE_TOKEN_PATTERN, list(texts)],
+        ).fetchall()
+    ]
+    assert got == want
