@@ -884,6 +884,15 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 10 AND 35)
     """,
+    "q65_grouping_sets_events": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(hr AS VARCHAR), 'ALL') AS hr,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
+        GROUP BY GROUPING SETS ((event_type), (hr), ())
+        ORDER BY event_type, hr
+    """,
     "q64_token_budget_by_lang": f"""
         SELECT lang,
                COUNT(*) AS n_docs,

@@ -1391,6 +1391,28 @@ def q63_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (Spark 4 DataFrame API): event stats by
+    (type), by (hour), and overall — the exact set list, NOT the full
+    cube (cube would add the unwanted (type, hour) cells). One Expand +
+    one aggregate shuffle, same plan family as q26/q32."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hr", F.hour("ts"))
+    return (
+        ev.groupingSets([["event_type"], ["hr"], []], "event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hr").cast("string"), F.lit("ALL")).alias("hr"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
 def q64_token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus token budget: whitespace vs BPE-pre-tokenizer
     counts and their fertility ratio (bpe/ws) — the estimator an LLM
@@ -1486,4 +1508,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_brand_quantity_revenue": q62_brand_quantity_revenue,
     "q63_dormant_high_balance": q63_dormant_high_balance,
     "q64_token_budget_by_lang": q64_token_budget_by_lang,
+    "q65_grouping_sets_events": q65_grouping_sets_events,
 }
