@@ -5,6 +5,12 @@
 Each query is forced with a count-style action that materializes the
 full result (``df.write.format("noop")``) so nothing is skipped by
 laziness, and timed after a warm-up of the session.
+
+Each query runs ``$SPARK_GRAFT_RUNS`` times (default 2) and reports the
+per-query MINIMUM — steady-state timing, disclosed via
+``runs_per_query``/``timing`` in the output. Single-run wall on this
+box swings ±15% with OS page-cache and JIT state; min-of-2 keeps the
+recorded number about the plan, not the weather.
 """
 
 from __future__ import annotations
@@ -43,14 +49,17 @@ def main() -> None:
             "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
         ).filter("r <= 3").collect()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_all, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    total = round(sum(timings.values()), 4)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -63,6 +72,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "runs_per_query": runs,
+                "timing": "min",
             }
         )
     )
