@@ -137,6 +137,49 @@ def test_ivf_recall_improves_with_nprobe(spark):
     assert r16 == 1.0  # probing everything is exhaustive
 
 
+def test_quantized_embeddings_roundtrip_error_bound(spark):
+    """int8 scalar quantization: per-component reconstruction error is
+    bounded by scale/2 = (hi-lo)/510, and the quantized array stays
+    tinyint of the original dimension."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    stats = q.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"), F.col("embedding_hat"),
+                    lambda a, b: F.abs(a - b),
+                )
+            )
+            - F.col("q_emb_scale") / 2
+        ).alias("worst_excess"),
+        F.min(F.size("q_emb") == F.size("embedding")).alias("dims_ok"),
+    ).first()
+    assert stats["worst_excess"] <= 1e-9
+    assert stats["dims_ok"]
+    assert dict(q.dtypes)["q_emb"] == "array<tinyint>"
+
+
+def test_quantized_knn_recall_against_brute_force(spark):
+    """Asymmetric-distance search over the int8 corpus keeps near-exact
+    top-5 (8 bits is plenty at these norms): recall ≥ 0.9."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_knn(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_quantized(emb, probes, k=5).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
 def test_lsh_knn_recall_against_brute_force(spark):
     """BucketedRandomProjectionLSH tier (SURVEY §7 risk d: parameter
     calibration): with enough hash tables the approx top-5 must
