@@ -182,6 +182,58 @@ def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFram
     return flat.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+FEATURE_DIM = 17  # 16 histogram bins + 1 entropy
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType(), False), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-media fixed-dim feature vector — 16-bin byte histogram
+    (L1-normalized) + Shannon entropy — via Arrow-batched
+    ``mapInPandas``. Unlike the decode step this needs NO codec: byte
+    distributions are real features of the payload (format detection,
+    corruption screens, near-dup blocking), and the output ``embedding``
+    column plugs straight into the similarity/dedup stack
+    (operators/similarity.py) — the multimodal→ANN composition path.
+    With codecs installed, a model-based embedder would swap in behind
+    the same schema."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if b.size == 0:
+                    vecs.append([0.0] * FEATURE_DIM)
+                    continue
+                hist = np.bincount(b >> 4, minlength=16).astype(np.float64)
+                probs = hist / b.size
+                nz = probs[probs > 0]
+                entropy = float(-(nz * np.log2(nz)).sum())
+                vecs.append([*probs.tolist(), entropy])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "embedding": vecs,
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    )
+    return flat.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
 def resize_plan(
     media: DataFrame, *, max_w: int = 256, max_h: int = 256
 ) -> DataFrame:

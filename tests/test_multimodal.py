@@ -88,3 +88,37 @@ def test_sample_frames_counts(media):
     mods = media.select(F.col("meta.modality").alias("m"), "doc_id")
     joined = sampled.select("doc_id").distinct().join(mods, "doc_id")
     assert joined.filter(F.col("m") != "video").count() == 0
+
+
+def test_extract_features_contract(spark, media):
+    """Byte-histogram embedding: fixed dim, L1-normalized histogram,
+    entropy within [0, 4] bits (16 bins), recomputed locally for one
+    row, and composable with the ANN stack."""
+    feats = multimodal.extract_features(media).cache()
+    rows = feats.limit(20).collect()
+    assert rows and all(len(r["embedding"]) == multimodal.FEATURE_DIM for r in rows)
+    for r in rows:
+        hist, entropy = r["embedding"][:16], r["embedding"][16]
+        assert math.isclose(sum(hist), 1.0, abs_tol=1e-9)
+        assert 0.0 <= entropy <= 4.0 + 1e-9
+
+    # local recompute pins the histogram math exactly
+    one = media.select("doc_id", "payload").first()
+    import numpy as np
+
+    b = np.frombuffer(bytes(one["payload"]), dtype=np.uint8)
+    want = (np.bincount(b >> 4, minlength=16) / b.size).tolist()
+    got = {r["doc_id"]: r["embedding"] for r in rows}.get(one["doc_id"])
+    if got is None:
+        got = feats.filter(F.col("doc_id") == one["doc_id"]).first()["embedding"]
+    assert got[:16] == pytest.approx(want, abs=1e-12)
+
+    # composition: the embedding column feeds the similarity operators
+    from big_data_song_recommendation_spark.operators import similarity
+
+    knn = similarity.brute_force_knn(
+        feats, feats.limit(3), id_col="doc_id", vec_col="embedding", k=3
+    )
+    out = knn.collect()
+    assert len(out) == 9
+    assert all(-1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9 for r in out)
