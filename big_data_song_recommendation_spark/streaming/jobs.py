@@ -182,12 +182,19 @@ def join_streams(
     right_ts: str = "ts",
     watermark: str = "1 hour",
     max_lag: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with dual watermarks and a bounded
-    time condition (absent in the reference — its 'streams' never met).
+    """Stream-stream join with dual watermarks and a bounded time
+    condition (absent in the reference — its 'streams' never met).
     Both sides buffer state only within [watermark + max_lag]; the time
     bound is what lets Spark evict, so it is REQUIRED, not optional.
-    Right-side columns are suffixed ``_r`` (except the key)."""
+    Right-side columns are suffixed ``_r`` (except the key).
+
+    ``how``: ``inner`` / ``left_outer`` / ``right_outer`` /
+    ``full_outer``. Outer variants emit the unmatched side null-padded
+    once the watermark passes its join-state eviction point — i.e.
+    null rows arrive [watermark + max_lag] of event time late, the
+    price of provably-complete "no match ever arrived" semantics."""
     r = right.select(
         F.col(on).alias(f"{on}_r"),
         *[F.col(c).alias(f"{c}_r") for c in right.columns if c != on],
@@ -203,7 +210,11 @@ def join_streams(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {max_lag}"))
     )
-    return lw.join(rw, cond).drop(f"{on}_r")
+    joined = lw.join(rw, cond, how)
+    if how in ("right_outer", "full_outer"):
+        # unmatched right rows carry their key only in the suffixed col
+        joined = joined.withColumn(on, F.coalesce(F.col(on), F.col(f"{on}_r")))
+    return joined.drop(f"{on}_r")
 
 
 def dedup_stream(

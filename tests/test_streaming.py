@@ -402,6 +402,54 @@ def test_stream_stream_join(spark, tmp_path):
         assert 0 <= lag <= 600, f"pair outside the lag bound: {lag}s"
 
 
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """left_outer stream-stream join: matched plays join immediately;
+    unmatched plays emit null-padded only after the watermark passes
+    their eviction point (pushed here by a late second file)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    plays = [
+        (base, 1, "item_hit", 3.0, "play"),
+        (base, 2, "item_miss", 3.0, "play"),  # no like will ever arrive
+    ]
+    likes = [(base + timedelta(minutes=2), 100, "item_hit", 5.0, "like")]
+    pd_dir, lk_dir = str(tmp_path / "plays"), str(tmp_path / "likes")
+    spark.createDataFrame(plays, SCHEMA).coalesce(1).write.parquet(pd_dir)
+    spark.createDataFrame(likes, SCHEMA).coalesce(1).write.parquet(lk_dir)
+
+    joined = jobs.join_streams(
+        jobs.file_stream(spark, pd_dir, SCHEMA),
+        jobs.file_stream(spark, lk_dir, SCHEMA),
+        "item_id",
+        watermark="10 minutes",
+        max_lag="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_louter_out")
+        .option("checkpointLocation", str(tmp_path / "ck_lo"))
+        .start()
+    )
+    q.processAllAvailable()
+    # push both watermarks far past item_miss's eviction point
+    push = [(base + timedelta(hours=6), 9, "item_push", 1.0, "play")]
+    spark.createDataFrame(push, SCHEMA).coalesce(1).write.mode("append").parquet(pd_dir)
+    spark.createDataFrame(
+        [(base + timedelta(hours=6), 9, "item_push2", 1.0, "like")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(lk_dir)
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["item_id"]: r for r in spark.sql(
+        "SELECT item_id, ts_r FROM ss_louter_out"
+    ).collect()}
+    assert rows["item_hit"]["ts_r"] is not None, "in-window match joined"
+    assert "item_miss" in rows, "unmatched left emitted after watermark"
+    assert rows["item_miss"]["ts_r"] is None, "unmatched left is null-padded"
+
+
 def test_batch_sink_epoch_write_is_idempotent(spark, tmp_path):
     """foreachBatch redelivery: re-running the same epoch must not
     duplicate rows (per-epoch partition overwrite)."""
