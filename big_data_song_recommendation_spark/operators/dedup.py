@@ -429,3 +429,78 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: iterative min-label
+    propagation over the undirected edge list → ``(node, comp)`` where
+    ``comp`` is the smallest node id in the component.
+
+    Each iteration is one shuffle (neighbor-min groupBy) + one join;
+    lineage is cut per iteration with ``localCheckpoint`` (iterative
+    plans otherwise grow exponentially under Catalyst). Converges in
+    O(diameter) rounds — dedup clusters are near-cliques (diameter
+    ≤ 2-3), so 3-4 rounds in practice; for adversarially long path
+    graphs the alternating small-star/large-star variant (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") drops it to
+    O(log n) rounds at the cost of a second shuffle per round — not
+    needed for the dedup workload this serves.
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` (a
+    diameter-``max_iter`` path would silently under-merge otherwise).
+    """
+    half = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("comp")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.col("comp").alias("old"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("comp") < F.col("old")).count()
+        labels = merged.select("node", "comp")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup removal end to end: cluster the pair list, keep each
+    cluster's smallest id as canonical, anti-join the rest out of the
+    corpus. Docs in no pair are untouched (they are their own
+    canonical)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -884,6 +884,31 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 10 AND 35)
     """,
+    "q66_near_dup_removal": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        ),
+        comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+        losers AS (SELECT node FROM comp WHERE comp < node)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN losers.node IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               COUNT(*) - CAST(SUM(CASE WHEN losers.node IS NOT NULL THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_kept
+        FROM documents
+        LEFT JOIN losers ON doc_id = losers.node
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q65_grouping_sets_events": """
         SELECT COALESCE(event_type, 'ALL') AS event_type,
                COALESCE(CAST(hr AS VARCHAR), 'ALL') AS hr,

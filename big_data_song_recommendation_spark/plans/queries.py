@@ -1413,6 +1413,33 @@ def q65_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal end to end: MinHash-LSH pairs (q20's exact
+    configuration) → connected components (min-label propagation) →
+    canonical-per-cluster kept, members dropped — per-language corpus
+    shrinkage stats. The oracle recomputes the clustering as a DuckDB
+    recursive-CTE transitive closure over the exact-Jaccard pair list
+    (q20's parity already proves the two pair lists coincide here)."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, k=3, verify_threshold=0.5
+    )
+    kept = dedup.drop_near_duplicates(docs, pairs, "doc_id")
+    return (
+        docs.select("lang", "doc_id")
+        .join(kept.select(F.col("doc_id"), F.lit(1).alias("__k")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0)).alias("n_dropped"),
+            F.count("__k").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q64_token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus token budget: whitespace vs BPE-pre-tokenizer
     counts and their fertility ratio (bpe/ws) — the estimator an LLM
@@ -1509,4 +1536,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_dormant_high_balance": q63_dormant_high_balance,
     "q64_token_budget_by_lang": q64_token_budget_by_lang,
     "q65_grouping_sets_events": q65_grouping_sets_events,
+    "q66_near_dup_removal": q66_near_dup_removal,
 }

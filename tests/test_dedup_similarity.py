@@ -217,3 +217,52 @@ def test_lsh_knn_recall_against_brute_force(spark):
     r1, r8 = recall(1), recall(8)
     assert r8 >= 0.8, f"8-table LSH recall too low: {r8}"
     assert r8 >= r1 - 0.2  # more tables must not collapse recall
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation vs a local union-find on a graph that needs
+    multiple rounds: a 7-node path (diameter 6), a triangle, an
+    isolated pair."""
+    edges = (
+        [(i, i + 1) for i in range(10, 16)]   # path 10-11-...-16
+        + [(1, 2), (2, 3), (1, 3)]            # triangle
+        + [(100, 200)]                        # pair
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(pairs, max_iter=10).collect()
+    }
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_drop_near_duplicates_keeps_canonicals(spark):
+    """End-to-end removal: one doc per cluster survives (the smallest
+    id), untouched docs pass through."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 12, 13, 14, 15, 16, 99)],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16)],
+        ["id_a", "id_b"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 99]
