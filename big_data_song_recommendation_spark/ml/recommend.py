@@ -54,6 +54,90 @@ def derive_ratings_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def time_decayed_confidence(
+    events: DataFrame,
+    *,
+    as_of: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    half_life_days: float = 30.0,
+) -> DataFrame:
+    """Recency-weighted implicit-feedback confidence (Hu-Koren style):
+    each interaction contributes ``0.5^(age_days / half_life)``, summed
+    per (user, item) → ``confidence``. The input an implicit ALS
+    (``implicitPrefs=true``, the reference's declared config) actually
+    wants — recent plays matter, year-old plays barely.
+
+    ``as_of`` is an explicit 'yyyy-MM-dd HH:mm:ss' anchor, NOT
+    current_timestamp(): determinism is a contract in this engine
+    (seeded models, oracle-checked queries), and wall-clock weights
+    would break reproducible retrains. Pure column expressions — one
+    aggregate shuffle on (user, item)."""
+    age_days = (
+        F.lit(as_of).cast("timestamp").cast("double")
+        - F.col(ts_col).cast("double")
+    ) / 86400.0
+    weight = F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    return (
+        events.groupBy(user_col, item_col)
+        .agg(F.sum(weight).alias("confidence"))
+    )
+
+
+def negative_samples(
+    positives: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    per_positive: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic unobserved (user, item) pairs with rating 0 — the
+    negative class an implicit-feedback trainer samples against.
+
+    Spark-first and crossJoin-free: each positive row proposes
+    ``per_positive`` candidate items via ``xxhash64(user, k, seed) %
+    n_items`` into a dense item index, then accidental positives are
+    anti-joined away. xxhash64, not rand(): two runs on identical
+    input MUST produce identical negatives (the determinism contract
+    rand() breaks after any shuffle). Collisions and accidental
+    positives mean per-user output can be slightly UNDER
+    per_positive×positives — standard for samplers, documented here.
+
+    The dense index is a global row_number over the distinct item
+    catalog — a single-partition sort of the CATALOG only (items are
+    dimension-sized; the fact-side work stays distributed)."""
+    from pyspark.sql import Window
+
+    items = positives.select(item_col).distinct()
+    idx = items.withColumn(
+        "__idx", F.row_number().over(Window.orderBy(item_col))
+    )
+    n_items = idx.count()
+    proposals = (
+        positives.select(user_col)
+        .withColumn("__k", F.explode(F.array(*[F.lit(i) for i in range(per_positive)])))
+        .withColumn(
+            "__idx",
+            (
+                F.abs(F.xxhash64(F.col(user_col), F.col("__k"), F.lit(seed)))
+                % F.lit(n_items)
+                + 1
+            ).cast("int"),
+        )
+        .join(F.broadcast(idx), "__idx")
+        .select(user_col, item_col)
+        .distinct()
+    )
+    return (
+        proposals.join(
+            positives.select(user_col, item_col), [user_col, item_col], "left_anti"
+        )
+        .withColumn("rating", F.lit(0.0))
+    )
+
+
 def train_als(
     ratings: DataFrame,
     *,

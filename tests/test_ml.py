@@ -168,3 +168,43 @@ def test_quality_gate_on_trained_model(spark):
     assert m.recall_at_k >= 0.5  # retrieves most of its own 5-star items
     ok, _ = evaluation.passes_quality_gate(rmse=0.3, metrics=m)
     assert ok
+
+
+def test_time_decayed_confidence_halves_per_half_life(spark):
+    """weight = 0.5^(age/half_life): an interaction one half-life old
+    counts exactly half a fresh one; confidences sum per (user,item)."""
+    from datetime import datetime
+
+    rows = [
+        (datetime(2024, 3, 1, 0, 0, 0), 1, 7),   # fresh at as_of
+        (datetime(2024, 1, 31, 0, 0, 0), 1, 7),  # exactly 30 days old
+        (datetime(2024, 3, 1, 0, 0, 0), 2, 9),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id", "item_id"])
+    out = {
+        (r["user_id"], r["item_id"]): r["confidence"]
+        for r in recommend.time_decayed_confidence(
+            df, as_of="2024-03-01 00:00:00", half_life_days=30.0
+        ).collect()
+    }
+    assert out[(2, 9)] == pytest.approx(1.0)
+    assert out[(1, 7)] == pytest.approx(1.5)  # 1.0 fresh + 0.5 one-half-life
+
+
+def test_negative_samples_deterministic_and_disjoint(spark):
+    """Negatives never overlap positives, come from the item catalog,
+    and are bit-identical across runs (xxhash64, not rand)."""
+    pos = spark.createDataFrame(
+        [(u, i, 5.0) for u in range(20) for i in range(u % 5, 40, 5)],
+        ["user_id", "item_id", "rating"],
+    )
+    neg1 = recommend.negative_samples(pos, per_positive=2, seed=7)
+    neg2 = recommend.negative_samples(pos, per_positive=2, seed=7)
+    rows1 = {(r["user_id"], r["item_id"]) for r in neg1.collect()}
+    rows2 = {(r["user_id"], r["item_id"]) for r in neg2.collect()}
+    assert rows1 == rows2 and rows1, "deterministic across runs"
+    positives = {(r["user_id"], r["item_id"]) for r in pos.collect()}
+    assert not (rows1 & positives), "no accidental positives survive"
+    catalog = {r["item_id"] for r in pos.select("item_id").distinct().collect()}
+    assert {i for _, i in rows1} <= catalog
+    assert all(r["rating"] == 0.0 for r in neg1.collect())
