@@ -106,10 +106,20 @@ def main() -> None:
             n_docs, n_emb = docs.count(), emb.count()
 
             t0 = time.perf_counter()
-            n_lsh = dedup.minhash_lsh_pairs(
+            pairs = dedup.minhash_lsh_pairs(
                 docs, "doc_id", "text", num_hashes=32, bands=8, k=3
-            ).count()
+            ).localCheckpoint()
+            n_lsh = pairs.count()
             t_lsh = time.perf_counter() - t0
+
+            # pair→cluster resolution over the (quadratically growing)
+            # LSH output: replication makes copy-groups r·k-cliques, so
+            # min-label propagation should converge in ~2 rounds however
+            # large r gets — wall should track pair volume, not rounds
+            t0 = time.perf_counter()
+            comp = dedup.connected_components(pairs)
+            n_comp = comp.select("comp").distinct().count()
+            t_cc = time.perf_counter() - t0
 
             t0 = time.perf_counter()
             n_gemm = dedup.embedding_dup_pairs_blocked(
@@ -118,7 +128,8 @@ def main() -> None:
             t_gemm = time.perf_counter() - t0
 
             print(
-                f"x{r}: docs={n_docs} lsh_pairs={n_lsh} lsh={t_lsh:.1f}s | "
+                f"x{r}: docs={n_docs} lsh_pairs={n_lsh} lsh={t_lsh:.1f}s "
+                f"clusters={n_comp} cc={t_cc:.1f}s | "
                 f"emb={n_emb} gemm_pairs={n_gemm} gemm={t_gemm:.1f}s",
                 flush=True,
             )
