@@ -884,6 +884,21 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 10 AND 35)
     """,
+    "q67_decayed_confidence": """
+        SELECT user_id, item_id,
+               floor(SUM(POWER(0.5,
+                   (epoch(TIMESTAMP '2025-07-01 00:00:00') - epoch(ts))
+                   / 86400.0 / 30.0)) * 1000.0) / 1000.0 AS confidence
+        FROM (
+            SELECT user_id, ts,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+            FROM events
+        )
+        WHERE item_id IS NOT NULL
+        GROUP BY user_id, item_id
+        ORDER BY confidence DESC, user_id ASC, item_id ASC
+        LIMIT 100
+    """,
     "q66_near_dup_removal": f"""
         WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
         edges AS (

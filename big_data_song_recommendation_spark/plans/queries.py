@@ -1440,6 +1440,31 @@ def q66_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_decayed_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback prep, oracle-visible: per-(user, item)
+    time-decayed confidence (ml/recommend.py time_decayed_confidence)
+    over the event stream against a fixed as-of anchor, top-100 by
+    confidence. Float sums are rounded coarse (3 dp) in-plan —
+    shuffle-order float accumulation differs from DuckDB's by ~ulp."""
+    from ..ml.recommend import time_decayed_confidence
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "item_id", F.get_json_object("props", "$.k").cast("int")
+    ).filter(F.col("item_id").isNotNull())
+    conf = time_decayed_confidence(
+        ev, as_of="2025-07-01 00:00:00", half_life_days=30.0
+    )
+    return (
+        conf.select(
+            "user_id",
+            "item_id",
+            scalars.stable_round(F.col("confidence"), 3).alias("confidence"),
+        )
+        .orderBy(F.desc("confidence"), F.asc("user_id"), F.asc("item_id"))
+        .limit(100)
+    )
+
+
 def q64_token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus token budget: whitespace vs BPE-pre-tokenizer
     counts and their fertility ratio (bpe/ws) — the estimator an LLM
@@ -1537,4 +1562,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_token_budget_by_lang": q64_token_budget_by_lang,
     "q65_grouping_sets_events": q65_grouping_sets_events,
     "q66_near_dup_removal": q66_near_dup_removal,
+    "q67_decayed_confidence": q67_decayed_confidence,
 }
