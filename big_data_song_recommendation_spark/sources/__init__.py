@@ -1,4 +1,5 @@
 from . import sinks  # noqa: F401
+from .batchfile_source import BatchFileDataSource  # noqa: F401
 from .readers import (  # noqa: F401
     TESTDATA_TABLES,
     load_table,

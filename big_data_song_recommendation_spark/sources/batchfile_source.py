@@ -1,0 +1,102 @@
+"""Custom Python DataSource for the reference's JSON batch-file format.
+
+The reference's streaming layer persists micro-batches as one JSON blob
+per batch — ``{batch_id, timestamp, size, interactions: [...],
+ui_summary, training_summary}`` (``src/streaming_service.py:320-344``,
+S11) — and its training service re-discovers and flattens them by hand
+(``src/training_service.py:305-341,400-412``, S14/U2). This module
+turns that interchange format into a first-class Spark connector via
+the Spark 4 Python DataSource API: ``spark.read.format("recbatch")``
+yields the FLATTENED interaction rows with batch lineage columns, one
+input partition per file (the natural parallelism unit for many small
+batch blobs — a 1000-file backlog fans out over 1000 tasks).
+
+Registration: ``spark.dataSource.register(BatchFileDataSource)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+BATCH_INTERACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("batch_ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("track_id", T.StringType(), True),
+        T.StructField("rating", T.DoubleType(), True),
+        T.StructField("action", T.StringType(), True),
+        T.StructField("play_duration_ms", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _parse_ts(v):
+    if v is None:
+        return None
+    try:
+        return datetime.fromisoformat(str(v))
+    except ValueError:
+        return None
+
+
+class _BatchFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _BatchFileReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("recbatch source requires a 'path' option")
+        self._dir = path
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one partition per batch file: lexicographic name order is the
+        # reference's time order (batch_XXXXXX_<ts>.json)
+        return [
+            _BatchFilePartition(os.path.join(self._dir, f))
+            for f in sorted(os.listdir(self._dir))
+            if f.endswith(".json")
+        ]
+
+    def read(self, partition: _BatchFilePartition) -> Iterator[tuple]:
+        with open(partition.path) as fh:
+            blob = json.load(fh)
+        batch_id = str(blob.get("batch_id", ""))
+        batch_ts = _parse_ts(blob.get("timestamp"))
+        for it in blob.get("interactions", []):
+            yield (
+                batch_id,
+                batch_ts,
+                int(it["user_id"]) if it.get("user_id") is not None else None,
+                it.get("track_id"),
+                float(it["rating"]) if it.get("rating") is not None else None,
+                it.get("action"),
+                int(it["play_duration_ms"])
+                if it.get("play_duration_ms") is not None
+                else None,
+                _parse_ts(it.get("timestamp")),
+            )
+
+
+class BatchFileDataSource(DataSource):
+    """``format("recbatch")`` — flattened reference batch files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "recbatch"
+
+    def schema(self) -> T.StructType:
+        return BATCH_INTERACTION_SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _BatchFileReader(self.options)

@@ -105,3 +105,49 @@ def test_dynamic_partition_pruning_on_lake(spark, tmp_path):
     assert joined.first()["count"] == lake.filter(
         F.col("event_date").isin(sorted(days)[:2])
     ).count()
+
+
+def test_batchfile_datasource_reads_reference_format(spark, tmp_path):
+    """The recbatch Python DataSource flattens reference-format batch
+    JSON blobs (src/streaming_service.py:320-344 shape) into interaction
+    rows with batch lineage, one input partition per file."""
+    import json
+
+    from big_data_song_recommendation_spark.sources import BatchFileDataSource
+
+    d = tmp_path / "batches"
+    d.mkdir()
+    for b in range(3):
+        blob = {
+            "batch_id": f"batch_{b:06d}",
+            "timestamp": f"2024-01-01T12:{b:02d}:00",
+            "size": 2,
+            "interactions": [
+                {
+                    "user_id": 10 * b + i,
+                    "track_id": f"trk_{i}",
+                    "rating": 3.5 + i,
+                    "action": "play",
+                    "play_duration_ms": 1000 * (i + 1),
+                    "timestamp": f"2024-01-01T12:{b:02d}:{i:02d}",
+                }
+                for i in range(2)
+            ],
+            "ui_summary": {"avg_rating": 4.0},
+        }
+        (d / f"batch_{b:06d}_ts.json").write_text(json.dumps(blob))
+
+    spark.dataSource.register(BatchFileDataSource)
+    df = spark.read.format("recbatch").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 3, "one partition per batch file"
+    rows = df.collect()
+    assert len(rows) == 6
+    by_key = {(r["batch_id"], r["user_id"]): r for r in rows}
+    r = by_key[("batch_000001", 11)]
+    assert r["track_id"] == "trk_1" and r["rating"] == 4.5
+    assert r["play_duration_ms"] == 2000 and r["action"] == "play"
+    assert r["ts"].minute == 1 and r["ts"].second == 1
+    assert r["batch_ts"].minute == 1 and r["batch_ts"].second == 0
+    # and it's a real DataFrame: aggregates/joins compose on top
+    agg = df.groupBy("batch_id").count().collect()
+    assert all(x["count"] == 2 for x in agg)
