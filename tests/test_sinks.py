@@ -151,3 +151,51 @@ def test_batchfile_datasource_reads_reference_format(spark, tmp_path):
     # and it's a real DataFrame: aggregates/joins compose on top
     agg = df.groupBy("batch_id").count().collect()
     assert all(x["count"] == 2 for x in agg)
+
+
+def test_batchfile_datasource_streaming_discovery(spark, tmp_path):
+    """Streaming recbatch: new batch files are discovered and consumed
+    exactly once via the checkpointed last-filename offset — the
+    reference's raw/processed-dir diff without marker copies."""
+    import json
+
+    from big_data_song_recommendation_spark.sources import BatchFileDataSource
+
+    d = tmp_path / "stream_batches"
+    d.mkdir()
+
+    def write_batch(b: int) -> None:
+        blob = {
+            "batch_id": f"batch_{b:06d}",
+            "timestamp": f"2024-01-01T12:{b:02d}:00",
+            "interactions": [
+                {"user_id": 10 * b + i, "track_id": f"trk_{i}", "rating": 4.0,
+                 "action": "play", "play_duration_ms": 500,
+                 "timestamp": f"2024-01-01T12:{b:02d}:{i:02d}"}
+                for i in range(2)
+            ],
+        }
+        (d / f"batch_{b:06d}_ts.json").write_text(json.dumps(blob))
+
+    write_batch(0)
+    write_batch(1)
+    spark.dataSource.register(BatchFileDataSource)
+    stream = spark.readStream.format("recbatch").option("path", str(d)).load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("recbatch_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck_rb"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT COUNT(*) c FROM recbatch_stream_out").first()["c"] == 4
+    write_batch(2)  # arrives mid-stream
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT batch_id, COUNT(*) n FROM recbatch_stream_out GROUP BY batch_id"
+    ).collect()
+    assert {r["batch_id"]: r["n"] for r in rows} == {
+        "batch_000000": 2, "batch_000001": 2, "batch_000002": 2,
+    }, "each file consumed exactly once"
