@@ -83,18 +83,52 @@ class _BatchFileReader(DataSourceReader):
         if not path:
             raise ValueError("recbatch source requires a 'path' option")
         self._dir = path
+        self._batch_ids: set[str] | None = None  # None = no pruning
 
     def partitions(self) -> Sequence[InputPartition]:
         # one partition per batch file: lexicographic name order is the
         # reference's time order (batch_XXXXXX_<ts>.json)
-        return [
-            _BatchFilePartition(os.path.join(self._dir, f))
-            for f in sorted(os.listdir(self._dir))
-            if f.endswith(".json")
-        ]
+        names = sorted(f for f in os.listdir(self._dir) if f.endswith(".json"))
+        if self._batch_ids is not None:
+            names = [
+                f
+                for f in names
+                if any(f.startswith(b + "_") or f == b + ".json" for b in self._batch_ids)
+            ]
+        return [_BatchFilePartition(os.path.join(self._dir, f)) for f in names]
 
     def read(self, partition: _BatchFilePartition) -> Iterator[tuple]:
         yield from _read_blob(partition.path)
+
+
+class _BatchFileReaderWithPushdown(_BatchFileReader):
+    """Variant implementing ``pushFilters`` — merely DEFINING the method
+    makes Spark require ``spark.sql.python.filterPushdown.enabled``
+    (on in this engine's session factory), so the plain reader above
+    stays usable under vanilla sessions (``option("pushdown","false")``
+    selects it explicitly)."""
+
+    def pushFilters(self, filters):
+        """File-level pruning from pushed ``batch_id`` predicates: the
+        naming convention embeds the batch id as the filename prefix
+        (``batch_XXXXXX_<ts>.json``), so an EqualTo/In on batch_id
+        skips whole files. The filter is still RE-YIELDED so Spark
+        re-checks rows post-scan — pruning is an optimization, never a
+        correctness dependency on file naming."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("batch_id",):
+                wanted = {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("batch_id",):
+                wanted = {str(v) for v in f.value}
+            else:
+                yield f
+                continue
+            self._batch_ids = (
+                wanted if self._batch_ids is None else self._batch_ids & wanted
+            )
+            yield f  # conservative: Spark re-evaluates it post-scan
 
 
 class _BatchFileStreamReader(SimpleDataSourceStreamReader):
@@ -157,7 +191,9 @@ class BatchFileDataSource(DataSource):
         return BATCH_INTERACTION_SCHEMA
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
-        return _BatchFileReader(self.options)
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _BatchFileReader(self.options)
+        return _BatchFileReaderWithPushdown(self.options)
 
     def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
         return _BatchFileStreamReader(self.options)

@@ -199,3 +199,37 @@ def test_batchfile_datasource_streaming_discovery(spark, tmp_path):
     assert {r["batch_id"]: r["n"] for r in rows} == {
         "batch_000000": 2, "batch_000001": 2, "batch_000002": 2,
     }, "each file consumed exactly once"
+
+
+def test_batchfile_datasource_prunes_files_on_pushed_filter(spark, tmp_path):
+    """A pushed batch_id predicate prunes whole FILES (the id is the
+    filename prefix) — partitions shrink to the matching file, and
+    results are identical to the unpruned read + filter."""
+    import json
+
+    from big_data_song_recommendation_spark.sources import BatchFileDataSource
+
+    d = tmp_path / "pruned_batches"
+    d.mkdir()
+    for b in range(4):
+        blob = {
+            "batch_id": f"batch_{b:06d}",
+            "timestamp": f"2024-01-01T12:{b:02d}:00",
+            "interactions": [
+                {"user_id": b, "track_id": "t", "rating": 1.0, "action": "play",
+                 "play_duration_ms": 1, "timestamp": f"2024-01-01T12:{b:02d}:01"}
+            ],
+        }
+        (d / f"batch_{b:06d}_ts.json").write_text(json.dumps(blob))
+
+    spark.dataSource.register(BatchFileDataSource)
+    base = spark.read.format("recbatch").option("path", str(d))
+    one = base.load().filter(F.col("batch_id") == "batch_000002")
+    assert one.rdd.getNumPartitions() == 1, "pruned to the matching file"
+    rows = one.collect()
+    assert len(rows) == 1 and rows[0]["user_id"] == 2
+    both = base.load().filter(
+        F.col("batch_id").isin("batch_000001", "batch_000003")
+    )
+    assert both.rdd.getNumPartitions() == 2
+    assert sorted(r["user_id"] for r in both.collect()) == [1, 3]
