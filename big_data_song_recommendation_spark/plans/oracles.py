@@ -884,6 +884,20 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 10 AND 35)
     """,
+    "q68_variant_props": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               floor(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE) * 10000.0) / 10000.0 AS pct_high
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q67_decayed_confidence": """
         SELECT user_id, item_id,
                floor(SUM(POWER(0.5,

@@ -1465,6 +1465,31 @@ def q67_decayed_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the Spark 4 VARIANT type: parse_json
+    once, typed try_variant_get extraction (the successor to q13's
+    per-access get_json_object string-walking — VARIANT parses the
+    JSON a single time into a binary form and all later extractions
+    are O(field) lookups, the difference that matters when props grows
+    to kilobytes at 100 TB). High-k share per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+            scalars.stable_round(
+                F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("pct_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q64_token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus token budget: whitespace vs BPE-pre-tokenizer
     counts and their fertility ratio (bpe/ws) — the estimator an LLM
@@ -1563,4 +1588,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_grouping_sets_events": q65_grouping_sets_events,
     "q66_near_dup_removal": q66_near_dup_removal,
     "q67_decayed_confidence": q67_decayed_confidence,
+    "q68_variant_props": q68_variant_props,
 }
