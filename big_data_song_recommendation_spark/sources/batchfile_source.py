@@ -25,8 +25,10 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 BATCH_INTERACTION_SCHEMA = T.StructType(
@@ -179,6 +181,71 @@ class _BatchFileStreamReader(SimpleDataSourceStreamReader):
         pass  # no external cleanup; the offset is the whole state
 
 
+class _BatchFileCommit(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class _BatchFileWriter(DataSourceWriter):
+    """Writes rows of :data:`BATCH_INTERACTION_SCHEMA` back into the
+    reference's one-JSON-per-batch format: one file per (batch_id,
+    partition). Repartition by ``batch_id`` first if a batch must land
+    in a single file. Append-only — the format has no atomic overwrite,
+    and the reference's consumers treat files as immutable once named."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("recbatch sink requires a 'path' option")
+        self._dir = path
+
+    def write(self, iterator) -> _BatchFileCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        groups: dict[str, list] = {}
+        batch_ts: dict[str, str] = {}
+        for row in iterator:
+            groups.setdefault(row["batch_id"], []).append(
+                {
+                    "user_id": row["user_id"],
+                    "track_id": row["track_id"],
+                    "rating": row["rating"],
+                    "action": row["action"],
+                    "play_duration_ms": row["play_duration_ms"],
+                    "timestamp": row["ts"].isoformat() if row["ts"] else None,
+                }
+            )
+            if row["batch_ts"] is not None:
+                batch_ts[row["batch_id"]] = row["batch_ts"].isoformat()
+        os.makedirs(self._dir, exist_ok=True)
+        files = []
+        for batch_id, interactions in sorted(groups.items()):
+            name = f"{batch_id}_p{pid:05d}.json"
+            blob = {
+                "batch_id": batch_id,
+                "timestamp": batch_ts.get(batch_id),
+                "size": len(interactions),
+                "interactions": interactions,
+            }
+            with open(os.path.join(self._dir, name), "w") as fh:
+                json.dump(blob, fh)
+            files.append(name)
+        return _BatchFileCommit(files)
+
+    def commit(self, messages) -> None:
+        pass  # files are final on write; task retries overwrite same names
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                for f in m.files:
+                    try:
+                        os.remove(os.path.join(self._dir, f))
+                    except OSError:
+                        pass
+
+
 class BatchFileDataSource(DataSource):
     """``format("recbatch")`` — flattened reference batch files, batch
     and streaming (file-discovery) variants."""
@@ -197,3 +264,11 @@ class BatchFileDataSource(DataSource):
 
     def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
         return _BatchFileStreamReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError(
+                "recbatch sink is append-only (the format has no atomic "
+                "overwrite; reference consumers treat batch files as immutable)"
+            )
+        return _BatchFileWriter(self.options)

@@ -233,3 +233,45 @@ def test_batchfile_datasource_prunes_files_on_pushed_filter(spark, tmp_path):
     )
     assert both.rdd.getNumPartitions() == 2
     assert sorted(r["user_id"] for r in both.collect()) == [1, 3]
+
+
+def test_batchfile_datasource_write_read_roundtrip(spark, tmp_path):
+    """Writer side: a DataFrame of interaction rows lands as reference-
+    format batch JSON (one file per batch_id after repartitioning by
+    it), and reading it back yields the same rows."""
+    from datetime import datetime
+
+    from big_data_song_recommendation_spark.sources import (
+        BatchFileDataSource,
+        batchfile_source,
+    )
+
+    spark.dataSource.register(BatchFileDataSource)
+    rows = [
+        (f"batch_{b:06d}", datetime(2024, 1, 1, 12, b, 0), 10 * b + i,
+         f"trk_{i}", 2.0 + i, "play", 100 * (i + 1),
+         datetime(2024, 1, 1, 12, b, i))
+        for b in range(2)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, batchfile_source.BATCH_INTERACTION_SCHEMA)
+    out = str(tmp_path / "written_batches")
+    (
+        df.repartition(2, "batch_id")
+        .write.format("recbatch")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    import os
+
+    names = sorted(os.listdir(out))
+    assert len(names) == 2 and all(n.endswith(".json") for n in names)
+    back = spark.read.format("recbatch").option("path", out).load()
+    got = {
+        (r["batch_id"], r["user_id"], r["track_id"], r["rating"],
+         r["play_duration_ms"], r["ts"])
+        for r in back.collect()
+    }
+    want = {(r[0], r[2], r[3], r[4], r[6], r[7]) for r in rows}
+    assert got == want
