@@ -542,3 +542,70 @@ def start_pipeline(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+class BatchMetricsListener:
+    """Per-micro-batch observability — the reference computed its
+    ``training_summary`` / dashboard stats by hand inside each batch
+    handler (``src/streaming_service.py:320-344``); Structured
+    Streaming already emits them through the listener bus, so this
+    collects (query, batch_id, rows, rows/sec, trigger ts) and exposes
+    the history as a DataFrame for the serving layer.
+
+    Implemented lazily against ``StreamingQueryListener`` so importing
+    this module never requires a live listener bus.
+    """
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("query_name", T.StringType(), True),
+            T.StructField("batch_id", T.LongType(), False),
+            T.StructField("num_input_rows", T.LongType(), False),
+            T.StructField("rows_per_sec", T.DoubleType(), True),
+            T.StructField("trigger_ts", T.StringType(), True),
+        ]
+    )
+
+    def __init__(self) -> None:
+        self.records: list[tuple] = []
+        self._listener = None
+
+    def attach(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                outer.records.append(
+                    (
+                        p.name,
+                        int(p.batchId),
+                        int(p.numInputRows),
+                        float(p.processedRowsPerSecond)
+                        if p.processedRowsPerSecond is not None
+                        else None,
+                        p.timestamp,
+                    )
+                )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def detach(self, spark: SparkSession) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.records, self.SCHEMA)
