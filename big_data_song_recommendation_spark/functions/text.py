@@ -43,8 +43,14 @@ def token_count(col: Column | str) -> Column:
 #: original's trailing-space lookahead arm is dropped so the pattern
 #: stays engine-portable: RE2 (DuckDB) has no lookahead, and the arm
 #: only re-shapes whitespace-run boundaries — token counts are
-#: unaffected for all inputs.
-BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: unaffected for all inputs. Whitespace is the explicit class
+#: [ \t\n\f\r] rather than \s, because Java's \s includes \x0B and
+#: RE2's does not — with the explicit class both engines classify
+#: \x0B as a punctuation char and the counts stay bit-identical.
+BPE_TOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+"
+)
 
 
 def bpe_token_count(col: Column | str) -> Column:

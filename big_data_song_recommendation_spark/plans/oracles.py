@@ -960,7 +960,7 @@ ORACLES: dict[str, str] = {
             SELECT lang,
                    {_TOKEN_COUNT} AS ws,
                    len(regexp_extract_all(text,
-                       '''(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+                       '''(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\f\\r\\p{{L}}\\p{{N}}]+|[ \\t\\n\\f\\r]+'
                    )) AS bpe
             FROM documents
         )
