@@ -110,10 +110,21 @@ def first_list_element(col: Column | str) -> Column:
 
 
 # -- F15: weighted choice via rand + cumulative thresholds
-# (src/streaming_service.py:246-257).
-def weighted_choice(options: Sequence[tuple[str, float]], seed: int | None = None) -> Column:
+# (src/streaming_service.py:246-257). Pass `driver` to derive the
+# uniform from a hash of that column instead of F.rand — rand(seed) is
+# partition-layout dependent, so only the hash form is replay-stable
+# across restarts/repartitioning (the determinism contract
+# synthetic_interactions documents).
+def weighted_choice(
+    options: Sequence[tuple[str, float]],
+    seed: int | None = None,
+    driver: Column | str | None = None,
+) -> Column:
     total = sum(w for _, w in options)
-    r = F.rand(seed) * total
+    if driver is not None:
+        r = (md5_bucket(_c(driver), 1_000_000) / F.lit(1_000_000.0)) * total
+    else:
+        r = F.rand(seed) * total
     acc = 0.0
     expr = None
     for label, w in options:

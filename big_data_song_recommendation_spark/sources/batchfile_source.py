@@ -202,7 +202,9 @@ class _BatchFileWriter(DataSourceWriter):
     def write(self, iterator) -> _BatchFileCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         groups: dict[str, list] = {}
         batch_ts: dict[str, str] = {}
         for row in iterator:
@@ -228,15 +230,25 @@ class _BatchFileWriter(DataSourceWriter):
                 "size": len(interactions),
                 "interactions": interactions,
             }
-            with open(os.path.join(self._dir, name), "w") as fh:
+            # temp-then-rename: a speculative/retried attempt of this
+            # partition writing the same final name concurrently must
+            # never interleave into corrupt JSON. The temp name carries
+            # the task attempt id (unique per attempt); os.replace is
+            # atomic on POSIX, so readers only ever see complete files
+            # and the last finishing attempt wins with identical bytes.
+            tmp = os.path.join(self._dir, f".{name}.tmp-{attempt}")
+            with open(tmp, "w") as fh:
                 json.dump(blob, fh)
+            os.replace(tmp, os.path.join(self._dir, name))
             files.append(name)
         return _BatchFileCommit(files)
 
     def commit(self, messages) -> None:
-        pass  # files are final on write; task retries overwrite same names
+        pass  # files became final atomically in write()
 
     def abort(self, messages) -> None:
+        # messages only cover successful tasks; failed attempts may
+        # have left .{name}.tmp-{attempt} orphans — sweep those too.
         for m in messages:
             if m is not None:
                 for f in m.files:
@@ -244,6 +256,15 @@ class _BatchFileWriter(DataSourceWriter):
                         os.remove(os.path.join(self._dir, f))
                     except OSError:
                         pass
+        try:
+            for f in os.listdir(self._dir):
+                if f.startswith(".") and ".tmp-" in f:
+                    try:
+                        os.remove(os.path.join(self._dir, f))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
 
 
 class BatchFileDataSource(DataSource):

@@ -45,9 +45,38 @@ def synthetic_interactions(spark: SparkSession, rows_per_second: int = 50) -> Da
         F.concat(F.lit("item_"), md5_bucket(F.col("value") * 13, 100)).alias("item_id"),
         F.round(rating, 2).alias("rating"),
         weighted_choice(
-            [("play", 0.4), ("like", 0.2), ("replay", 0.15), ("skip", 0.15), ("share", 0.1)]
+            [("play", 0.4), ("like", 0.2), ("replay", 0.15), ("skip", 0.15), ("share", 0.1)],
+            driver=F.col("value") * 31,
         ).alias("action"),
     )
+
+
+def kafka_source_options(bootstrap: str, topics: list[str]) -> dict[str, str]:
+    """The Kafka source's option contract (ref
+    ``src/streaming/kafka_consumer.py:10-19``: bootstrap + topic list).
+    Split out so the wiring is testable without spark-sql-kafka on the
+    classpath — a regression here breaks every Kafka deployment even
+    though no test in this image can start the source."""
+    if not topics:
+        raise ValueError("kafka_topic_stream needs at least one topic")
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": ",".join(topics),
+    }
+
+
+def parse_kafka_records(raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """Projection from Kafka's fixed record schema (key/value binary,
+    topic, partition, offset, timestamp, timestampType) to typed rows:
+    JSON value parsed with the declared schema, ``topic`` kept for
+    downstream fan-out filters (T1 multi-topic routing). Pure column
+    expressions — contract-tested on a batch DataFrame with the same
+    shape, so the parse stage stays covered without a broker."""
+    return raw.select(
+        F.col("topic"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+    ).select("topic", "kafka_ts", "v.*")
 
 
 def kafka_topic_stream(
@@ -56,18 +85,11 @@ def kafka_topic_stream(
     """T1/S8: one Kafka stream over N topics, JSON values parsed with a
     declared schema; downstream fan-out filters on ``topic``. Requires
     the spark-sql-kafka package on the classpath (not in this image —
-    covered by contract tests only where available)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", ",".join(topics))
-        .load()
-    )
-    return raw.select(
-        F.col("topic"),
-        F.col("timestamp").alias("kafka_ts"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-    ).select("topic", "kafka_ts", "v.*")
+    the option and parse contracts are tested standalone above)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap, topics).items():
+        reader = reader.option(k, v)
+    return parse_kafka_records(reader.load(), value_schema)
 
 
 def file_stream(
@@ -463,7 +485,29 @@ class BatchSink:
         self.snapshot = snapshot
         self.retrain_every = retrain_every
         self.on_retrain = on_retrain
-        self._since_retrain = 0
+
+    # The retrain trigger state lives in a JSON file beside the data,
+    # not in driver memory: after a streaming-query restart a fresh
+    # BatchSink instance picks up the accumulated count, so the
+    # "retrain every N batches" contract (the reference's ≥3-pending
+    # trigger, src/training_service.py:134-135) survives failures.
+    # last_epoch guards the foreachBatch retry case — a re-delivered
+    # epoch must not double-count.
+    @property
+    def _state_path(self) -> Path:
+        return self.out_dir / "retrain_state.json"
+
+    def _load_state(self) -> dict:
+        try:
+            return json.loads(self._state_path.read_text())
+        except (OSError, ValueError):
+            return {"since_retrain": 0, "last_epoch": -1}
+
+    def _save_state(self, state: dict) -> None:
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._state_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(state))
+        tmp.replace(self._state_path)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -478,14 +522,25 @@ class BatchSink:
         if self.snapshot:
             snap = batch_snapshot(batch_df)
             snap["epoch"] = epoch_id
+            # wall-clock flush time: operational metadata for the
+            # /batches/files history endpoint (not part of any
+            # determinism-checked result)
+            from datetime import datetime, timezone
+
+            snap["ts"] = datetime.now(timezone.utc).isoformat()
             snap_dir = self.out_dir / "snapshots"
             snap_dir.mkdir(parents=True, exist_ok=True)
             (snap_dir / f"batch_{epoch_id:06d}.json").write_text(json.dumps(snap))
         if self.retrain_every is not None:
-            self._since_retrain += 1
-            if self._since_retrain >= self.retrain_every:
-                self._since_retrain = 0
-                if self.on_retrain is not None:
+            state = self._load_state()
+            if epoch_id > state["last_epoch"]:  # skip re-delivered epochs
+                state["since_retrain"] += 1
+                state["last_epoch"] = epoch_id
+                fire = state["since_retrain"] >= self.retrain_every
+                if fire:
+                    state["since_retrain"] = 0
+                self._save_state(state)
+                if fire and self.on_retrain is not None:
                     self.on_retrain(epoch_id)
 
 
