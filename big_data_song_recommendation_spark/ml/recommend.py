@@ -35,21 +35,41 @@ class ALSResult:
 
 def derive_ratings_from_events(events: DataFrame) -> DataFrame:
     """Turn the generic event stream into (user, item, rating):
-    item = the JSON ``props.k`` field, rating = action-weighted value
-    bucket (the reference derived ratings from popularity buckets +
-    noise, F8 — here deterministic, no noise)."""
+    item = the JSON ``props.k`` field, rating = popularity bucket of
+    the pair's avg value (the reference derived ratings from
+    popularity buckets + noise, F8 — here deterministic, no noise).
+
+    avg_value is min-max rescaled to the 0-100 popularity scale the
+    bucketer expects via a 1-row global aggregate broadcast back onto
+    the pairs (scale-safe: the extra pass is a map-side-combined
+    min/max, the join is a 1-row broadcast). The r1 form bucketed
+    ``avg % 100`` directly, which compressed concentrated averages
+    into the bottom buckets; rescaling spans the full 1-5 range for
+    any non-constant value distribution."""
     from ..functions.scalars import rating_from_popularity
 
     k = F.get_json_object("props", "$.k").cast("int")
-    return (
+    pairs = (
         events.withColumn("item_id", k)
         .filter(F.col("item_id").isNotNull())
         .groupBy("user_id", "item_id")
         .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+    )
+    stats = pairs.agg(
+        F.min("avg_value").alias("__lo"), F.max("avg_value").alias("__hi")
+    )
+    pop = F.coalesce(
+        (F.col("avg_value") - F.col("__lo"))
+        / (F.col("__hi") - F.col("__lo"))
+        * 100.0,
+        F.lit(50.0),  # degenerate all-equal distribution → mid bucket
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
         .select(
             "user_id",
             "item_id",
-            rating_from_popularity(F.col("avg_value") % 100).alias("rating"),
+            rating_from_popularity(pop).alias("rating"),
         )
     )
 

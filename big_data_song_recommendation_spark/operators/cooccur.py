@@ -50,14 +50,23 @@ def with_lift(
     pairs: DataFrame, user_items: DataFrame, *, user_col: str = "user_id", item_col: str = "item_id"
 ) -> DataFrame:
     """Attach lift = P(a,b) / (P(a)·P(b)): co-count scaled by the user
-    universe over the item popularity product."""
+    universe over the item popularity product.
+
+    The user-universe scalar is folded in as a 1-row broadcast
+    cross-join, NOT a driver-side ``count()`` — an eager count would
+    execute the upstream plan a second time whenever the caller didn't
+    cache it, and keeps construction lazy (one action total at the
+    caller's terminal op)."""
     ui = user_items.select(user_col, item_col).distinct()
-    n_users = ui.select(user_col).distinct().count()
+    n_users = ui.agg(
+        F.count_distinct(F.col(user_col)).cast("double").alias("__n_users")
+    )
     item_n = ui.groupBy(F.col(item_col).alias("iid")).agg(F.count("*").alias("n"))
     na, nb = item_n.alias("na"), item_n.alias("nb")
-    lift = (F.col("n_co") * F.lit(float(n_users))) / (F.col("na.n") * F.col("nb.n"))
+    lift = (F.col("n_co") * F.col("__n_users")) / (F.col("na.n") * F.col("nb.n"))
     return (
         pairs.join(na, F.col("item_a") == F.col("na.iid"))
         .join(nb, F.col("item_b") == F.col("nb.iid"))
+        .crossJoin(F.broadcast(n_users))
         .select("item_a", "item_b", "n_co", F.round(lift, 4).alias("lift"))
     )

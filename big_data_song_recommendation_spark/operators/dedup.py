@@ -325,7 +325,12 @@ def embedding_dup_pairs_blocked(
     unrolled-codegen join, ~100× vs higher-order folds). Replication
     factor is ``n_blocks`` per row; per-group memory is
     2·(n/n_blocks)·dim doubles — size blocks so a group fits an
-    executor (here: n/32 per block).
+    executor.
+
+    Construction is LAZY: block count comes from the caller's
+    ``n_blocks`` or from Catalyst's size estimate (file statistics —
+    no job runs), never from an eager ``count()``. At 100 TB an extra
+    full pass just to size blocks would dwarf the GEMM itself.
     """
     import math as _math
 
@@ -333,11 +338,16 @@ def embedding_dup_pairs_blocked(
 
     from ..functions import vectors
 
-    n = df.count()
-    if n == 0:
-        schema = "id_a long, id_b long, cosine double"
-        return df.sparkSession.createDataFrame([], schema)
-    B = n_blocks or max(1, min(32, _math.ceil(n / 512)))
+    if n_blocks is None:
+        # Catalyst sizeInBytes is derived from source file stats —
+        # available without executing the plan. Target ~300 KB of
+        # vector payload per block (≈512 rows at dim 64), capped so
+        # tiny inputs don't over-replicate.
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        n_blocks = max(1, min(32, _math.ceil(size_bytes / 300_000)))
+    B = n_blocks
     v = df.select(
         F.col(id_col).cast("long").alias("vid"),
         vectors.as_double_array(vec_col).alias("v"),

@@ -109,16 +109,53 @@ def fuzzy_lookup_join(
     )
 
 
-def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
-    """J6 done right: join by row position via row_number (the
-    reference used a modulo into a collected list,
-    ``src/app.py:233-245``)."""
+def _with_position(df: DataFrame) -> DataFrame:
+    """Assign a global 1-based row position WITHOUT a global sort.
+
+    zipWithIndex-style partition-offset arithmetic, kept declarative:
+    (a) row_number within each input partition (distributed per-
+    partition sorts over monotonically_increasing_id, which is
+    order-preserving within a partition), (b) per-partition row counts
+    — an aggregate of #partitions rows, (c) each partition's offset =
+    sum of counts of earlier partitions via a broadcast triangle join
+    on the tiny counts table. No single-partition Exchange anywhere:
+    the old form's Window.orderBy(mid) pulled the FULL dataset onto
+    one task, which dies at scale; here only the #partitions-row
+    offsets table is ever centralized (broadcast).
+
+    Positions follow partition order, matching the old global-sort
+    semantics for any deterministically-ordered source (file scans).
+    """
     from pyspark.sql import Window
 
-    lw = left.withColumn(
-        "__pos", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+    base = df.withColumn("__part", F.spark_partition_id())
+    w = Window.partitionBy("__part").orderBy(F.monotonically_increasing_id())
+    idx = base.withColumn("__idx", F.row_number().over(w))
+    sizes = base.groupBy("__part").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = (
+        sizes.alias("a")
+        .join(
+            F.broadcast(sizes.alias("b")),
+            F.col("b.__part") < F.col("a.__part"),
+            "left",
+        )
+        .groupBy(F.col("a.__part").alias("__part"))
+        .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).alias("__off"))
     )
-    rw = right.withColumn(
-        "__pos", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+    return (
+        idx.join(F.broadcast(offsets), "__part")
+        .withColumn("__pos", (F.col("__off") + F.col("__idx")).cast("long"))
+        .drop("__part", "__idx", "__off")
     )
+
+
+def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """J6 done right: join by row position (the reference used a
+    modulo into a collected list, ``src/app.py:233-245``), with
+    scale-safe position assignment — see :func:`_with_position`.
+    Note each side's plan is evaluated twice (index + counts
+    branches); cache the inputs if they are expensive to recompute.
+    """
+    lw = _with_position(left)
+    rw = _with_position(right)
     return lw.join(rw, "__pos", "inner").drop("__pos")

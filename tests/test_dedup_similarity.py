@@ -266,3 +266,48 @@ def test_drop_near_duplicates_keeps_canonicals(spark):
         r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()
     )
     assert kept == [1, 10, 99]
+
+
+def test_blocked_gemm_construction_is_lazy_and_matches_brute(spark):
+    """VERDICT r1 #9: embedding_dup_pairs_blocked must not run a job
+    (eager count) during construction — block sizing comes from
+    Catalyst file stats / caller n_blocks. And its output must equal
+    the brute-force all-pairs path."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant near-dups: 100+i ≈ i for i in 0..9
+    for i in range(10):
+        v = np.array(rows[i][1]) + rng.normal(scale=0.01, size=16)
+        rows.append((200 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, ["doc_id", "vec"])
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+    blocked = dedup.embedding_dup_pairs_blocked(
+        df, "doc_id", "vec", threshold=0.95
+    )
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, (
+        "operator construction fired a Spark job (eager action)"
+    )
+
+    got = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(
+            df, "doc_id", "vec", threshold=0.95
+        ).collect()
+    }
+    assert got == brute and len(got) >= 10
+
+
+def test_blocked_gemm_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, vec array<double>")
+    out = dedup.embedding_dup_pairs_blocked(df, "doc_id", "vec")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]

@@ -26,6 +26,15 @@ def test_ratings_shape(ratings):
     assert 1.0 <= row["rating"] <= 5.0
 
 
+def test_ratings_span_bucket_range(ratings):
+    """VERDICT r1: min-max rescaling must spread ratings across the
+    1-5 popularity buckets instead of compressing to the bottom two
+    (the old avg%100 fold's failure mode)."""
+    buckets = {r["rating"] for r in ratings.select("rating").distinct().collect()}
+    assert len(buckets) >= 4, buckets
+    assert buckets <= {1.0, 2.0, 3.0, 4.0, 5.0}
+
+
 def test_als_seeded_rankings_reproducible(spark, ratings):
     def run():
         res = recommend.train_als(

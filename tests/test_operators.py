@@ -109,6 +109,21 @@ def test_positional_join(spark):
     assert len(out) == 5
 
 
+def test_positional_join_multi_partition_no_global_sort(spark):
+    """The scale contract for J6: positions come from partition-offset
+    arithmetic, so pairing is exact across many partitions and the
+    plan contains NO single-partition Exchange (the old global
+    Window.orderBy(mid) form pulled the full dataset onto one task)."""
+    left = spark.range(0, 1000, 1, 8).select(F.col("id").alias("l"))
+    right = spark.range(0, 1000, 1, 8).select((F.col("id") * 10).alias("r"))
+    joined = joins.positional_join(left, right)
+    rows = joined.collect()
+    assert len(rows) == 1000
+    assert all(r["r"] == r["l"] * 10 for r in rows), "position pairing exact"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_sql_string_interface(spark):
     """The engine's tables are queryable through plain spark.sql after
     register_views — the SQL API surface works end-to-end."""
@@ -244,3 +259,35 @@ def test_cooccurrence_cap_bounds_fanout(spark):
     assert capped.count() == 10
     pair01 = capped.filter("item_a = 0 AND item_b = 1").first()
     assert pair01["n_co"] == 3  # users 1 (capped set), 2, 3
+
+
+def test_s3a_conf_contract():
+    """S12: object-store access is pure configuration — the helper
+    must emit the canonical fs.s3a.* keys the hadoop-aws connector
+    consumes, mirroring the reference MinIO client's connection
+    contract (src/storage/minio_client.py:6-21, no live store
+    needed)."""
+    from big_data_song_recommendation_spark.session import (
+        REFERENCE_BUCKETS,
+        s3a_conf,
+        s3a_conf_from_env,
+    )
+
+    conf = s3a_conf("localhost:9000", "ak", "sk")
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "false"
+
+    tls = s3a_conf("minio.internal:9000", "ak", "sk", ssl=True)
+    assert tls["spark.hadoop.fs.s3a.endpoint"] == "https://minio.internal:9000"
+    assert tls["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "true"
+
+    env = s3a_conf_from_env({})  # reference defaults
+    assert env["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert env["spark.hadoop.fs.s3a.access.key"] == "minioadmin"
+    env2 = s3a_conf_from_env({"MINIO_ENDPOINT": "store:9001", "MINIO_SSL": "true"})
+    assert env2["spark.hadoop.fs.s3a.endpoint"] == "https://store:9001"
+
+    assert len(REFERENCE_BUCKETS) == 6  # the reference's bucket layout
