@@ -47,6 +47,11 @@ def token_count(col: Column | str) -> Column:
 #: [ \t\n\f\r] rather than \s, because Java's \s includes \x0B and
 #: RE2's does not — with the explicit class both engines classify
 #: \x0B as a punctuation char and the counts stay bit-identical.
+#: Residual engine-skew boundary: \p{L}/\p{N} membership of code
+#: points assigned AFTER the JVM's Unicode table version (Java 17 =
+#: Unicode 13) can differ from RE2's newer tables — counts are
+#: bit-identical for all stably-assigned scripts (property-tested),
+#: and converge for the rest as the JDK's tables update.
 BPE_TOKEN_PATTERN = (
     r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+"
     r"| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+"

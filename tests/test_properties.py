@@ -127,12 +127,37 @@ def test_normalized_text_matches_duckdb_on_unicode(spark, duck, texts):
     assert got == want
 
 
+# Code points from Unicode blocks stably assigned since ≤ Unicode 13
+# (Java 17's regex table version). The two engines CANNOT agree on
+# letter-hood of code points assigned later (e.g. U+1E4D0 Nag Mundari,
+# Unicode 15: RE2's newer tables say \p{L}, Java 17 says unassigned) —
+# that's a JVM-table-version gap, not a pattern bug, and it vanishes
+# as the JDK updates. Parity is claimed and tested for text drawn
+# from long-stable scripts: ASCII + controls (incl. \x0B), Latin
+# extended, Greek, Cyrillic, Devanagari, kana, CJK, emoji.
+_STABLE_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x09, max_codepoint=0x0D),  # \t\n\x0b\f\r
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),  # ASCII
+        st.characters(min_codepoint=0xA0, max_codepoint=0x24F),  # Latin ext
+        st.characters(min_codepoint=0x391, max_codepoint=0x4FF),  # Greek/Cyr
+        st.characters(min_codepoint=0x904, max_codepoint=0x939),  # Devanagari
+        st.characters(min_codepoint=0x3041, max_codepoint=0x30FE),  # kana
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x9FCC),  # CJK
+        st.characters(min_codepoint=0x1F300, max_codepoint=0x1F64F),  # emoji
+    ),
+    max_size=60,
+)
+
+
 @settings(**SETTINGS)
-@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@given(st.lists(_STABLE_TEXT, min_size=1, max_size=20))
 def test_bpe_token_count_matches_duckdb_on_unicode(spark, duck, texts):
     """The BPE pre-tokenizer counter must agree across Java regex
-    (Spark) and RE2 (DuckDB) on arbitrary unicode — the portability
-    the lookahead-free pattern exists for."""
+    (Spark) and RE2 (DuckDB) on multilingual text from stably-assigned
+    Unicode blocks — the portability the lookahead-free, explicit-
+    whitespace pattern exists for (see _STABLE_TEXT for why arbitrary
+    code points can't be promised across engine table versions)."""
     from big_data_song_recommendation_spark.functions.text import (
         BPE_TOKEN_PATTERN,
         bpe_token_count,
