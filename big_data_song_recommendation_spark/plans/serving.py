@@ -209,3 +209,67 @@ def models_info(registry) -> list[dict]:
         except FileNotFoundError:
             continue
     return out
+
+
+def batch_files(lake_dir: str) -> list[dict]:
+    """``GET /batches/files`` (ref dashboard contract,
+    ``src/streamlit_app.py:636-645``: a ``batch_files`` list with
+    ``timestamp`` + size per file, newest last): enumerate the
+    BatchSink snapshot JSONs in epoch order.
+
+    Driver-side file listing by design — snapshots are one small JSON
+    per micro-batch (dashboard metadata, not data); the data-volume
+    path is :func:`batch_stats` over the parquet lake."""
+    import json as _json
+    from pathlib import Path
+
+    out = []
+    snap_dir = Path(lake_dir) / "snapshots"
+    if not snap_dir.is_dir():
+        return out
+    for p in sorted(snap_dir.glob("batch_*.json")):
+        try:
+            snap = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        out.append(
+            {
+                "filename": p.name,
+                "batch_id": snap.get("epoch"),
+                "size": snap.get("size"),
+                "timestamp": snap.get("ts"),
+                "avg_rating": snap.get("avg_rating"),
+            }
+        )
+    return out
+
+
+def latest_batch(lake_dir: str) -> dict | None:
+    """``GET /batches/latest`` (ref ``src/streamlit_app.py:538-560``):
+    the newest snapshot shaped to the dashboard's ``latest_batch``
+    contract — ``batch_id``/``size`` at the top, ``training_summary``
+    with ``unique_users``, ``ui_summary`` with ``avg_rating`` +
+    ``featured_tracks``. Returns None when no batch has flushed yet
+    (the ref endpoint 404s; a library returns None)."""
+    import json as _json
+    from pathlib import Path
+
+    snaps = sorted((Path(lake_dir) / "snapshots").glob("batch_*.json"))
+    if not snaps:
+        return None
+    snap = _json.loads(snaps[-1].read_text())
+    return {
+        "latest_batch": {
+            "batch_id": snap.get("epoch"),
+            "size": snap.get("size"),
+            "training_summary": {
+                "unique_users": snap.get("unique_users"),
+                "unique_items": snap.get("unique_items"),
+            },
+            "ui_summary": {
+                "avg_rating": snap.get("avg_rating"),
+                "featured_tracks": snap.get("featured_items", []),
+                "action_distribution": snap.get("action_distribution", {}),
+            },
+        }
+    }

@@ -56,3 +56,86 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# S12: object-store access (MinIO / any S3-compatible endpoint).
+#
+# The reference's storage layer (src/storage/minio_client.py:25-64) is a
+# boto-style client over 6 well-known buckets. In Spark, object-store
+# access is pure configuration: hand these conf keys to get_spark
+# (extra_conf=...) and every reader/writer in sources/ accepts
+# s3a://bucket/key paths exactly like local paths — scans stay
+# partitioned, predicate pushdown and column pruning still reach the
+# parquet footers over the network. No custom storage code is the
+# POINT: the s3a connector already does multipart upload, retries, and
+# committer semantics that a hand-rolled client would get wrong.
+#
+# NOTE: s3a needs hadoop-aws + aws-sdk jars on the classpath (ship via
+# spark.jars.packages on a real deployment; not bundled in this image,
+# so the conf builder is contract-tested without a live store).
+# ---------------------------------------------------------------------------
+
+#: The reference deployment's bucket layout (minio_client.py:27).
+REFERENCE_BUCKETS = (
+    "tracks-data",
+    "artists-data",
+    "albums-data",
+    "emotion-data",
+    "models",
+    "processed-data",
+)
+
+
+def s3a_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    *,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """Spark conf for an S3-compatible object store.
+
+    Mirrors the reference client's connection contract
+    (``src/storage/minio_client.py:6-21``): explicit endpoint,
+    static credentials, no TLS by default, and path-style addressing
+    (MinIO's default — virtual-host style breaks on bare endpoints).
+
+    Usage::
+
+        spark = get_spark(extra_conf=s3a_conf("localhost:9000",
+                                              "minioadmin", "minioadmin123"))
+        df = load_table(spark, "s3a://processed-data/sf0.1", "lineitem")
+    """
+    scheme_ep = endpoint if "://" in endpoint else (
+        ("https://" if ssl else "http://") + endpoint
+    )
+    return {
+        "spark.hadoop.fs.s3a.endpoint": scheme_ep,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        ),
+        # object stores have no rename; the magic committer commits by
+        # multipart-upload completion instead of copy+delete
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+    }
+
+
+def s3a_conf_from_env(env: dict | None = None) -> dict[str, str]:
+    """S12 twin of the reference's env-driven connection
+    (``MINIO_ENDPOINT`` fallback, minio_client.py:13-14): build s3a
+    conf from MINIO_ENDPOINT / MINIO_ACCESS_KEY / MINIO_SECRET_KEY
+    with the reference's defaults."""
+    e = os.environ if env is None else env
+    return s3a_conf(
+        e.get("MINIO_ENDPOINT", "localhost:9000"),
+        e.get("MINIO_ACCESS_KEY", "minioadmin"),
+        e.get("MINIO_SECRET_KEY", "minioadmin123"),
+        ssl=e.get("MINIO_SSL", "false").lower() == "true",
+    )
