@@ -61,23 +61,84 @@ def main() -> None:
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
+    duck = _duckdb_timings(runs)
+    duck_total = round(sum(duck.values()), 4) if duck else None
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "runs_per_query": runs,
-                "timing": "min",
-            }
+
+    # Full-fidelity record (long names, per-query Spark AND DuckDB
+    # walls) goes to a file; stdout gets ONE compact line. The driver
+    # captures a bounded tail of stdout — r1's line with 68 long query
+    # names overflowed it and BENCH_r01 recorded "parsed": null — so
+    # the line uses qNN short keys and stays well under 2 KB.
+    detail = {
+        "sf": sf,
+        "runs_per_query": runs,
+        "timing": "min",
+        "spark": timings,
+        "duckdb": duck,
+        "spark_total_s": total,
+        "duck_total_s": duck_total,
+    }
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    short = {n.split("_")[0]: v for n, v in timings.items()}
+    line = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+        "timing": "min",
+    }
+    if duck_total is not None:
+        line["duck_total_s"] = duck_total
+        non_ml = total - sum(
+            timings.get(q, 0.0)
+            for q in timings
+            if q.split("_")[0] in ("q40", "q41", "q42", "q43", "q47")
         )
-    )
+        line["vs_duck"] = round(non_ml / duck_total, 2) if duck_total else None
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
+
+
+def _duckdb_timings(runs: int) -> dict[str, float]:
+    """Per-query DuckDB walls for every oracle twin on the same
+    parquet — the BASELINE.md bar measured in-run (VERDICT r1 #10)
+    instead of judge-estimated. Short qNN keys; min-of-`runs`."""
+    try:
+        import duckdb
+
+        from big_data_song_recommendation_spark.plans import ORACLES
+    except Exception:
+        return {}
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    out: dict[str, float] = {}
+    for name, sql in sorted(ORACLES.items()):
+        best = float("inf")
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+        except Exception:
+            continue
+        out[name.split("_")[0]] = round(best, 4)
+    con.close()
+    return out
 
 
 if __name__ == "__main__":
