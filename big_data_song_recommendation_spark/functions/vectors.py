@@ -47,26 +47,60 @@ def normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
+# (id(df), vec_col) → width. infer_dim runs a 1-row job; query builders
+# call it once per plan construction on session-cached DataFrames
+# (sources.readers.load_table), so memoizing by object identity turns
+# repeat constructions of the same query into zero extra jobs. The df
+# object is NOT held here (only its id) — load_table's cache owns the
+# lifetime, and a recycled id for a *different* df of the same column
+# would require that cache to have dropped it first, which it never does
+# within a session.
+_DIM_CACHE: dict[tuple[int, str], int] = {}
+
+
 def infer_dim(df, vec_col: str) -> int:
     """Vector width from one row (ArrayType carries no length)."""
+    key = (id(df), vec_col)
+    hit = _DIM_CACHE.get(key)
+    if hit is not None:
+        return hit
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
     if row is None:
         raise ValueError(f"cannot infer dim of {vec_col!r}: empty DataFrame")
+    _DIM_CACHE[key] = row["d"]
     return row["d"]
 
 
-def dot_expanded(a: Column, b: Column, dim: int) -> Column:
+def _sql_name(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for use
+    inside an ``F.expr`` string: ``a.v`` → ``\\`a\\`.\\`v\\```."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
+def dot_expanded(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ aᵢ·bᵢ unrolled to ``a[0]*b[0] + a[1]*b[1] + …`` for a known
     width. Catalyst higher-order functions (:func:`dot`) are evaluated
     interpreted per element; plain arithmetic stays inside whole-stage
     codegen — ~50× faster on pair-join hot paths (q21: 140 s → s at
     sf0.1). Bit-identical to :func:`dot`: the fold starts at 0.0 and
-    IEEE ``0.0 + x == x``, and both associate left-to-right."""
+    IEEE ``0.0 + x == x``, and both associate left-to-right.
+
+    Pass column NAMES, not Columns, when you can: the unrolled tree is
+    then built as one SQL string parsed JVM-side in a single py4j call.
+    Building it from Column operators instead costs ~4·dim driver
+    round-trips — ~1.2 s of pure plan-construction wall at dim=64
+    (measured; it dominated q16's end-to-end time)."""
+    if isinstance(a, str) and isinstance(b, str):
+        an, bn = _sql_name(a), _sql_name(b)
+        terms = " + ".join(f"{an}[{i}] * {bn}[{i}]" for i in range(dim))
+        return F.expr(f"0.0D + {terms}" if dim else "0.0D")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     acc = F.lit(0.0)
     for i in range(dim):
         acc = acc + a.getItem(i) * b.getItem(i)
     return acc
 
 
-def sq_norm_expanded(a: Column, dim: int) -> Column:
+def sq_norm_expanded(a: Column | str, dim: int) -> Column:
     return dot_expanded(a, a, dim)

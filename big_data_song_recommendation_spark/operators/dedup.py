@@ -418,7 +418,7 @@ def embedding_dup_pairs(
     dim = vectors.infer_dim(df, vec_col)
     v = df.select(
         F.col(id_col).alias("vid"), vectors.as_double_array(vec_col).alias("v")
-    ).withColumn("nrm", F.sqrt(vectors.sq_norm_expanded(F.col("v"), dim)))
+    ).withColumn("nrm", F.sqrt(vectors.sq_norm_expanded("v", dim)))
     # The theta-join is a broadcast nested loop whose parallelism is the
     # STREAM side's partition count — a small parquet corpus arrives as
     # 1 partition, serializing all O(n²) pair evals onto one core.
@@ -427,7 +427,7 @@ def embedding_dup_pairs(
     n_part = df.sparkSession.sparkContext.defaultParallelism
     a = v.repartition(n_part, F.col("vid")).alias("a")
     b = F.broadcast(v).alias("b")
-    sim = vectors.dot_expanded(F.col("a.v"), F.col("b.v"), dim) / (
+    sim = vectors.dot_expanded("a.v", "b.v", dim) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (

@@ -37,16 +37,16 @@ def brute_force_knn(
     dim = vectors.infer_dim(corpus, vec_col)
     p = probes.select(
         F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
-    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded(F.col("qv"), dim)))
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), vectors.as_double_array(vec_col).alias("nv")
-    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded(F.col("nv"), dim)))
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
     cond = (
         F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
     )
     # per-row norms + unrolled codegen dot: one aggregate per ROW, not
     # three higher-order folds per PAIR (bit-identical, ~50× faster)
-    sim = vectors.dot_expanded(F.col("qv"), F.col("nv"), dim) / (
+    sim = vectors.dot_expanded("qv", "nv", dim) / (
         F.col("qn") * F.col("nn")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -233,7 +233,7 @@ def ivf_knn(
     dim = vectors.infer_dim(assigned, vec_col)
     p = probes.select(
         F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
-    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded(F.col("qv"), dim)))
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
     cent = centroids_df.select(
         "cluster", vectors.as_double_array("centroid").alias("cv")
     )
@@ -249,8 +249,8 @@ def ivf_knn(
         F.col(id_col).alias("neighbor_id"),
         vectors.as_double_array(vec_col).alias("nv"),
         "cluster",
-    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded(F.col("nv"), dim)))
-    sim = vectors.dot_expanded(F.col("qv"), F.col("nv"), dim) / (
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
+    sim = vectors.dot_expanded("qv", "nv", dim) / (
         F.col("qn") * F.col("nn")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -76,8 +76,63 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in COMPUTE_DENSE_TABLES:
+        df = _redistribute_if_underpartitioned(spark, df, f"{sf_dir}/{name}.parquet")
     _TABLE_CACHE[key] = (spark, df)
     return df
+
+
+# Tables whose consumers are compute-dense per row (regex/md5 shingling,
+# minhash, GEMM) rather than scan-dense. For these, scan parallelism is
+# the throughput ceiling — see _redistribute_if_underpartitioned.
+COMPUTE_DENSE_TABLES: frozenset[str] = frozenset({"documents", "embeddings"})
+
+
+def _parquet_row_groups(path: str) -> int:
+    """Total row-group count across the file/directory (footer reads
+    only — no Spark job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [path]
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            return 1_000_000  # unreadable footer → assume well-partitioned
+    return max(total, 1)
+
+
+def _redistribute_if_underpartitioned(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Round-robin repartition a scan whose parquet layout cannot feed
+    the cluster. Spark parallelizes parquet scans at ROW-GROUP
+    granularity; a file written as one row group (the driver testdata
+    is) is physically unsplittable, so every downstream map — regex
+    quality scoring, minhash shingling, language ID — runs on ONE core
+    no matter the split config. One narrow shuffle of the (small,
+    by construction: too few row groups to matter) input unlocks
+    cluster-wide parallelism for the compute-dense work.
+
+    Self-disabling at scale: a production corpus has thousands of row
+    groups, the condition is false, and the scan shape is untouched —
+    this never adds a shuffle to an already-parallel scan. Relational
+    fact tables are excluded outright (COMPUTE_DENSE_TABLES): their
+    consumers are scan/agg-bound, where a pre-shuffle only adds cost
+    (measured: q01 0.62→0.71 s with a forced repartition)."""
+    target = spark.sparkContext.defaultParallelism
+    if _parquet_row_groups(path) >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
