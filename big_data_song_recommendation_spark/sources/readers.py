@@ -88,9 +88,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 COMPUTE_DENSE_TABLES: frozenset[str] = frozenset({"documents", "embeddings"})
 
 
-def _parquet_row_groups(path: str) -> int:
-    """Total row-group count across the file/directory (footer reads
-    only — no Spark job)."""
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total row groups, total rows) across the file/directory —
+    footer reads only, no Spark job."""
     import os
 
     import pyarrow.parquet as pq
@@ -102,13 +102,15 @@ def _parquet_row_groups(path: str) -> int:
             for f in os.listdir(path)
             if f.endswith(".parquet")
         ]
-    total = 0
+    groups = rows = 0
     for f in files:
         try:
-            total += pq.ParquetFile(f).metadata.num_row_groups
+            md = pq.ParquetFile(f).metadata
+            groups += md.num_row_groups
+            rows += md.num_rows
         except Exception:
-            return 1_000_000  # unreadable footer → assume well-partitioned
-    return max(total, 1)
+            return (1_000_000, 0)  # unreadable footer → assume well-partitioned
+    return (max(groups, 1), rows)
 
 
 def _redistribute_if_underpartitioned(
@@ -128,11 +130,28 @@ def _redistribute_if_underpartitioned(
     this never adds a shuffle to an already-parallel scan. Relational
     fact tables are excluded outright (COMPUTE_DENSE_TABLES): their
     consumers are scan/agg-bound, where a pre-shuffle only adds cost
-    (measured: q01 0.62→0.71 s with a forced repartition)."""
+    (measured: q01 0.62→0.71 s with a forced repartition).
+
+    The partition count is row-scaled (≥_MIN_ROWS_PER_TASK rows per
+    task, capped at defaultParallelism): tiny corpora on max-width
+    layouts feed iterative consumers (KMeans/ALS run a job per
+    iteration) with per-task scheduling overhead that exceeds the
+    per-task work (measured: q41 KMeans 1.84→1.35 s at 32→8
+    partitions over 2 000 vectors). At production row counts the
+    clamp saturates to full parallelism."""
     target = spark.sparkContext.defaultParallelism
-    if _parquet_row_groups(path) >= target:
+    groups, rows = _parquet_layout(path)
+    if groups >= target:
+        return df
+    target = max(1, min(target, rows // _MIN_ROWS_PER_TASK))
+    if target <= groups:
         return df
     return df.repartition(target)
+
+
+#: Minimum rows per task for redistributed compute-dense scans — sized
+#: so task launch (~5-10 ms) stays well under the per-task work.
+_MIN_ROWS_PER_TASK = 250
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
