@@ -982,4 +982,140 @@ ORACLES: dict[str, str] = {
         GROUP BY n_name
         ORDER BY n_name
     """,
+    # -- round-2 curation suite -------------------------------------------
+    "q69_incident_window_join": """
+        WITH win AS (
+            SELECT event_id AS window_id,
+                   ts AS w_start,
+                   ts + INTERVAL 1 HOUR AS w_end
+            FROM events
+            WHERE event_type = 'error'
+            ORDER BY value DESC, event_id ASC
+            LIMIT 20
+        )
+        SELECT w.window_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               floor(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                     * 100.0) / 100.0 AS sum_value
+        FROM events e
+        JOIN win w
+          ON e.ts >= w.w_start AND e.ts < w.w_end
+         AND e.event_id <> w.window_id
+        GROUP BY w.window_id
+        ORDER BY w.window_id
+    """,
+    "q70_repetition_quality": f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id,
+                         unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        counts AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT tok) AS n_distinct
+            FROM toks GROUP BY doc_id
+        ),
+        bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM (SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM documents)
+        ),
+        per_bigram AS (
+            SELECT doc_id, sh, COUNT(*) AS c FROM bigrams GROUP BY doc_id, sh
+        ),
+        top AS (
+            SELECT doc_id, sh AS top_bigram, c AS top_c
+            FROM (SELECT doc_id, sh, c,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, sh ASC) AS rn
+                  FROM per_bigram)
+            WHERE rn = 1
+        )
+        SELECT counts.doc_id,
+               n_tokens,
+               floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000.0)
+                   / 10000.0 AS distinct_ratio,
+               top_bigram,
+               floor(CASE WHEN n_tokens >= 2
+                          THEN least(1.0, top_c * 2.0 / n_tokens)
+                          ELSE 0.0 END * 10000.0) / 10000.0 AS top_bigram_frac,
+               (CASE WHEN n_tokens >= 2
+                     THEN least(1.0, top_c * 2.0 / n_tokens)
+                     ELSE 0.0 END > 0.20
+                OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.30) AS repetitive
+        FROM counts LEFT JOIN top ON counts.doc_id = top.doc_id
+        ORDER BY counts.doc_id
+    """,
+    "q71_decontamination": f"""
+        WITH sets AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - 4, 0) + 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+                FROM (SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
+                      FROM documents)
+            )
+        ),
+        corpus AS (SELECT doc_id, s FROM sets WHERE doc_id % 20 <> 0),
+        bench AS (SELECT doc_id AS bench_id, s FROM sets WHERE doc_id % 20 = 0)
+        SELECT c.doc_id,
+               COUNT(DISTINCT c.s) AS n_overlap,
+               COUNT(DISTINCT b.bench_id) AS n_bench_docs
+        FROM corpus c JOIN bench b ON c.s = b.s
+        GROUP BY c.doc_id
+        HAVING COUNT(DISTINCT c.s) >= 1
+        ORDER BY c.doc_id
+    """,
+    "q72_stratified_sample": f"""
+        SELECT lang,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+        WHERE {_MD5B("CAST(doc_id AS VARCHAR) || ':r2'")} % 10000
+              < CASE lang WHEN 'en' THEN 5000
+                          WHEN 'zh' THEN 2500
+                          WHEN 'de' THEN 1000
+                          ELSE 500 END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "q73_keyword_tfidf": f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id,
+                         unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                  FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, tok,
+                   floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0)
+                       / 1000000.0 AS s6
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, tok, s6,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s6 DESC, tok ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, rnk AS "rank", tok AS token,
+               floor(s6 * 10000.0) / 10000.0 AS tfidf
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
 }

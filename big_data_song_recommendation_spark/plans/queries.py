@@ -1558,6 +1558,149 @@ def q64_token_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-2 curation suite: range join, repetition quality,
+# decontamination, stratified sampling, keyword TF-IDF.
+# ---------------------------------------------------------------------------
+
+def q69_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): the 20
+    highest-value 'error' events each open a 1-hour incident window;
+    count the traffic that lands inside each window. The naive
+    ``ts BETWEEN start AND end`` predicate would plan a
+    BroadcastNestedLoopJoin; ``interval_join`` rewrites it as an
+    equi-join on an exploded time bucket — the hash-shuffle shape that
+    survives |points| x |intervals| at 100 TB (plan-shape-tested)."""
+    from ..operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    windows = (
+        events.filter(F.col("event_type") == "error")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+    )
+    joined = interval_join(
+        events, windows, point_ts="ts", bucket_seconds=3600
+    ).filter(F.col("event_id") != F.col("window_id"))
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            # sum in exact decimal: a double sum's association order
+            # differs between engines and flips floor() at the 2-decimal
+            # boundary (observed: 63.07 vs 63.06). decimal sums are
+            # order-independent, so both engines floor the same value.
+            scalars.stable_round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .transform(_ordered, "window_id")
+    )
+
+
+def q70_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document
+    (operators/quality.py repetition_metrics): most-frequent-bigram
+    coverage + distinct-token ratio + a repetitive verdict. One tokens
+    explode feeding window/groupBys that share the doc-id hash
+    partitioning — a single exchange for the whole metric chain."""
+    from ..operators.quality import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs).transform(_ordered, "doc_id")
+
+
+def q71_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/quality.py decontaminate):
+    held-out set = doc_id % 20 == 0; flag training docs sharing any
+    distinct 5-gram with it, with overlap breadth counts. Equi-join on
+    the shingle string + two map-side-combinable counts — the GPT-3
+    appendix-C pass at corpus scale."""
+    from ..operators.quality import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, benchmark, k=5).transform(_ordered, "doc_id")
+
+
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/quality.py
+    stratified_sample): per-language keep-rates via an md5-bucket
+    predicate — replayable across runs/engines/partitionings, unlike
+    Bernoulli sampleBy. The filter rides the scan: zero shuffle until
+    the per-stratum audit aggregate."""
+    from ..operators.quality import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 0.5, "zh": 0.25, "de": 0.1},
+        default_fraction=0.05,
+        seed="r2",
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .transform(_ordered, "lang")
+    )
+
+
+def q73_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 TF-IDF keywords per document — the interpretable
+    twin of q42's ML-pipeline features. tf/df are plain aggregates; the
+    corpus size N folds in via a broadcast 1-row cross join (no driver
+    collect, VERDICT r1 lift pattern); ranking is a per-doc window on
+    the 6-decimal-floored score so both engines rank identical values
+    (tie-break: token asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(text.normalized_text("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .withColumn(
+            "s6",
+            scalars.stable_round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s6").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            F.col("tok").alias("token"),
+            scalars.stable_round("s6", 4).alias("tfidf"),
+        )
+        .transform(_ordered, "doc_id", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -1627,4 +1770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_near_dup_removal": q66_near_dup_removal,
     "q67_decayed_confidence": q67_decayed_confidence,
     "q68_variant_props": q68_variant_props,
+    "q69_incident_window_join": q69_incident_window_join,
+    "q70_repetition_quality": q70_repetition_quality,
+    "q71_decontamination": q71_decontamination,
+    "q72_stratified_sample": q72_stratified_sample,
+    "q73_keyword_tfidf": q73_keyword_tfidf,
 }

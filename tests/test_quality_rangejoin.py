@@ -1,0 +1,213 @@
+"""Round-2 curation operators: interval_join, repetition_metrics,
+decontaminate, stratified_sample — behavior + scale-shape contracts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.operators.quality import (
+    decontaminate,
+    repetition_metrics,
+    stratified_sample,
+)
+from big_data_song_recommendation_spark.operators.rangejoin import interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+def _points(spark):
+    return spark.createDataFrame(
+        [
+            Row(pid=1, ts=_ts("2024-01-01 10:00:00")),  # == start: in
+            Row(pid=2, ts=_ts("2024-01-01 10:59:59")),  # inside
+            Row(pid=3, ts=_ts("2024-01-01 11:00:00")),  # == end: excluded
+            Row(pid=4, ts=_ts("2024-01-01 09:59:59")),  # before
+            Row(pid=5, ts=_ts("2024-01-01 10:30:00")),  # inside, crosses
+        ]
+    )
+
+
+def _intervals(spark):
+    return spark.createDataFrame(
+        [
+            Row(wid=100, start=_ts("2024-01-01 10:00:00"), end=_ts("2024-01-01 11:00:00")),
+            # a second window straddling an hour-bucket boundary
+            Row(wid=200, start=_ts("2024-01-01 10:30:00"), end=_ts("2024-01-01 11:30:00")),
+        ]
+    )
+
+
+def test_interval_join_boundary_semantics(spark):
+    out = interval_join(
+        _points(spark), _intervals(spark), point_ts="ts", bucket_seconds=3600
+    )
+    got = {(r.pid, r.wid) for r in out.collect()}
+    assert got == {(1, 100), (2, 100), (5, 100), (2, 200), (5, 200), (3, 200)}
+
+
+def test_interval_join_end_inclusive(spark):
+    out = interval_join(
+        _points(spark),
+        _intervals(spark),
+        point_ts="ts",
+        bucket_seconds=3600,
+        end_exclusive=False,
+    )
+    got = {(r.pid, r.wid) for r in out.collect()}
+    # pid=3 at exactly 11:00 now matches window 100 too
+    assert (3, 100) in got
+
+
+def test_interval_join_no_duplicate_candidates(spark):
+    """A point inside an interval that spans two buckets must join
+    exactly once (points bucket uniquely; only intervals explode)."""
+    out = interval_join(
+        _points(spark), _intervals(spark), point_ts="ts", bucket_seconds=3600
+    )
+    pairs = [(r.pid, r.wid) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_interval_join_rejects_oversized_interval(spark):
+    bad = interval_join(
+        _points(spark), _intervals(spark), point_ts="ts", bucket_seconds=60
+    )
+    with pytest.raises(Exception, match="interval_join|USER_RAISED"):
+        bad.collect()
+
+
+def test_interval_join_plans_equi_join_not_nested_loop(spark):
+    """The whole point of the operator: the physical plan must be a
+    hash/broadcast EQUI-join on the bucket, never a nested loop over
+    |points| x |intervals|."""
+    out = interval_join(
+        _points(spark), _intervals(spark), point_ts="ts", bucket_seconds=3600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition_metrics
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_flags_loops(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam ham spam ham spam ham spam ham"),
+            Row(
+                doc_id=2,
+                text=(
+                    "the quick brown fox jumps over a lazy dog while "
+                    "seven wizards brew strange potions near ancient oaks"
+                ),
+            ),
+        ]
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+
+    r1 = rows[1]
+    assert r1.n_tokens == 8
+    # "spam ham" occurs 4x in 7 bigrams; covers 8/8 tokens
+    assert r1.top_bigram == "spam ham"
+    assert r1.top_bigram_frac == 1.0
+    assert r1.distinct_ratio == 0.25
+    assert bool(r1.repetitive) is True
+
+    r2 = rows[2]
+    assert r2.distinct_ratio == 1.0
+    assert bool(r2.repetitive) is False
+
+
+def test_repetition_metrics_single_token_doc(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="word")])
+    r = repetition_metrics(docs).collect()[0]
+    assert r.n_tokens == 1
+    assert r.top_bigram is None
+    assert r.top_bigram_frac == 0.0
+    # distinct_ratio 1.0 and no bigram: still clean
+    assert bool(r.repetitive) is False
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_shared_5grams(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "alpha beta gamma delta epsilon" (and one more)
+            Row(doc_id=1, text="intro alpha beta gamma delta epsilon zeta end"),
+            Row(doc_id=2, text="totally unrelated words about something else here"),
+        ]
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, k=5).collect()}
+    assert set(out) == {1}
+    # the benchmark doc has exactly 2 distinct 5-grams, both of which
+    # appear as windows inside doc 1's longer sentence
+    assert out[1].n_overlap == 2
+    assert out[1].n_bench_docs == 1
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")]
+    )
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="intro alpha beta gamma delta epsilon zeta end")]
+    )
+    assert decontaminate(corpus, bench, k=5, min_overlap=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    frac = {"en": 0.5, "de": 0.1}
+    a = stratified_sample(docs, "lang", "doc_id", frac, default_fraction=0.0)
+    b = stratified_sample(
+        docs.repartition(13), "lang", "doc_id", frac, default_fraction=0.0
+    )
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+
+    by_lang = {
+        r.lang: r.n
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "zh" not in by_lang  # default fraction 0
+    # ~667 per stratum; md5 buckets give ~50% / ~10% within wide bounds
+    assert 250 < by_lang["en"] < 420
+    assert 30 < by_lang["de"] < 110
+
+
+def test_stratified_sample_no_shuffle(spark):
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    out = stratified_sample(docs, "lang", "doc_id", {"en": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
