@@ -278,3 +278,15 @@ def read_json_hardened(
     """JSON scan with declared schema (S3, ``src/spark/training.py:142-147``
     used inference; declaring the schema avoids a double read at scale)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (round-trip twin of ``sinks.write_orc``). Self-
+    describing like parquet; pass ``schema`` only to prune/validate —
+    pushdown and column pruning work either way."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

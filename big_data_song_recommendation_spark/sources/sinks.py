@@ -62,6 +62,60 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink — Spark-native columnar alternative for consumers
+    standardized on the Hive/Trino toolchain. Same pushdown/pruning
+    behavior as parquet from Spark's side."""
+    df.write.mode(mode).orc(path)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    order_by: str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus export: ``n_shards`` parquet files globally
+    RANGE-partitioned and sorted on ``order_by`` — shard k holds a
+    contiguous, internally-sorted key range, so a downstream trainer
+    can stream shards in order (or sample shards independently)
+    without re-sorting.
+
+    ``repartitionByRange`` samples the key once to pick balanced split
+    points (one pass, same mechanism as a global sort) and the
+    per-shard sort happens map-side in the writer — no extra shuffle
+    beyond the one the layout requires. At 100 TB pick
+    ``n_shards`` ≈ total/target-file-size; each shard writes in
+    parallel from its own task."""
+    (
+        df.repartitionByRange(n_shards, F.col(order_by))
+        .sortWithinPartitions(order_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def shard_manifest(spark, path: str, *, key: str) -> DataFrame:
+    """Manifest of an :func:`export_training_shards` output: one row
+    per shard file with row count and key range — the audit artifact a
+    training pipeline checks in (and the proof the shards are disjoint,
+    contiguous ranges). Per-file aggregation over ``input_file_name``;
+    no driver-side listing."""
+    df = spark.read.parquet(path)
+    return (
+        df.withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .groupBy("__file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(key).alias("key_min"),
+            F.max(key).alias("key_max"),
+        )
+        .withColumnRenamed("__file", "file")
+    )
+
+
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """S10 parity: CSV export with header (ingest-compatible with
     :func:`..sources.readers.read_csv_hardened`)."""

@@ -42,6 +42,43 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert set(json_back.columns) == set(df.columns)
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from big_data_song_recommendation_spark.sources.readers import read_orc
+
+    df = load_table(spark, SF_DIR, "customer")
+    out = str(tmp_path / "cust_orc")
+    sinks.write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+    plan = (
+        back.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # predicate + projection reach the ORC scan like parquet
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan
+
+
+def test_export_training_shards_contiguous_sorted(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    sinks.export_training_shards(docs, out, order_by="doc_id", n_shards=4)
+
+    man = sinks.shard_manifest(spark, out, key="doc_id").collect()
+    assert len(man) == 4
+    assert sum(r.n_rows for r in man) == docs.count()
+    # shards are disjoint contiguous ranges: sort by key_min, each
+    # min must exceed the previous max
+    ordered = sorted(man, key=lambda r: r.key_min)
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert prev.key_max < cur.key_min
+    # and each shard file is internally sorted on the key
+    one = spark.read.parquet(out + "/" + ordered[0].file)
+    vals = [r.doc_id for r in one.collect()]
+    assert vals == sorted(vals)
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Co-bucketed tables joined on the bucket key: the plan must show
     NO Exchange on either join side (the shuffle happened at write)."""
