@@ -64,8 +64,14 @@ def repetition_metrics(
     top_frac = F.when(
         F.col("n_tokens") >= 2,
         # a bigram covers 2 tokens; cap at 1.0 for the degenerate
-        # all-same-token case where occurrences overlap
-        F.least(F.lit(1.0), F.col("top_c") * 2.0 / F.col("n_tokens")),
+        # all-same-token case where occurrences overlap. coalesce(top_c)
+        # because least() skips NULLs: if the toks and shingle branches
+        # ever tokenize differently, a missing top row must read as 0
+        # coverage, not silently collapse to 1.0 (ADVICE r2).
+        F.least(
+            F.lit(1.0),
+            F.coalesce(F.col("top_c"), F.lit(0)) * 2.0 / F.col("n_tokens"),
+        ),
     ).otherwise(F.lit(0.0))
     distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
     return out.select(

@@ -5,16 +5,16 @@ and Spark only plans as BroadcastNestedLoopJoin when written naively.
 ``interval_join`` rewrites ``p.ts BETWEEN i.start AND i.end`` as an
 EQUI-join on a time bucket:
 
-- pick a bucket width >= the longest interval (caller-supplied; it is a
-  schema-level contract like a watermark, not a data scan);
-- each interval explodes into the buckets it covers (<= 2 buckets when
-  the width bound holds);
+- ``F.sequence(floor(start/w), floor(end/w))`` explodes each interval
+  into EVERY bucket it spans, so the rewrite is correct for any
+  interval length; ``bucket_seconds`` >= the longest interval merely
+  bounds the fan-out at <= 2 bucket rows per interval;
 - each point lands in exactly ONE bucket, so the equi-join emits no
   duplicate (point, interval) candidates and needs no post-dedup;
 - the band predicate re-applies exactly on the candidates.
 
 This is the shape that survives 100 TB: a hash-partitioned shuffle on
-``__bucket`` with AQE skew splitting, instead of a nested-loop whose
+the bucket key with AQE skew splitting, instead of a nested-loop whose
 work is |points| x |intervals|. When the interval side is small Spark
 still broadcasts the exploded buckets — same plan, zero shuffle.
 """
@@ -23,6 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fresh_col(name: str, *dfs: DataFrame) -> str:
+    """A column name not present in any input schema (ADVICE r2: a
+    hardcoded temp name silently corrupted callers that already had
+    it)."""
+    taken = {c for df in dfs for c in df.columns}
+    cand = name
+    i = 0
+    while cand in taken:
+        i += 1
+        cand = f"{name}{i}"
+    return cand
 
 
 def interval_join(
@@ -34,39 +47,46 @@ def interval_join(
     end_col: str = "end",
     bucket_seconds: int = 3600,
     end_exclusive: bool = True,
+    allow_long_intervals: bool = False,
 ) -> DataFrame:
     """Inner-join each point row to every interval row whose
     ``[start, end)`` (or ``[start, end]`` when ``end_exclusive=False``)
     contains ``point_ts``. All columns of both sides survive; name
     collisions are the caller's to resolve beforehand.
 
-    ``bucket_seconds`` must be >= the longest interval's length or
-    candidates would be silently missed — enforced fail-closed with a
-    per-row ``raise_error`` guard (a filter, costing nothing extra:
-    it rides the same projection that computes the bucket span).
+    The sequence-explode enumerates every bucket an interval spans, so
+    results are correct for ANY interval length. ``bucket_seconds`` is
+    a COST cap, not a correctness bound: an interval longer than one
+    bucket explodes into >2 rows (an interval spanning k buckets costs
+    k candidate rows). By default intervals longer than
+    ``bucket_seconds`` fail closed with a per-row ``raise_error`` so a
+    mis-sized width surfaces as an error instead of a silent fan-out
+    blowup; pass ``allow_long_intervals=True`` to accept the extra
+    rows knowingly (results stay exact either way).
     """
     w = F.lit(int(bucket_seconds))
     start_s = F.col(start_col).cast("long")
     end_s = F.col(end_col).cast("long")
 
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.when(
-                end_s - start_s > w,
-                # fail closed instead of silently dropping matches
-                F.raise_error(
-                    F.lit(
-                        "interval_join: interval longer than "
-                        f"bucket_seconds={int(bucket_seconds)}"
-                    )
-                ).cast("array<bigint>"),
-            ).otherwise(F.sequence(F.floor(start_s / w), F.floor(end_s / w)))
-        ),
-    )
-    pt = points.withColumn(
-        "__bucket", F.floor(F.col(point_ts).cast("long") / w)
-    )
+    bucket = _fresh_col("__bucket", points, intervals)
+    seq = F.sequence(F.floor(start_s / w), F.floor(end_s / w))
+    if allow_long_intervals:
+        exploded = seq
+    else:
+        exploded = F.when(
+            end_s - start_s > w,
+            # fan-out cap: fail instead of silently exploding k rows
+            F.raise_error(
+                F.lit(
+                    "interval_join: interval longer than "
+                    f"bucket_seconds={int(bucket_seconds)}; pass "
+                    "allow_long_intervals=True to accept the fan-out"
+                )
+            ).cast("array<bigint>"),
+        ).otherwise(seq)
+
+    iv = intervals.withColumn(bucket, F.explode(exploded))
+    pt = points.withColumn(bucket, F.floor(F.col(point_ts).cast("long") / w))
 
     upper = (
         F.col(point_ts) < F.col(end_col)
@@ -74,7 +94,7 @@ def interval_join(
         else F.col(point_ts) <= F.col(end_col)
     )
     return (
-        pt.join(iv, on="__bucket", how="inner")
+        pt.join(iv, on=bucket, how="inner")
         .filter((F.col(point_ts) >= F.col(start_col)) & upper)
-        .drop("__bucket")
+        .drop(bucket)
     )

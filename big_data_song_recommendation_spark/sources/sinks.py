@@ -76,6 +76,7 @@ def export_training_shards(
     order_by: str,
     n_shards: int,
     mode: str = "overwrite",
+    null_keys: str = "fail",
 ) -> None:
     """Training-corpus export: ``n_shards`` parquet files globally
     RANGE-partitioned and sorted on ``order_by`` — shard k holds a
@@ -88,7 +89,34 @@ def export_training_shards(
     per-shard sort happens map-side in the writer — no extra shuffle
     beyond the one the layout requires. At 100 TB pick
     ``n_shards`` ≈ total/target-file-size; each shard writes in
-    parallel from its own task."""
+    parallel from its own task.
+
+    Output-count contract (ADVICE r2): the export may produce FEWER
+    than ``n_shards`` files — a range partition that receives no rows
+    writes no file (duplicate-heavy keys or tiny inputs collapse
+    ranges). Consumers must list the directory, not assume the count.
+
+    NULL ``order_by`` keys all range-partition into the FIRST shard
+    and would make that shard's manifest min/max NULL, silently
+    breaking the disjoint-contiguous audit — so by default
+    (``null_keys="fail"``) they fail the write in-plan via a
+    ``raise_error`` projection (no extra pass). Pass
+    ``null_keys="first_shard"`` to accept them knowingly;
+    :func:`shard_manifest` reports them per-file as ``n_null_keys``.
+    """
+    if null_keys not in ("fail", "first_shard"):
+        raise ValueError(f"null_keys must be 'fail'|'first_shard', got {null_keys!r}")
+    if null_keys == "fail":
+        guard = F.when(
+            F.col(order_by).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"export_training_shards: NULL {order_by} key; drop or "
+                    "fill NULLs upstream, or pass null_keys='first_shard'"
+                )
+            ).cast(dict(df.dtypes)[order_by]),
+        ).otherwise(F.col(order_by))
+        df = df.withColumn(order_by, guard)
     (
         df.repartitionByRange(n_shards, F.col(order_by))
         .sortWithinPartitions(order_by)
@@ -111,6 +139,10 @@ def shard_manifest(spark, path: str, *, key: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.min(key).alias("key_min"),
             F.max(key).alias("key_max"),
+            # NULL keys (only possible with null_keys="first_shard")
+            # land in the first shard; surface them so the
+            # disjoint-contiguous audit isn't silently misled
+            F.count_if(F.col(key).isNull()).alias("n_null_keys"),
         )
         .withColumnRenamed("__file", "file")
     )

@@ -98,6 +98,34 @@ def test_interval_join_plans_equi_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_join_long_intervals_opt_in(spark):
+    """allow_long_intervals=True: an interval spanning many buckets
+    still joins correctly (sequence enumerates every bucket) — the
+    default guard is a fan-out cost cap, not a correctness bound."""
+    out = interval_join(
+        _points(spark),
+        _intervals(spark),
+        point_ts="ts",
+        bucket_seconds=60,  # far smaller than the 1h intervals
+        allow_long_intervals=True,
+    )
+    got = {(r.pid, r.wid) for r in out.collect()}
+    assert got == {(1, 100), (2, 100), (5, 100), (2, 200), (5, 200), (3, 200)}
+
+
+def test_interval_join_survives_caller_bucket_column(spark):
+    """A caller column literally named __bucket must survive the join
+    untouched (the temp key is generated collision-free)."""
+    pts = _points(spark).withColumn("__bucket", F.lit("keep-me"))
+    out = interval_join(pts, _intervals(spark), point_ts="ts", bucket_seconds=3600)
+    rows = out.collect()
+    assert "__bucket" in out.columns
+    assert {r["__bucket"] for r in rows} == {"keep-me"}
+    assert {(r.pid, r.wid) for r in rows} == {
+        (1, 100), (2, 100), (5, 100), (2, 200), (5, 200), (3, 200)
+    }
+
+
 # ---------------------------------------------------------------------------
 # repetition_metrics
 # ---------------------------------------------------------------------------

@@ -77,6 +77,44 @@ def test_export_training_shards_contiguous_sorted(spark, tmp_path):
     one = spark.read.parquet(out + "/" + ordered[0].file)
     vals = [r.doc_id for r in one.collect()]
     assert vals == sorted(vals)
+    # no NULL keys in this corpus; audit column present and zero
+    assert all(r.n_null_keys == 0 for r in man)
+
+
+def test_export_training_shards_null_keys_fail_closed(spark, tmp_path):
+    """Default null_keys='fail': a NULL order_by key aborts the write
+    instead of silently polluting the first shard's range audit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(F.col("doc_id")),
+    )
+    with pytest.raises(Exception, match="export_training_shards|USER_RAISED"):
+        sinks.export_training_shards(
+            docs, str(tmp_path / "bad"), order_by="doc_id", n_shards=4
+        )
+
+
+def test_export_training_shards_null_keys_opt_in_audited(spark, tmp_path):
+    """null_keys='first_shard': write succeeds and the manifest counts
+    the NULL keys in the first shard so the audit isn't misled."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(F.col("doc_id")),
+    )
+    out = str(tmp_path / "nullable")
+    sinks.export_training_shards(
+        docs, out, order_by="doc_id", n_shards=4, null_keys="first_shard"
+    )
+    man = sinks.shard_manifest(spark, out, key="doc_id").collect()
+    n_nulls = docs.filter(F.col("doc_id").isNull()).count()
+    assert n_nulls > 0
+    assert sum(r.n_null_keys for r in man) == n_nulls
+    assert sum(r.n_rows for r in man) == docs.count()
 
 
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
