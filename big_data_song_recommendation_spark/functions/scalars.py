@@ -155,5 +155,15 @@ def iso_format(ts: Column | str) -> Column:
     return F.date_format(_c(ts), "yyyy-MM-dd'T'HH:mm:ss")
 
 
+# Epoch seconds from ANY timestamp flavor. Parquet files written
+# without isAdjustedToUTC read as TIMESTAMP_NTZ under Spark 4's NTZ
+# inference, and NTZ -> double/long casts are AnalysisExceptions; the
+# LTZ hop is legal from both flavors (NTZ interprets in the session
+# zone — UTC here, matching the DuckDB oracle's epoch()) and is a
+# no-op for plain TIMESTAMP. Keeps microseconds.
+def epoch_seconds(ts: Column | str) -> Column:
+    return _c(ts).cast("timestamp_ltz").cast("double")
+
+
 def hour_of(ts: Column | str) -> Column:
     return F.hour(_c(ts))

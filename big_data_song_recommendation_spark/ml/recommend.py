@@ -15,6 +15,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import scalars
+
 REFERENCE_ALS_CONFIG: dict = {
     "rank": 50,
     "maxIter": 10,
@@ -96,7 +98,7 @@ def time_decayed_confidence(
     aggregate shuffle on (user, item)."""
     age_days = (
         F.lit(as_of).cast("timestamp").cast("double")
-        - F.col(ts_col).cast("double")
+        - scalars.epoch_seconds(ts_col)
     ) / 86400.0
     weight = F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
     return (

@@ -21,7 +21,7 @@ still broadcasts the exploded buckets — same plan, zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -65,8 +65,17 @@ def interval_join(
     rows knowingly (results stay exact either way).
     """
     w = F.lit(int(bucket_seconds))
-    start_s = F.col(start_col).cast("long")
-    end_s = F.col(end_col).cast("long")
+
+    def _sec(df: DataFrame, name: str) -> Column:
+        # TIMESTAMP_NTZ (Spark 4 parquet inference) cannot cast to
+        # long directly; the timestamp_ltz hop is legal from every
+        # timestamp flavor and a no-op for numerics-as-seconds.
+        if dict(df.dtypes)[name].startswith("timestamp"):
+            return F.col(name).cast("timestamp_ltz").cast("long")
+        return F.col(name).cast("long")
+
+    start_s = _sec(intervals, start_col)
+    end_s = _sec(intervals, end_col)
 
     bucket = _fresh_col("__bucket", points, intervals)
     seq = F.sequence(F.floor(start_s / w), F.floor(end_s / w))
@@ -86,7 +95,7 @@ def interval_join(
         ).otherwise(seq)
 
     iv = intervals.withColumn(bucket, F.explode(exploded))
-    pt = points.withColumn(bucket, F.floor(F.col(point_ts).cast("long") / w))
+    pt = points.withColumn(bucket, F.floor(_sec(points, point_ts) / w))
 
     upper = (
         F.col(point_ts) < F.col(end_col)

@@ -479,7 +479,8 @@ def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum — the batch twin of streaming session_window)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = scalars.epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
