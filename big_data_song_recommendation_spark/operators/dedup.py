@@ -514,3 +514,113 @@ def drop_near_duplicates(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: pos is packed below the hash in one int64 so MIN() gives the
+#: (hash, pos)-lexicographic window minimum in any engine. 2^20
+#: positions = 1M shingles/doc; longer docs should be chunked upstream
+#: (the curation pipeline's docs are far below this).
+WINNOW_POS_BITS = 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every k-word shingle, slide a ``window``-wide
+    frame over the hash sequence, keep each frame's minimum — ties by
+    position. Guarantees any shared run of ``window + k - 1`` tokens
+    yields at least one shared fingerprint, while storing only
+    ~2/(window+1) of the shingle hashes.
+
+    Spark shape: one posexplode + a doc-keyed window (lead for shingle
+    assembly, frame-min + frame-count for selection) + distinct — all
+    partitioned on the doc id, so the whole chain rides a single
+    exchange. No Python in the row path.
+
+    Returns distinct ``(id_col, fp, pos)`` — the selected 60-bit
+    fingerprint and the shingle position it came from.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.posexplode(F.split(Ftext.normalized_text(text_col), " ")).alias("pos", "tok"),
+    )
+    worder = Window.partitionBy("sid").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(worder) for i in range(1, k)]
+    shingled = (
+        toks.withColumn("sh", F.concat_ws(" ", *parts))
+        .withColumn("last", parts[-1])
+        .filter(F.col("last").isNotNull() & (F.col("tok") != ""))
+        # pack (hash, pos) into one int64: MIN() over the frame is then
+        # exactly the lexicographic (hash, pos) minimum — deterministic
+        # tie-break when a repeated shingle hashes equal inside a frame
+        .select(
+            "sid",
+            "pos",
+            (
+                (hash60(F.col("sh")) % F.lit(MINHASH_PRIME))
+                * F.lit(1 << WINNOW_POS_BITS)
+                + F.col("pos")
+            ).alias("combo"),
+        )
+    )
+    frame = (
+        Window.partitionBy("sid")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    selected = (
+        shingled.select(
+            "sid",
+            F.min("combo").over(frame).alias("sel"),
+            F.count("*").over(frame).alias("n_in_frame"),
+        )
+        # full frames only: trailing partial windows re-select already-
+        # covered minima or nothing — identical rule on the oracle side
+        .filter(F.col("n_in_frame") == window)
+        .select("sid", "sel")
+        .distinct()
+    )
+    return selected.select(
+        F.col("sid").alias(id_col),
+        F.shiftright("sel", WINNOW_POS_BITS).alias("fp"),
+        (F.col("sel") % F.lit(1 << WINNOW_POS_BITS)).alias("pos"),
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Doc pairs ranked by shared winnowing fingerprints — the MOSS
+    plagiarism-detector shape. Equi-join on the fingerprint (hot
+    fingerprints fan out like hot shingles in
+    :func:`ngram_jaccard_pairs`; winnowing already thins them ~2/(w+1)
+    and a stop-fingerprint cap can ride the same pattern at scale)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        F.col(id_col).alias("sid"), "fp"
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

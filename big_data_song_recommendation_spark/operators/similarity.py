@@ -262,3 +262,107 @@ def ivf_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic signed-random-projection LSH (expression-level — unlike
+# MLlib's BucketedRandomProjectionLSH the hyperplanes derive from a
+# cross-engine-reproducible hash, so the whole path is oracle-checkable)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for projections: quantizing x to round(x·10^6)
+#: BEFORE the sum makes the per-plane accumulation pure int64 —
+#: associative, so Spark's partial aggregation order and the oracle's
+#: single-threaded order produce bit-identical signs (a float sum
+#: could flip sign near 0 across engines).
+SRP_FIXED_POINT = 1_000_000
+
+
+def srp_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+) -> DataFrame:
+    """Signed-random-projection (Charikar hyperplane LSH) bucket id per
+    vector: ``planes`` pseudo-random ±1 hyperplanes, bucket = packed
+    sign bits of the projections. Collision probability between two
+    vectors is ``1 - theta/pi`` per bit, so same-bucket candidates are
+    cosine-close with tunable precision (more planes = finer buckets).
+
+    The hyperplane component for (plane p, dim d) is ``±1`` from a
+    60-bit md5 hash of ``"p_d"`` — no RNG state, reproducible in ANY
+    engine. Shape: posexplode (|v|·dim rows) → explode over planes
+    (×planes) → two map-side-combinable groupBys. At 100 TB this is a
+    sparse-free GEMM against a ``planes×dim`` matrix that never
+    materializes; the only shuffles are keyed on the vector id.
+    """
+    from .dedup import hash60
+
+    el = df.select(
+        F.col(id_col), F.posexplode(vectors.as_double_array(vec_col)).alias("d", "x")
+    ).withColumn("xq", F.round(F.col("x") * SRP_FIXED_POINT).cast("long"))
+    per_plane = (
+        el.withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(planes - 1))))
+        .withColumn(
+            "sgn",
+            F.when(
+                hash60(F.concat_ws("_", F.col("p"), F.col("d"))) % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("xq") * F.col("sgn")).alias("proj"))
+    )
+    # shiftleft() the builtin only takes a literal shift; the SQL form
+    # accepts a column exponent
+    bit = F.when(
+        F.col("proj") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+    ).otherwise(F.lit(0).cast("long"))
+    return per_plane.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
+
+
+def srp_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """ANN top-k restricted to each probe's SRP bucket: candidates come
+    from a bucket EQUI-join (the sub-linear step — at scale the corpus
+    signatures are computed once and bucketed on disk), exact cosine
+    re-ranks the candidates. Probes whose bucket holds no other member
+    return no rows — the recall/latency trade every LSH makes; raise
+    recall with more probes per query (multi-probe) or fewer planes.
+    """
+    sigs = srp_signatures(corpus, id_col=id_col, vec_col=vec_col, planes=planes)
+    dim = vectors.infer_dim(corpus, vec_col)
+    base = corpus.select(
+        F.col(id_col), vectors.as_double_array(vec_col).alias("v")
+    ).withColumn("n", F.sqrt(vectors.sq_norm_expanded("v", dim)))
+    with_sig = base.join(sigs, id_col)
+    p = with_sig.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        "bucket",
+    ).join(probes.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
+    c = with_sig.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("n").alias("nn"),
+        "bucket",
+    )
+    sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )

@@ -1118,4 +1118,113 @@ ORACLES: dict[str, str] = {
         FROM ranked WHERE rnk <= 3
         ORDER BY doc_id, rnk
     """,
+    # winnowing: (hash,pos) packed into one BIGINT so the frame MIN is
+    # the lexicographic minimum; frame/count/shift mirror the Spark op
+    "q74_winnow_fingerprint_pairs": f"""
+        WITH base AS (
+            SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+            FROM base
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ({_hash60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}
+                       % {_MINHASH_P}) * 1048576 + (i - 1) AS combo
+            FROM idx
+        ),
+        win AS (
+            SELECT doc_id,
+                   min(combo) OVER w AS sel,
+                   count(*) OVER w AS n_in
+            FROM sh
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, sel >> 20 AS fp
+            FROM win WHERE n_in = 4
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        ORDER BY id_a, id_b
+    """,
+    # SRP-LSH: fixed-point projections keep the sign computation in
+    # exact int64 arithmetic on both engines (see similarity.py)
+    "q75_srp_lsh_ann": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM vecs
+        ),
+        elx AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM el
+        ),
+        planes AS (SELECT unnest(range(0, 6)) AS p),
+        proj AS (
+            SELECT vec_id, p,
+                   SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS proj
+            FROM elx CROSS JOIN planes
+            GROUP BY 1, 2
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        ),
+        cand AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(pv.v, cv.v), 6) AS sim
+            FROM bucket p
+            JOIN bucket c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+            JOIN vecs pv ON pv.vec_id = p.vec_id
+            JOIN vecs cv ON cv.vec_id = c.vec_id
+            WHERE p.vec_id < 8
+        )
+        SELECT query_id, neighbor_id, sim, rnk FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM cand
+        ) WHERE rnk <= 3
+        ORDER BY query_id, rnk
+    """,
+    # the salted two-phase rewrite is row-identical to the naive form
+    "q76_salted_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q77_corpus_bigrams": f"""
+        WITH toks AS (
+            SELECT lang, doc_id, t, unnest(range(1, len(t) + 1)) AS i
+            FROM (SELECT lang, doc_id,
+                         string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM documents)
+        ),
+        big AS (
+            SELECT lang, doc_id, t[i] || ' ' || t[i+1] AS bigram
+            FROM toks WHERE i < len(t) AND t[i] <> ''
+        ),
+        agg AS (
+            SELECT lang, bigram, COUNT(*) AS n,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM big GROUP BY 1, 2
+        )
+        SELECT lang, bigram, n, n_docs, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, bigram ASC) AS rnk
+            FROM agg
+        ) WHERE rnk <= 10
+        ORDER BY lang, rnk
+    """,
 }

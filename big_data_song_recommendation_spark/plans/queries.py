@@ -1702,6 +1702,87 @@ def q73_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, SIGMOD'03 —
+    operators/dedup.py winnow_fingerprints): 3-word shingle hashes,
+    window-4 minima selected per doc, then doc pairs ranked by shared
+    fingerprints — the MOSS plagiarism-detection shape, storing only
+    ~2/(w+1) of the shingle hashes. Everything rides one doc-keyed
+    exchange until the fingerprint equi-join."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.winnow_shared_pairs(
+            docs, "doc_id", "text", k=3, window=4, min_shared=2
+        )
+        .transform(_ordered, "id_a", "id_b")
+    )
+
+
+def q75_srp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (operators/similarity.py srp_knn): deterministic
+    signed-random-projection buckets (6 hyperplanes of hash-derived ±1
+    components, fixed-point projections so the sign bits are
+    bit-reproducible in any engine), candidates from a bucket
+    equi-join, exact cosine re-rank. The oracle replays the identical
+    hyperplanes in SQL — a fully correctness-checked LSH, unlike
+    MLlib's RNG-seeded BucketedRandomProjectionLSH (q47's IVF is the
+    rows-only scale path)."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return similarity.srp_knn(
+        emb, probes, id_col="vec_id", vec_col="embedding", planes=6, k=3
+    ).transform(_ordered, "query_id", "rnk")
+
+
+def q76_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type distinct-user counts via two-phase salted
+    aggregation (operators/skew.py salted_distinct_count): event_type
+    is a pathological hot key (a handful of values own the whole
+    table), so phase 1 distinct-counts (type, hash(user) % 32) shards
+    and phase 2 sums — no reducer ever holds a full distinct set.
+    Result is row-identical to the naive COUNT(DISTINCT...)."""
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_distinct_count(
+        ev, "event_type", "user_id", salts=32
+    ).transform(_ordered, "event_type")
+
+
+def q77_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram table: top-10 bigrams per language by occurrence
+    (tie: bigram asc) with document frequency — the corpus-statistics
+    pass every tokenizer/quality pipeline starts from. One posexplode +
+    doc-keyed lead, then a (lang, bigram) aggregate; both
+    map-side-combinable, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split(text.normalized_text("text"), " ")).alias("pos", "tok"),
+    )
+    worder = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(worder))
+        .filter(F.col("nxt").isNotNull() & (F.col("tok") != ""))
+        .select("lang", "doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    agg = big.groupBy("lang", "bigram").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .transform(_ordered, "lang", "rnk")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -1776,4 +1857,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_decontamination": q71_decontamination,
     "q72_stratified_sample": q72_stratified_sample,
     "q73_keyword_tfidf": q73_keyword_tfidf,
+    "q74_winnow_fingerprint_pairs": q74_winnow_fingerprint_pairs,
+    "q75_srp_lsh_ann": q75_srp_lsh_ann,
+    "q76_salted_distinct_users": q76_salted_distinct_users,
+    "q77_corpus_bigrams": q77_corpus_bigrams,
 }
