@@ -49,15 +49,19 @@ def main() -> None:
             "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
         ).filter("r <= 3").collect()
 
-    # Pin the testdata tables in Spark's block-manager cache for the
-    # duration of the suite (see sources/readers.py). Disclosure: the
-    # DuckDB side of this same script reruns every oracle over OS-page-
-    # cached parquet within one process — pinning gives the Spark suite
-    # the equivalent warm buffer pool, nothing more. Set
-    # SPARK_GRAFT_PIN_TABLES=0 to time cold-scan plans instead.
-    os.environ.setdefault("SPARK_GRAFT_PIN_TABLES", "1")
+    # SPARK_GRAFT_PIN_TABLES=1 pins the testdata tables in the block-
+    # manager cache (see sources/readers.py). Measured at sf0.1 it
+    # LOSES: the in-memory columnar layer decodes wide text columns
+    # slower than the 10 MB local parquet scans it replaces (q19
+    # 2.0 s -> 3.7 s, q54 4.1 s -> 8.7 s same-box), so the default
+    # stays off — the knob exists for cluster deployments where the
+    # scan is remote and dims are worth pinning.
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+    # min-of-3 (was 2): this box's vCPU contention swings single-query
+    # walls ±30-50% and hits the 32-thread Spark side far harder than
+    # the single-threaded DuckDB baseline; both engines get the same
+    # runs/min treatment (disclosed via runs_per_query/timing).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         best = float("inf")

@@ -470,9 +470,12 @@ def connected_components(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     edges = edges.localCheckpoint()
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("comp")
-    )
+    # fused initialization = the first propagation round for free:
+    # comp_0(u) = min(u, min over neighbors v) in the same groupBy that
+    # would otherwise just enumerate the nodes
+    labels = edges.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("comp")
+    ).select(F.col("u").alias("node"), "comp")
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -488,7 +491,10 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the convergence count below is the one
+            # action that both materializes this round's labels AND
+            # reads the changed counter — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("comp") < F.col("old")).count()
         labels = merged.select("node", "comp")
@@ -527,30 +533,18 @@ def drop_near_duplicates(
 WINNOW_POS_BITS = 20
 
 
-def winnow_fingerprints(
+def _winnow_selected(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    *,
-    k: int = 3,
-    window: int = 4,
+    k: int,
+    window: int,
 ) -> DataFrame:
-    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
-    "Winnowing: Local Algorithms for Document Fingerprinting",
-    SIGMOD'03): hash every k-word shingle, slide a ``window``-wide
-    frame over the hash sequence, keep each frame's minimum — ties by
-    position. Guarantees any shared run of ``window + k - 1`` tokens
-    yields at least one shared fingerprint, while storing only
-    ~2/(window+1) of the shingle hashes.
-
-    Spark shape: one posexplode + a doc-keyed window (lead for shingle
-    assembly, frame-min + frame-count for selection) + distinct — all
-    partitioned on the doc id, so the whole chain rides a single
-    exchange. No Python in the row path.
-
-    Returns distinct ``(id_col, fp, pos)`` — the selected 60-bit
-    fingerprint and the shingle position it came from.
-    """
+    """Pre-distinct winnowing selection: ``(sid, sel)`` rows where
+    ``sel`` packs (hash, pos); one row per FULL frame (duplicates when
+    adjacent frames share their minimum — callers distinct on whichever
+    projection they need, so the pipeline pays exactly one distinct
+    shuffle)."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -581,7 +575,7 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    selected = (
+    return (
         shingled.select(
             "sid",
             F.min("combo").over(frame).alias("sel"),
@@ -591,12 +585,41 @@ def winnow_fingerprints(
         # covered minima or nothing — identical rule on the oracle side
         .filter(F.col("n_in_frame") == window)
         .select("sid", "sel")
-        .distinct()
     )
-    return selected.select(
-        F.col("sid").alias(id_col),
-        F.shiftright("sel", WINNOW_POS_BITS).alias("fp"),
-        (F.col("sel") % F.lit(1 << WINNOW_POS_BITS)).alias("pos"),
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every k-word shingle, slide a ``window``-wide
+    frame over the hash sequence, keep each frame's minimum — ties by
+    position. Guarantees any shared run of ``window + k - 1`` tokens
+    yields at least one shared fingerprint, while storing only
+    ~2/(window+1) of the shingle hashes.
+
+    Spark shape: one posexplode + a doc-keyed window (lead for shingle
+    assembly, frame-min + frame-count for selection) + distinct — all
+    partitioned on the doc id, so the whole chain rides a single
+    exchange. No Python in the row path.
+
+    Returns distinct ``(id_col, fp, pos)`` — the selected 60-bit
+    fingerprint and the shingle position it came from.
+    """
+    return (
+        _winnow_selected(df, id_col, text_col, k, window)
+        .distinct()
+        .select(
+            F.col("sid").alias(id_col),
+            F.shiftright("sel", WINNOW_POS_BITS).alias("fp"),
+            (F.col("sel") % F.lit(1 << WINNOW_POS_BITS)).alias("pos"),
+        )
     )
 
 
@@ -614,9 +637,13 @@ def winnow_shared_pairs(
     fingerprints fan out like hot shingles in
     :func:`ngram_jaccard_pairs`; winnowing already thins them ~2/(w+1)
     and a stop-fingerprint cap can ride the same pattern at scale)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
-        F.col(id_col).alias("sid"), "fp"
-    ).distinct()
+    fps = (
+        _winnow_selected(df, id_col, text_col, k, window)
+        # straight to the (doc, fingerprint) projection: ONE distinct
+        # shuffle instead of distinct-on-(fp,pos) then distinct-on-fp
+        .select("sid", F.shiftright("sel", WINNOW_POS_BITS).alias("fp"))
+        .distinct()
+    )
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.sid") < F.col("b.sid")))
