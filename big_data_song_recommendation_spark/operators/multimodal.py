@@ -110,9 +110,76 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _png_decode(payload: bytes) -> tuple[int, int]:
+    """Minimal REAL PNG decode with only the stdlib: chunk walk, IHDR
+    dims, zlib-inflate of IDAT, and full scanline unfiltering (filter
+    types 0-4) so a corrupt stream raises instead of sneaking metadata
+    through. 8-bit non-interlaced gray/RGB/+alpha only.
+
+    Pure-Python per-byte unfiltering is NOT a throughput path — on a
+    real deployment ship PIL/turbojpeg in the executor image and the
+    PIL tier below takes over. What this tier buys is an end-to-end
+    REAL decode (bytes → pixels → dims) testable in this codec-less
+    container, exercising the same mapInPandas plumbing."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # chunk CRC skipped; zlib's adler32 still guards IDAT
+        if typ == b"IHDR":
+            w, h, depth, color, _c, _f, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color if color is not None else -1)
+    if w is None or depth != 8 or interlace != 0 or channels is None:
+        raise ValueError("unsupported PNG layout")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                b = prev[i]
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        prev = line
+    return w, h
+
+
 def _try_real_decoder():
-    """Real codec path, gated: returns a PIL-based image decoder if the
-    library exists, else None (this container ships no codecs)."""
+    """Real codec tiers: PIL when the executor image ships it (any
+    format), else the stdlib PNG decoder above (real decode, PNG only —
+    non-PNG payloads raise and fall back to metadata passthrough)."""
     try:  # pragma: no cover - PIL absent in the target container
         import io
 
@@ -124,7 +191,7 @@ def _try_real_decoder():
 
         return decode
     except ImportError:
-        return None
+        return _png_decode
 
 
 def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFrame:
@@ -154,7 +221,7 @@ def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFram
                 checksums.append(hashlib.md5(b).hexdigest())
                 byte_sums.append(s)
                 means.append(math.floor(s / n * 1e4) / 1e4 if n else 0.0)
-                if real is not None:  # pragma: no cover - codec-less container
+                if real is not None:
                     try:
                         widths[i], heights[i] = real(b)
                     except Exception:
