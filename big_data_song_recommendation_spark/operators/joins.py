@@ -59,37 +59,52 @@ def fuzzy_lookup_join(
     which is acceptable only because dim is tiny — this mirrors the
     reference's O(n·m) scan but distributes the fact side.
 
+    DICTIONARY RESOLUTION: the lookup is a pure function of the
+    normalized fact key, so tiers are resolved once per DISTINCT key
+    (an aggregate — map-side combinable, tiny output for the
+    categorical keys this operator serves) and mapped back with one
+    broadcast join. The previous shape threaded a per-row
+    monotonically_increasing_id through the containment tier and
+    re-joined the resolution on it — a full-fact-table shuffle that the
+    distinct-key rewrite deletes. For genuinely high-cardinality keys
+    the key dictionary stops being broadcastable and the resolution
+    join falls back to a shuffle on the key — still strictly no worse
+    than per-row resolution.
+
     Adds column ``payload`` (from dim) filled by the first tier that
     matches; ``{payload}_match_tier`` records which tier fired
     (exact/contains/fallback/none).
     """
-    fact = fact.withColumn("__fid", F.monotonically_increasing_id())
-    fk = normalize_key(F.col(fact_key))
+    keys = fact.select(
+        normalize_key(F.col(fact_key)).alias("__nk")
+    ).distinct()
 
     # tier 1: exact normalized equi-join (unique dim key, no fan-out)
     d1 = dim.select(
         normalize_key(F.col(dim_key)).alias("__dk"),
         F.col(payload).alias("__exact_payload"),
     ).dropDuplicates(["__dk"])
-    out = fact.join(F.broadcast(d1), fk == F.col("__dk"), "left").drop("__dk")
+    res = keys.join(F.broadcast(d1), F.col("__nk") == F.col("__dk"), "left").drop(
+        "__dk"
+    )
 
     # tier 2: bidirectional containment for tier-1 misses only. The
-    # theta-join can multi-match, so resolve deterministically (min)
-    # per fact row and join the resolution back on __fid.
-    misses = out.filter(F.col("__exact_payload").isNull()).select("__fid", F.col(fact_key))
+    # theta-join can multi-match; resolve deterministically (min) per key.
+    misses = res.filter(F.col("__exact_payload").isNull()).select("__nk")
     d2 = dim.select(
         normalize_key(F.col(dim_key)).alias("__ck"),
         F.col(payload).alias("__contains_payload"),
     ).dropDuplicates(["__ck"])
-    mk = normalize_key(F.col(fact_key))
     tier2 = (
         misses.join(
-            F.broadcast(d2), mk.contains(F.col("__ck")) | F.col("__ck").contains(mk)
+            F.broadcast(d2),
+            F.col("__nk").contains(F.col("__ck"))
+            | F.col("__ck").contains(F.col("__nk")),
         )
-        .groupBy("__fid")
+        .groupBy("__nk")
         .agg(F.min("__contains_payload").alias("__contains_payload"))
     )
-    out = out.join(tier2, "__fid", "left")
+    res = res.join(tier2, "__nk", "left")
 
     value = F.coalesce(
         F.col("__exact_payload"),
@@ -102,10 +117,29 @@ def fuzzy_lookup_join(
         .when(F.lit(fallback is not None) & value.isNotNull(), "fallback")
         .otherwise("none")
     )
+    res = res.select(
+        "__nk",
+        value.alias("__val"),
+        tier.alias("__tier"),
+    )
+    out = fact.join(
+        F.broadcast(res), normalize_key(F.col(fact_key)) == F.col("__nk"), "left"
+    )
+    # a NULL fact key never joins the dictionary; apply the same
+    # fallback/tier rule inline for those rows
+    null_val = F.coalesce(*([fallback] if fallback is not None else [F.lit(None)]))
     return (
-        out.withColumn(payload, value)
-        .withColumn(f"{payload}_match_tier", tier)
-        .drop("__fid", "__exact_payload", "__contains_payload")
+        out.withColumn(payload, F.coalesce(F.col("__val"), null_val))
+        .withColumn(
+            f"{payload}_match_tier",
+            F.coalesce(
+                F.col("__tier"),
+                F.when(
+                    F.lit(fallback is not None) & null_val.isNotNull(), "fallback"
+                ).otherwise("none"),
+            ),
+        )
+        .drop("__nk", "__val", "__tier")
     )
 
 

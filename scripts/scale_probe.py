@@ -81,16 +81,59 @@ def relational_probe(spark, reps: list[int]) -> None:
             print(" ".join(line), flush=True)
 
 
+def curation_probe(spark, reps: list[int]) -> None:
+    """Round-3 curation operators under replication: winnowing (one
+    doc-keyed exchange — should scale ~linearly in tokens) and SRP-LSH
+    signatures + bucket-join ANN (GEMM-free projection — linear in
+    |v|·dim·planes; the bucket join's fan-out grows with bucket
+    occupancy, the quantity the planes knob controls)."""
+    from big_data_song_recommendation_spark.operators import dedup as dd
+    from big_data_song_recommendation_spark.operators import similarity as sim
+
+    docs0 = load_table(spark, SF_DIR, "documents")
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        for r in reps:
+            docs_path, emb_path = f"{d}/docs_{r}", f"{d}/emb_{r}"
+            replicate(docs0, r, "doc_id").write.parquet(docs_path)
+            replicate(emb0, r, "vec_id").write.parquet(emb_path)
+            docs = spark.read.parquet(docs_path)
+            emb = spark.read.parquet(emb_path)
+            n_docs, n_emb = docs.count(), emb.count()
+
+            t0 = time.perf_counter()
+            n_fp = dd.winnow_fingerprints(docs, "doc_id", "text").count()
+            t_win = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            # more planes at larger scale: hold bucket occupancy
+            # roughly constant (the 100-TB tuning rule)
+            planes = 6 + max(0, r.bit_length() - 1)
+            sigs = sim.srp_signatures(emb, planes=planes)
+            n_sig = sigs.count()
+            t_srp = time.perf_counter() - t0
+
+            print(
+                f"x{r}: docs={n_docs} winnow_fps={n_fp} winnow={t_win:.1f}s | "
+                f"emb={n_emb} planes={planes} sigs={n_sig} srp={t_srp:.1f}s",
+                flush=True,
+            )
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
-    if args and args[0] in ("dedup", "relational"):
+    if args and args[0] in ("dedup", "relational", "curation"):
         mode, args = args[0], args[1:]
     reps = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "relational":
         relational_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "curation":
+        curation_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
