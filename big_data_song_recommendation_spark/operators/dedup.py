@@ -643,6 +643,12 @@ def winnow_shared_pairs(
         # shuffle instead of distinct-on-(fp,pos) then distinct-on-fp
         .select("sid", F.shiftright("sel", WINNOW_POS_BITS).alias("fp"))
         .distinct()
+        # both sides of the pair self-join read this — uncached, each
+        # side re-runs the whole winnowing window chain (plan audit:
+        # 2 Generates / 4 Windows). Same discipline as
+        # minhash_lsh_pairs; at scale this is the fingerprint index
+        # you materialize once anyway.
+        .cache()
     )
     a, b = fps.alias("a"), fps.alias("b")
     return (

@@ -338,7 +338,11 @@ def srp_knn(
     return no rows — the recall/latency trade every LSH makes; raise
     recall with more probes per query (multi-probe) or fewer planes.
     """
-    sigs = srp_signatures(corpus, id_col=id_col, vec_col=vec_col, planes=planes)
+    # probe and corpus branches below both read the signatures —
+    # uncached, each branch re-runs the explode+double-groupBy pipeline
+    # (plan audit: 4 Generates). One row per vector; at scale this IS
+    # the LSH index you bucket to storage once.
+    sigs = srp_signatures(corpus, id_col=id_col, vec_col=vec_col, planes=planes).cache()
     dim = vectors.infer_dim(corpus, vec_col)
     base = corpus.select(
         F.col(id_col), vectors.as_double_array(vec_col).alias("v")
