@@ -174,3 +174,39 @@ def test_bpe_token_count_matches_duckdb_on_unicode(spark, duck, texts):
         ).fetchall()
     ]
     assert got == want
+
+
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pre=st.lists(_tok, min_size=0, max_size=10),
+    shared=st.lists(_tok, min_size=6, max_size=12),  # >= window + k - 1
+    post=st.lists(_tok, min_size=0, max_size=10),
+)
+def test_winnowing_guarantee(spark, pre, shared, post):
+    """Schleimer et al. thm: two docs sharing a token run of length
+    >= window + k - 1 (= 6 at k=3, w=4) share at least one selected
+    fingerprint, for ANY surrounding context."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(pre + shared)),
+            (2, " ".join(shared + post)),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc.get(1, set()) & by_doc.get(2, set()), (
+        f"no shared fingerprint for shared run {shared!r}"
+    )
