@@ -476,26 +476,32 @@ def connected_components(
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("comp")
     ).select(F.col("u").alias("node"), "comp")
-    for _ in range(max_iter):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges["v"] == labels["node"])
+            edges.join(lbl, edges["v"] == lbl["node"])
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        merged = (
-            labels.join(nbr, labels["node"] == nbr["u"], "left")
-            .select(
-                "node",
-                F.col("comp").alias("old"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            # lazy checkpoint: the convergence count below is the one
-            # action that both materializes this round's labels AND
-            # reads the changed counter — one job per round, not two
-            .localCheckpoint(eager=False)
+        return lbl.join(nbr, lbl["node"] == nbr["u"], "left").select(
+            "node",
+            F.col("comp").alias("old"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
         )
+
+    # unroll one propagation BEFORE the first convergence check: the
+    # near-dup graphs this serves are near-cliques (diameter <= 2), so
+    # the fixpoint is normally reached at depth 2 and the loop's first
+    # count VERIFIES instead of discovering — one fewer driver sync;
+    # long-path graphs just continue into the loop as before
+    labels = _propagate(labels).select("node", "comp")
+    for _ in range(max_iter):
+        # lazy checkpoint: the convergence count below is the one
+        # action that both materializes this round's labels AND
+        # reads the changed counter — one job per round, not two
+        merged = _propagate(labels).localCheckpoint(eager=False)
         changed = merged.filter(F.col("comp") < F.col("old")).count()
         labels = merged.select("node", "comp")
         if changed == 0:
