@@ -115,22 +115,46 @@ def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     region/nation are broadcast (SURVEY.md §4 item 1) — at 100 TB the
     fact-side lineitem⋈orders join shuffles on orderkey and the tiny
-    dims never shuffle at all."""
+    dims never shuffle at all.
+
+    The aggregate is pushed BELOW the joins twice (lineitem → order
+    grain → customer grain) so no DISTINCT machinery survives at all:
+    ``n_orders`` is a summed per-customer count and ``n_customers`` a
+    plain ``count(*)`` at customer grain. The dual fact-grain
+    countDistinct version planned a 3-way Expand that replicated every
+    lineitem row (4.7× the oracle wall at sf0.1); this shape's shuffles
+    shrink monotonically (lineitem → ~¼ on orderkey combine → ~1/10 on
+    custkey) — the plan a 100 TB star wants."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    per_order = li.groupBy("l_orderkey").agg(F.sum(_revenue()).alias("order_rev"))
+    per_cust = (
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("order_rev").alias("cust_rev"),
+            F.count("*").alias("cust_orders"),
+        )
+    )
+    cust_geo = (
+        cust.select("c_custkey", "c_nationkey")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        per_cust.join(cust_geo, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("cust_rev"), 2).alias("revenue"),
+            F.sum("cust_orders").alias("n_orders"),
+            F.count("*").alias("n_customers"),
         )
         .transform(_ordered, "r_name", "n_name")
     )
