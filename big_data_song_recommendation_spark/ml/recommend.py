@@ -209,7 +209,13 @@ def train_als(
     return ALSResult(model=als.fit(ratings), config=config)
 
 
-def recommend_top_n(als_model, n: int = 10, users: DataFrame | None = None) -> DataFrame:
+def recommend_top_n(
+    als_model,
+    n: int = 10,
+    users: DataFrame | None = None,
+    *,
+    bounded_users: bool | None = None,
+) -> DataFrame:
     """M7: top-n per user, exploded to flat (user_id, item_id, score)
     rows — serving joins displays onto this in DataFrame land (fixing
     the reference's collect-loop hotspot, ``src/app.py:233-245``).
@@ -220,14 +226,44 @@ def recommend_top_n(als_model, n: int = 10, users: DataFrame | None = None) -> D
     ``recommendForUserSubset`` (it computes exactly this via blocked
     BLAS) with a transparent plan and none of the blockify machinery —
     the all-users path keeps MLlib's blocked implementation, which is
-    the right tool when the user side is NOT broadcastable."""
+    the right tool when the user side is NOT broadcastable.
+
+    The direct cross is gated on the subset size: a subset past
+    ``max_direct_users`` (10k users ≈ rank-64 floats well under any
+    broadcast limit) falls back to MLlib's ``recommendForUserSubset``,
+    which handles arbitrarily large user sides — the previous
+    unconditional broadcast failed fast on big subsets (ADVICE r3).
+    ``bounded_users=True`` asserts the subset is small and skips the
+    size probe (one bounded count job) — pass it on hot serving paths
+    where the caller already knows the batch size; ``False`` forces
+    the MLlib path outright."""
     from pyspark.sql import Window
 
     user_col = als_model.getUserCol()
     item_col = als_model.getItemCol()
+    max_direct_users = 10_000
     if users is not None:
+        wanted = users.select(
+            F.col(user_col).cast("int").alias("id")
+        ).distinct()
+        # bounded probe: limit(N+1).count() touches at most N+1 rows,
+        # never the full subset cardinality
+        if bounded_users is False or (
+            bounded_users is None
+            and wanted.limit(max_direct_users + 1).count() > max_direct_users
+        ):
+            recs = als_model.recommendForUserSubset(
+                wanted.withColumnRenamed("id", user_col), n
+            )
+            return recs.select(
+                user_col, F.posexplode("recommendations").alias("rank0", "rec")
+            ).select(
+                F.col(user_col),
+                F.col("rec.*"),
+                (F.col("rank0") + 1).alias("rnk"),
+            )
         uf = als_model.userFactors.join(
-            users.select(F.col(user_col).cast("int").alias("id")).distinct(),
+            wanted,
             "id",
             "left_semi",
         ).select(F.col("id").alias("__uid"), F.col("features").alias("__uf"))
@@ -283,20 +319,23 @@ def train_kmeans(
     features_col: str = "scaled_features",
     k: int | None = None,
     seed: int = 42,
+    max_iter: int = 8,
 ):
     """M9: KMeans with the reference's adaptive k =
     clamp(rows/1000, 10, 50) (``src/spark/training.py:377-402``).
 
-    maxIter 8, not MLlib's 20: measured on the embeddings corpus the
-    training cost plateaus by iteration 8 (1881.5 vs 1878.0 at 20 —
-    0.2%) while each extra iteration is a full corpus pass; iteration
-    count is the term that scales with data volume (same reasoning as
-    similarity.ivf_index)."""
+    ``max_iter`` defaults to 8, not MLlib's 20: measured on the
+    embeddings corpus the training cost plateaus by iteration 8
+    (1881.5 vs 1878.0 at 20 — 0.2%) while each extra iteration is a
+    full corpus pass; iteration count is the term that scales with
+    data volume (same reasoning as similarity.ivf_index). The default
+    is tuned to THAT corpus — callers on other datasets can restore
+    full convergence by passing ``max_iter=20`` (ADVICE r3)."""
     from pyspark.ml.clustering import KMeans
 
     if k is None:
         n = df.count()
         k = max(10, min(50, n // 1000))
-    km = KMeans(k=k, seed=seed, featuresCol=features_col, maxIter=8)
+    km = KMeans(k=k, seed=seed, featuresCol=features_col, maxIter=max_iter)
     model = km.fit(df)
     return model, model.transform(df).withColumnRenamed("prediction", "cluster")

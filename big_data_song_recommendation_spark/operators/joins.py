@@ -74,10 +74,28 @@ def fuzzy_lookup_join(
     Adds column ``payload`` (from dim) filled by the first tier that
     matches; ``{payload}_match_tier`` records which tier fired
     (exact/contains/fallback/none).
+
+    ``fallback`` must be a KEY-INDEPENDENT expression (a literal, or
+    built only from functions of literals): the dictionary rewrite
+    evaluates it inside the per-distinct-key resolution, where fact
+    columns are out of scope. A fallback referencing fact columns is
+    rejected up front with a ``ValueError`` (instead of the opaque
+    AnalysisException Catalyst would raise mid-plan), because the
+    NULL-key path evaluates the fallback in a second scope and the two
+    would silently diverge for non-literal expressions.
     """
     keys = fact.select(
         normalize_key(F.col(fact_key)).alias("__nk")
     ).distinct()
+    if fallback is not None:
+        try:  # resolvable against the key dictionary <=> key-independent
+            keys.select(fallback)
+        except Exception as exc:
+            raise ValueError(
+                "fuzzy_lookup_join: fallback must be a key-independent "
+                "(literal) expression; it failed to resolve outside the "
+                f"fact scope: {exc}"
+            ) from None
 
     # tier 1: exact normalized equi-join (unique dim key, no fan-out)
     d1 = dim.select(

@@ -88,13 +88,20 @@ def collaborative(
     *,
     n: int = 10,
     index_map: DataFrame | None = None,
+    bounded_users: bool | None = True,
 ) -> DataFrame:
     """ALS top-n with display enrichment. ``index_map`` (track_index →
     track_id, from the StringIndexer) converts model item indices back
-    to ids when the model was trained on indexed items."""
+    to ids when the model was trained on indexed items.
+
+    ``bounded_users`` defaults to True here: a serving request carries
+    a per-request user batch (the reference's endpoint takes one user),
+    so the direct factor-cross path is taken without a size probe.
+    Batch/offline callers with unbounded user sets pass None (probe)
+    or False (MLlib subset path)."""
     from ..ml.recommend import recommend_top_n
 
-    recs = recommend_top_n(als_model, n, users=users)
+    recs = recommend_top_n(als_model, n, users=users, bounded_users=bounded_users)
     item_col = als_model.getItemCol()
     if index_map is not None:
         recs = recs.join(F.broadcast(index_map), item_col).drop(item_col)
