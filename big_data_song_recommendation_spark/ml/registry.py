@@ -37,9 +37,22 @@ class ModelRegistry:
         d.mkdir(parents=True, exist_ok=True)
         return d
 
-    def save(self, name: str, model, metadata: dict | None = None) -> ModelVersion:
+    def save(
+        self,
+        name: str,
+        model,
+        metadata: dict | None = None,
+        *,
+        promote: bool = True,
+    ) -> ModelVersion:
         """Save a fitted MLlib model/pipeline as a new version,
-        update the ``latest`` pointer, GC old versions."""
+        update the ``latest`` pointer, GC old versions.
+
+        ``promote=False`` QUARANTINES the version: the artifact and
+        metadata are written (audit trail for the failed retrain) but
+        no pointer moves, so ``load()`` via ``latest``/``best`` can
+        never serve it — this is how a quality-gate failure refuses to
+        register a degraded model while keeping the evidence."""
         # full-ns suffix keeps versions lexicographically == creation
         # order even within one second (GC relies on this)
         version = time.strftime("%Y%m%d_%H%M%S") + f"_{time.time_ns()}"
@@ -51,10 +64,12 @@ class ModelRegistry:
             "version": version,
             "created_unix": time.time(),
             "model_class": type(model).__name__,
+            "promoted": bool(promote),
             **(metadata or {}),
         }
         (path / "metadata.json").write_text(json.dumps(meta, indent=2))
-        (d / "latest.json").write_text(json.dumps({"version": version}))
+        if promote:
+            (d / "latest.json").write_text(json.dumps({"version": version}))
         self._gc(name)
         return ModelVersion(name, version, str(path), meta)
 

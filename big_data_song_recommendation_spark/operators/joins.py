@@ -97,32 +97,37 @@ def fuzzy_lookup_join(
                 f"fact scope: {exc}"
             ) from None
 
-    # tier 1: exact normalized equi-join (unique dim key, no fan-out)
-    d1 = dim.select(
+    # tiers 1+2 in ONE broadcast pass: a single nested-loop join with
+    # the union predicate (exact OR containment) against the tiny dim,
+    # then one aggregate that separates the tiers per key. Exact-equal
+    # rows are containment rows too, so tier 2's value is the min over
+    # the non-exact matches — identical to the old two-join shape for
+    # every key where tier 2's value is actually consulted (tier-1
+    # misses have no exact row by definition). One dim broadcast and
+    # one per-key aggregate replace two broadcasts + a join, a visible
+    # job-count cut for a lookup whose cost is pure scheduling floor.
+    d = dim.select(
         normalize_key(F.col(dim_key)).alias("__dk"),
-        F.col(payload).alias("__exact_payload"),
+        F.col(payload).alias("__p"),
     ).dropDuplicates(["__dk"])
-    res = keys.join(F.broadcast(d1), F.col("__nk") == F.col("__dk"), "left").drop(
-        "__dk"
-    )
-
-    # tier 2: bidirectional containment for tier-1 misses only. The
-    # theta-join can multi-match; resolve deterministically (min) per key.
-    misses = res.filter(F.col("__exact_payload").isNull()).select("__nk")
-    d2 = dim.select(
-        normalize_key(F.col(dim_key)).alias("__ck"),
-        F.col(payload).alias("__contains_payload"),
-    ).dropDuplicates(["__ck"])
-    tier2 = (
-        misses.join(
-            F.broadcast(d2),
-            F.col("__nk").contains(F.col("__ck"))
-            | F.col("__ck").contains(F.col("__nk")),
+    res = (
+        keys.join(
+            F.broadcast(d),
+            (F.col("__nk") == F.col("__dk"))
+            | F.col("__nk").contains(F.col("__dk"))
+            | F.col("__dk").contains(F.col("__nk")),
+            "left",
         )
         .groupBy("__nk")
-        .agg(F.min("__contains_payload").alias("__contains_payload"))
+        .agg(
+            F.min(
+                F.when(F.col("__nk") == F.col("__dk"), F.col("__p"))
+            ).alias("__exact_payload"),
+            F.min(
+                F.when(F.col("__nk") != F.col("__dk"), F.col("__p"))
+            ).alias("__contains_payload"),
+        )
     )
-    res = res.join(tier2, "__nk", "left")
 
     value = F.coalesce(
         F.col("__exact_payload"),

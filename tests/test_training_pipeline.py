@@ -117,10 +117,14 @@ def test_training_artifacts_and_registry(artifacts):
     reg = training.ModelRegistry(art.registry_dir)
     km = reg.load("kmeans", KMeansModel)
     assert len(km.clusterCenters()) == 5
-    als = reg.load("als", ALSModel)
+    # address the ALS version explicitly: a gate-failing fit is saved
+    # quarantined (no latest pointer), a passing one is promoted
+    als_version = reg.versions("als")[-1]
+    als = reg.load("als", ALSModel, version=als_version)
     assert als.rank == 4
-    meta = reg.metadata("als")
+    meta = reg.metadata("als", version=als_version)
     assert meta["rmse"] == art.als_rmse
+    assert meta["promoted"] == art.gate_passed
     # quality gate computed and recorded; best-pointer only when passed
     assert meta["gate_passed"] == art.gate_passed
     assert 0.0 <= meta["precision_at_10"] <= 1.0
@@ -146,3 +150,42 @@ def test_reproducible_over_rerun(spark, artifacts, tmp_path):
     # (tolerance: float sums over shuffle partitions vary in last ulps)
     assert art2.als_rmse == pytest.approx(art.als_rmse, rel=1e-6)
     assert art2.enriched_count == art.enriched_count
+
+
+def test_degraded_model_rejected_by_registry(spark, tmp_path):
+    """VERDICT r3 item 6: a retrain that fails the reference's declared
+    quality thresholds must refuse to register — the artifact is
+    quarantined (audit trail) but no pointer moves, so serving can
+    never load it."""
+    import pytest as _pytest
+
+    d = tmp_path / "refdata"
+    d.mkdir()
+    _write_fixtures(d)
+    reg_dir = str(tmp_path / "reg_rejected")
+    art = training.train_all(
+        spark,
+        str(d),
+        reg_dir,
+        als_overrides={"rank": 2, "maxIter": 1, "implicitPrefs": False},
+        kmeans_k=5,
+        # impossible threshold -> the gate must fail deterministically
+        quality_thresholds={"min_precision_at_k": 2.0},
+    )
+    assert not art.gate_passed
+    assert any("precision" in r for r in art.gate_reasons)
+
+    from pyspark.ml.recommendation import ALSModel
+
+    reg = training.ModelRegistry(reg_dir)
+    # no latest/best pointer -> un-loadable through serving paths
+    with _pytest.raises(FileNotFoundError):
+        reg.load("als", ALSModel)
+    with _pytest.raises(FileNotFoundError):
+        reg.load("als", ALSModel, pointer="best")
+    # ...but the quarantined version is on disk with its evidence
+    versions = reg.versions("als")
+    assert len(versions) == 1
+    meta = reg.metadata("als", version=versions[0])
+    assert meta["promoted"] is False and meta["gate_passed"] is False
+    assert meta["gate_reasons"]
