@@ -1227,4 +1227,57 @@ ORACLES: dict[str, str] = {
         ) WHERE rnk <= 10
         ORDER BY lang, rnk
     """,
+    # q78: patterns are the PII_PATTERNS from functions/text.py, valid
+    # in both Java regex and RE2 (no backrefs/lookaround); counts use
+    # len(regexp_extract_all) since DuckDB lacks regexp_count, and the
+    # replace chain carries the 'g' flag (see module docstring).
+    "q78_pii_redaction": """
+        WITH seeded AS (
+            SELECT lang,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' from 10.0.'
+                                     || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                                ELSE '' END
+                        || CASE WHEN doc_id % 5 = 0
+                                THEN ' call +1 555-000-1234'
+                                ELSE '' END AS t
+            FROM documents
+        ), red AS (
+            SELECT lang, t,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[REDACTED]', 'g'),
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                       '[REDACTED]', 'g'),
+                     '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]',
+                     '[REDACTED]', 'g') AS rt
+            FROM seeded
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+                 AS n_email,
+               CAST(SUM(len(regexp_extract_all(t,
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))) AS BIGINT)
+                 AS n_ipv4,
+               CAST(SUM(len(regexp_extract_all(t,
+                 '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]'))) AS BIGINT)
+                 AS n_phone,
+               CAST(SUM(
+                   len(regexp_extract_all(rt,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(rt,
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+                 + len(regexp_extract_all(rt,
+                     '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]'))) AS BIGINT)
+                 AS n_residual
+        FROM red
+        GROUP BY lang
+        ORDER BY lang
+    """,
 }

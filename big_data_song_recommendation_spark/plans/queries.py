@@ -1849,6 +1849,56 @@ def q77_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit (functions/text.py redact_pii/pii_counts),
+    driver-checkable: the synthetic corpus contains no PII-shaped spans
+    (a bare redaction query would be trivially zero — VERDICT r3 item
+    7), so the query SEEDS deterministic spans first: an email on every
+    doc, an IPv4 on ``doc_id % 3 == 0``, a phone on ``doc_id % 5 == 0``
+    — pure functions of doc_id, replayable identically in any engine.
+    Output: per-language match counts before redaction and the
+    RESIDUAL match count after (the audit invariant — must be 0).
+    Chained ``regexp_replace``/``regexp_count`` column expressions,
+    whole-stage codegen end to end, one groupBy shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call +1 555-000-1234")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    before = text.pii_counts(F.col("t"))
+    after = text.pii_counts(text.redact_pii(F.col("t")))
+    return (
+        seeded.select("lang", before.alias("b"), after.alias("a"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("b.email").alias("n_email"),
+            F.sum("b.ipv4").alias("n_ipv4"),
+            F.sum("b.phone").alias("n_phone"),
+            F.sum(
+                F.col("a.email") + F.col("a.ipv4") + F.col("a.phone")
+            ).alias("n_residual"),
+        )
+        .transform(_ordered, "lang")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
@@ -1927,4 +1977,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_srp_lsh_ann": q75_srp_lsh_ann,
     "q76_salted_distinct_users": q76_salted_distinct_users,
     "q77_corpus_bigrams": q77_corpus_bigrams,
+    "q78_pii_redaction": q78_pii_redaction,
 }
