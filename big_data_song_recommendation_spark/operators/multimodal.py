@@ -176,10 +176,69 @@ def _png_decode(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _jpeg_decode(payload: bytes) -> tuple[int, int]:
+    """Minimal REAL JPEG dims parse with only the stdlib: walk the
+    marker stream to the first SOF frame header (SOF0 baseline, plus
+    the other SOFn variants — excluding DHT/JPG/DAC which share the
+    0xC0 nibble but are not frames) and read height/width from it.
+    Marker-structure errors raise — a truncated or non-JPEG stream
+    never sneaks dims through. Entropy-coded pixel data is NOT decoded
+    (dims live entirely in the frame header); full pixel decode is the
+    PIL tier's job on a real deployment."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        # fill bytes: any number of 0xFF may pad before a marker
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            break
+        marker = payload[pos]
+        pos += 1
+        # standalone markers carry no length segment
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        if ln < 2 or pos + ln > len(payload):
+            raise ValueError("bad JPEG segment length")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if ln < 7:
+                raise ValueError("truncated SOF header")
+            _prec, h, w = struct.unpack(">BHH", payload[pos + 2 : pos + 7])
+            if h == 0 or w == 0:
+                raise ValueError("bad SOF dims")
+            return w, h
+        if marker == 0xDA:  # SOS: entropy data follows, SOF should precede
+            break
+        pos += ln
+    raise ValueError("no SOF marker found")
+
+
+def _stdlib_decode(payload: bytes) -> tuple[int, int]:
+    """Magic-byte dispatch over the stdlib codec tiers: PNG (full
+    scanline decode) and JPEG (SOF dims parse). Anything else raises —
+    callers treat that as not-decodable and pass metadata through."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_decode(payload)
+    raise ValueError("unrecognized image format")
+
+
 def _try_real_decoder():
     """Real codec tiers: PIL when the executor image ships it (any
-    format), else the stdlib PNG decoder above (real decode, PNG only —
-    non-PNG payloads raise and fall back to metadata passthrough)."""
+    format), else the stdlib decoders above (real PNG decode + JPEG
+    SOF dims parse — other payloads raise and fall back to metadata
+    passthrough)."""
     try:  # pragma: no cover - PIL absent in the target container
         import io
 
@@ -191,7 +250,7 @@ def _try_real_decoder():
 
         return decode
     except ImportError:
-        return _png_decode
+        return _stdlib_decode
 
 
 def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFrame:

@@ -216,3 +216,71 @@ class TestRealPNGDecode:
         )
         row = multimodal.decode_media(media).collect()[0]
         assert (row["width"], row["height"]) == (640, 480)
+
+
+def _make_jpeg(width: int, height: int, *, sof_marker: int = 0xC0) -> bytes:
+    """Hand-assemble a structurally valid JPEG header: SOI, APP0(JFIF),
+    DQT stub, SOFn with the dims, DHT stub, SOS, one entropy byte, EOI.
+    Dims live in the SOF frame header, which is all the stdlib parser
+    reads — the entropy data is filler."""
+    import struct
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof = seg(
+        sof_marker,
+        struct.pack(">BHH", 8, height, width) + b"\x01\x11\x00",
+    )
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"\x00")
+    sos = seg(0xDA, b"\x01\x11\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + b"\xab" + b"\xff\xd9"
+
+
+class TestRealJPEGDecode:
+    def test_sof0_dims(self):
+        for w, h in [(13, 9), (1, 1), (1920, 1080)]:
+            assert multimodal._jpeg_decode(_make_jpeg(w, h)) == (w, h)
+
+    def test_progressive_sof2_dims(self):
+        assert multimodal._jpeg_decode(_make_jpeg(40, 25, sof_marker=0xC2)) == (40, 25)
+
+    def test_dht_not_mistaken_for_sof(self):
+        # DHT shares the 0xC0 nibble (0xC4); a parser that treats it as
+        # a frame header would read garbage dims from the table stub
+        jpg = _make_jpeg(7, 5)
+        assert multimodal._jpeg_decode(jpg) == (7, 5)
+
+    def test_rejects_garbage_and_truncation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            multimodal._jpeg_decode(b"not a jpeg")
+        with _pytest.raises(ValueError):
+            multimodal._jpeg_decode(_make_jpeg(7, 5)[:6])  # cut mid-segment
+        with _pytest.raises(ValueError):
+            # SOI + EOI only: structurally fine, but no SOF -> no dims
+            multimodal._jpeg_decode(b"\xff\xd8\xff\xd9")
+        with _pytest.raises(ValueError):
+            multimodal._jpeg_decode(_make_jpeg(0, 5))  # zero width
+
+    def test_dispatcher_routes_by_magic(self):
+        import pytest as _pytest
+
+        assert multimodal._stdlib_decode(_make_png(6, 4)) == (6, 4)
+        assert multimodal._stdlib_decode(_make_jpeg(8, 3)) == (8, 3)
+        with _pytest.raises(ValueError):
+            multimodal._stdlib_decode(b"GIF89a......")
+
+    def test_decode_media_reads_jpeg_dims(self, spark):
+        jpg = _make_jpeg(31, 17)
+        media = spark.createDataFrame(
+            [(103, jpg, ("image", "jpeg", 2, 2, None, None, None))],
+            "doc_id long, payload binary, "
+            "meta struct<modality:string,fmt:string,width:int,height:int,"
+            "sample_rate:int,n_frames:int,fps:double>",
+        )
+        row = multimodal.decode_media(media).collect()[0]
+        assert (row["width"], row["height"]) == (31, 17)
