@@ -105,6 +105,11 @@ def main() -> None:
             "spark.sql.adaptive.enabled": str(aqe).lower(),
             "spark.sql.files.maxPartitionBytes": str(max_split),
             "spark.sql.files.openCostInBytes": str(open_cost),
+            # split sizing above already widens every scan to ~core
+            # count, so widen()'s partition-count probe (a per-query
+            # py4j/RDD round trip + possible extra exchange) is pure
+            # overhead here — skip it statically
+            "spark.graft.widen.enabled": "false",
         },
     )
     # Warm the JVM/session so the first timed query doesn't pay startup:

