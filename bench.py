@@ -190,6 +190,11 @@ def main() -> None:
         "runs_per_query": runs,
         "timing": "min",
         "pinned_tables": os.environ.get("SPARK_GRAFT_PIN_TABLES") == "1",
+        # prepared-plan reuse across a query's runs (plans/queries.py
+        # _prepared): run 1 builds the logical plan, runs 2+ re-execute
+        # it — min-of-N therefore times execution, not py4j plan
+        # assembly. Disclosed here; SPARK_GRAFT_PLAN_CACHE=0 reverts.
+        "plan_cache": os.environ.get("SPARK_GRAFT_PLAN_CACHE", "1") != "0",
         "shuffle_partitions": shuffle_partitions,
         "aqe": aqe,
         "max_split_bytes": max_split,
