@@ -135,6 +135,26 @@ def lang_id(col: Column | str) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def tokens(col: Column | str) -> Column:
+    """Tokenize in ONE regex pass: ``split(lower(text), "[^a-z0-9]+")``.
+
+    Produces the exact token SEQUENCE of
+    ``split(normalized_text(col), " ")`` (verified corpus-wide at
+    sf0.1) except for possible EMPTY tokens at the array edges — a
+    leading/trailing delimiter run splits into one "" entry that
+    normalized_text's trim would have removed. Consumers MUST filter
+    ``tok != ''`` BEFORE any neighbor-sensitive use (lead() shingles,
+    bigrams) so empties never appear as neighbors, and must not treat
+    the posexplode index as a token ORDINAL (it can be shifted by one
+    leading empty) — re-derive ordinals with row_number when the
+    position value itself is an output (winnowing's packed pos).
+
+    Why: the two regexp_replace passes in normalized_text cost 2.2×
+    the single split on the sf0.1 corpus explode (0.34 s → 0.15 s);
+    every shingle/token pipeline pays that per scan."""
+    return F.split(F.lower(_c(col)), "[^a-z0-9]+")
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, strip
     non-alphanumerics, collapse whitespace."""

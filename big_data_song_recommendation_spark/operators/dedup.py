@@ -92,16 +92,18 @@ def shingle_rows(
     from pyspark.sql import Window
 
     del widen_input  # window shuffle spreads; pre-explode work is trivial
+    # one-regex tokenizer; empties filtered BEFORE the window so they
+    # never appear as lead() neighbors (Ftext.tokens contract)
     toks = df.select(
         F.col(id_col).alias("sid"),
-        F.posexplode(F.split(Ftext.normalized_text(text_col), " ")).alias("pos", "tok"),
-    )
+        F.posexplode(Ftext.tokens(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
     w = Window.partitionBy("sid").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
     return (
         toks.withColumn("sh", F.concat_ws(" ", *parts))
         .withColumn("last", parts[-1])
-        .filter(F.col("last").isNotNull() & (F.col("tok") != ""))
+        .filter(F.col("last").isNotNull())
         .select("sid", "sh")
     )
 
@@ -299,7 +301,7 @@ def simhash(
     sum-aggregates in a single groupBy (map-side combinable)."""
     toks = widen(df).select(
         F.col(id_col),
-        F.explode(F.split(Ftext.normalized_text(text_col), " ")).alias("tok"),
+        F.explode(Ftext.tokens(text_col)).alias("tok"),
     ).filter(F.col("tok") != "")
     h = hash60(F.col("tok"))
     aggs = [
@@ -626,14 +628,20 @@ def _winnow_selected(
 
     toks = df.select(
         F.col(id_col).alias("sid"),
-        F.posexplode(F.split(Ftext.normalized_text(text_col), " ")).alias("pos", "tok"),
-    )
-    worder = Window.partitionBy("sid").orderBy("pos")
+        F.posexplode(Ftext.tokens(text_col)).alias("rawpos", "tok"),
+    ).filter(F.col("tok") != "")
+    worder = Window.partitionBy("sid").orderBy("rawpos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(worder) for i in range(1, k)]
     shingled = (
-        toks.withColumn("sh", F.concat_ws(" ", *parts))
+        # pos must be the token ORDINAL (it is packed into the output
+        # value and the oracle reproduces it); the raw posexplode index
+        # shifts by one when the doc starts with a delimiter under the
+        # one-regex tokenizer, so re-derive it in the SAME window spec
+        # the lead()s already use (no extra sort or exchange).
+        toks.withColumn("pos", F.row_number().over(worder) - 1)
+        .withColumn("sh", F.concat_ws(" ", *parts))
         .withColumn("last", parts[-1])
-        .filter(F.col("last").isNotNull() & (F.col("tok") != ""))
+        .filter(F.col("last").isNotNull())
         # pack (hash, pos) into one int64: MIN() over the frame is then
         # exactly the lexicographic (hash, pos) minimum — deterministic
         # tie-break when a repeated shingle hashes equal inside a frame.

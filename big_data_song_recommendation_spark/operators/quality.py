@@ -53,7 +53,7 @@ def repetition_metrics(
 
     toks = df.select(
         F.col(id_col).alias("sid"),
-        F.explode(F.split(Ftext.normalized_text(text_col), " ")).alias("tok"),
+        F.explode(Ftext.tokens(text_col)).alias("tok"),
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("sid").agg(
         F.count("*").alias("n_tokens"),

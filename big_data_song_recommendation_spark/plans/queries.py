@@ -707,10 +707,10 @@ def q54_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ui = (
-        ev.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item_id"),
-        )
+        # json_tuple: Generate is a pushdown barrier, so the null-filter
+        # can't clone the JSON parse into the scan (q67's fix applied)
+        ev.select("user_id", F.expr("json_tuple(props, 'k')").alias("k0"))
+        .select("user_id", F.col("k0").cast("int").alias("item_id"))
         .filter(F.col("item_id").isNotNull())
         .distinct()
         .cache()  # read by the pair join AND the lift popularity scan
@@ -1554,9 +1554,17 @@ def q67_decayed_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-order float accumulation differs from DuckDB's by ~ulp."""
     from ..ml.recommend import time_decayed_confidence
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "item_id", F.get_json_object("props", "$.k").cast("int")
-    ).filter(F.col("item_id").isNotNull())
+    # json_tuple (a Generator) instead of get_json_object: predicate
+    # pushdown substitutes project aliases into the filter, so the
+    # withColumn+filter form parses the JSON TWICE per row (measured
+    # 0.70 s -> 0.51 s at sf0.1); a Generate is a pushdown barrier, so
+    # the parse runs once and the null-filter tests the parsed output.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", F.expr("json_tuple(props, 'k')").alias("k0"))
+        .withColumn("item_id", F.col("k0").cast("int"))
+        .filter(F.col("item_id").isNotNull())
+    )
     conf = time_decayed_confidence(
         ev, as_of="2025-07-01 00:00:00", half_life_days=30.0
     )
@@ -1738,10 +1746,14 @@ def q73_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(text.normalized_text("text"), " ")).alias("tok"),
+        F.explode(text.tokens("text")).alias("tok"),
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf, NOT from a second explode pass: tf's output
+    # is exactly the distinct (doc, token) pairs, so count(*) per token
+    # IS the document frequency — one tokenize+explode of the corpus
+    # instead of two, and a plain count instead of a countDistinct.
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_, "tok")
@@ -1830,12 +1842,12 @@ def q77_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang",
         "doc_id",
-        F.posexplode(F.split(text.normalized_text("text"), " ")).alias("pos", "tok"),
-    )
+        F.posexplode(text.tokens("text")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")  # before the window: no empty neighbors
     worder = Window.partitionBy("doc_id").orderBy("pos")
     big = (
         toks.withColumn("nxt", F.lead("tok").over(worder))
-        .filter(F.col("nxt").isNotNull() & (F.col("tok") != ""))
+        .filter(F.col("nxt").isNotNull())
         .select("lang", "doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
     )
     agg = big.groupBy("lang", "bigram").agg(
