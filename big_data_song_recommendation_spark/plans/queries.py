@@ -97,12 +97,25 @@ def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.round(F.sum(_revenue()), 2).alias("revenue")
-    )
+    # Reduce lineitem BEFORE aggregating: the segment filter keeps ~1/5
+    # of orders, so joining first and aggregating the surviving rows
+    # beats pre-aggregating all of lineitem (0.74 s -> 0.57 s at
+    # sf0.1). The qualified-orders side is fact-derived, so no
+    # broadcast hint (it would OOM the driver at 100 TB); SHUFFLE_HASH
+    # shuffles both sides on orderkey — a partitioning the groupBy
+    # then reuses, so the whole query pays two exchanges total and
+    # never sorts. Under the session default (AQE on) the runtime is
+    # free to upgrade the build side to a broadcast from actual stats.
+    qualifying = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(
+            qualifying.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -855,17 +868,20 @@ def q36_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-agg + HAVING — per (brand, size bucket)
     count distinct suppliers, keep groups with ≥ 5.
 
-    (part, supplier) pairs are deduped BEFORE the broadcast join: the
-    pair-distinct combines map-side at lineitem grain, so the join and
-    the final distinct-agg see |distinct pairs| rows (~7× smaller
-    here, far more at 100 TB) instead of every lineitem."""
+    ONE distinct pays for everything: project lineitem through the
+    broadcast part join to (brand, bucket, suppkey), distinct THAT
+    (map-side combinable at lineitem grain, same as a pair-distinct
+    would be), and the supplier count per group is then a plain
+    count(*) — no countDistinct Expand machinery, one shuffle total
+    (0.74 s -> 0.55 s at sf0.1)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
-    joined = pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     return (
-        joined.groupBy("p_brand", (F.col("p_size") % 5).alias("size_bucket"))
-        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", (F.col("p_size") % 5).alias("size_bucket"), "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.count("*").alias("n_suppliers"))
         .filter(F.col("n_suppliers") >= 5)
         .transform(_ordered, "p_brand", "size_bucket")
     )
