@@ -89,16 +89,28 @@ def dot_expanded(a: Column | str, b: Column | str, dim: int) -> Column:
     then built as one SQL string parsed JVM-side in a single py4j call.
     Building it from Column operators instead costs ~4·dim driver
     round-trips — ~1.2 s of pure plan-construction wall at dim=64
-    (measured; it dominated q16's end-to-end time)."""
+    (measured; it dominated q16's end-to-end time).
+
+    Each ELEMENT is cast to double individually — identical arithmetic
+    to indexing a pre-cast ``array<double>``, but the inputs must be
+    the RAW (attribute) columns: aliasing ``as_double_array(...)`` and
+    referencing the alias here lets CollapseProject inline the whole-
+    array cast into every one of the 2·dim element references, i.e.
+    O(dim²) array rebuilds per row (measured 0.35 s for a 2000-row ×
+    dim-64 norm at sf0.1 — ~50× the honest cost). SimplifyCasts erases
+    the per-element cast when the array is already double."""
     if isinstance(a, str) and isinstance(b, str):
         an, bn = _sql_name(a), _sql_name(b)
-        terms = " + ".join(f"{an}[{i}] * {bn}[{i}]" for i in range(dim))
+        terms = " + ".join(
+            f"CAST({an}[{i}] AS DOUBLE) * CAST({bn}[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
         return F.expr(f"0.0D + {terms}" if dim else "0.0D")
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     acc = F.lit(0.0)
     for i in range(dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
     return acc
 
 

@@ -431,7 +431,7 @@ def embedding_dup_pairs(
     # hotspot (140 s at sf0.1 for 2M pairs). Values are bit-identical.
     dim = vectors.infer_dim(df, vec_col)
     v = df.select(
-        F.col(id_col).alias("vid"), vectors.as_double_array(vec_col).alias("v")
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     ).withColumn("nrm", F.sqrt(vectors.sq_norm_expanded("v", dim)))
     # The theta-join is a broadcast nested loop whose parallelism is the
     # STREAM side's partition count — a small parquet corpus arrives as

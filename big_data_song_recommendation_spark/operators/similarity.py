@@ -36,10 +36,10 @@ def brute_force_knn(
     probe set; for probe sets in the millions use lsh/ivf."""
     dim = vectors.infer_dim(corpus, vec_col)
     p = probes.select(
-        F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), vectors.as_double_array(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
     cond = (
         F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
@@ -232,10 +232,10 @@ def ivf_knn(
     ~n_centroids/nprobe vs. brute force."""
     dim = vectors.infer_dim(assigned, vec_col)
     p = probes.select(
-        F.col(id_col).alias("query_id"), vectors.as_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
     cent = centroids_df.select(
-        "cluster", vectors.as_double_array("centroid").alias("cv")
+        "cluster", F.col("centroid").alias("cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cluster"))
     routed = (
@@ -247,7 +247,7 @@ def ivf_knn(
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        vectors.as_double_array(vec_col).alias("nv"),
+        F.col(vec_col).alias("nv"),
         "cluster",
     ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
     sim = vectors.dot_expanded("qv", "nv", dim) / (
@@ -345,7 +345,7 @@ def srp_knn(
     sigs = srp_signatures(corpus, id_col=id_col, vec_col=vec_col, planes=planes).cache()
     dim = vectors.infer_dim(corpus, vec_col)
     base = corpus.select(
-        F.col(id_col), vectors.as_double_array(vec_col).alias("v")
+        F.col(id_col), F.col(vec_col).alias("v")
     ).withColumn("n", F.sqrt(vectors.sq_norm_expanded("v", dim)))
     with_sig = base.join(sigs, id_col)
     p = with_sig.select(

@@ -391,11 +391,11 @@ def q16_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = vectors.infer_dim(emb, "embedding")
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
-        vectors.as_double_array("embedding").alias("qv"),
+        F.col("embedding").alias("qv"),
     ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        vectors.as_double_array("embedding").alias("nv"),
+        F.col("embedding").alias("nv"),
         F.col("label").alias("neighbor_label"),
     ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
     # per-row norms + unrolled codegen dot (see vectors.dot_expanded)
