@@ -1,0 +1,78 @@
+"""Z-order layout: prove the pruning property, not just the write.
+
+A linear sort on (user_id, value) prunes range filters on user_id but
+leaves value filters reading ~every row group; the Z-layout prunes
+BOTH dimensions. Asserted from parquet row-group statistics — the same
+min/max decision a scan makes — so the test is engine-independent and
+deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.sources import layout
+from big_data_song_recommendation_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+def _write_linear(df, path, cols, n_files=8):
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(path)
+    )
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value", "event_id")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    layout.write_zordered(
+        ev, zpath, ["user_id", "value"], rows_per_rowgroup=1, n_files=16
+    )
+    _write_linear(ev, lpath, ["user_id", "value"], n_files=16)
+
+    # ~5%-of-MASS band per dimension (quantile-based: `value` is
+    # mass-skewed, so a range-fraction band would not be selective)
+    qu, qv = ev.approxQuantile(["user_id", "value"], [0.4, 0.45], 0.001)
+    uband, vband = (qu[0], qu[1]), (qv[0], qv[1])
+
+    zm_u, zt = layout.rowgroups_matching(zpath, "user_id", *uband)
+    lm_u, lt = layout.rowgroups_matching(lpath, "user_id", *uband)
+    zm_v, _ = layout.rowgroups_matching(zpath, "value", *vband)
+    lm_v, _ = layout.rowgroups_matching(lpath, "value", *vband)
+
+    assert zt >= 16 and lt >= 16, "need enough row groups for the claim"
+    # leading dimension: both layouts prune hard
+    assert zm_u / zt < 0.5 and lm_u / lt < 0.5
+    # second dimension: linear layout reads ~everything, Z prunes
+    assert lm_v / lt > 0.85, f"linear layout unexpectedly pruned value ({lm_v}/{lt})"
+    assert zm_v / zt < 0.8, f"z-layout failed to prune value ({zm_v}/{zt})"
+    assert zm_v / zt < (lm_v / lt) / 1.2, "z must beat linear on the 2nd dim"
+
+    # layout preserves the data
+    assert spark.read.parquet(zpath).count() == ev.count()
+    assert spark.read.parquet(zpath).columns == ev.columns
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    key = df.select(layout.zorder_key(["a", "b"], bits=3).alias("k")).first()["k"]
+    # bit j of col i -> position j*2+i: a=101, b=011 ->
+    # pos0=a0=1, pos1=b0=1, pos2=a1=0, pos3=b1=1, pos4=a2=1, pos5=b2=0
+    # -> 0b011011
+    assert key == 0b011011
+
+
+def test_zorder_rejects_overflow_and_bad_arity():
+    import pytest
+
+    with pytest.raises(ValueError):
+        layout.zorder_key([], bits=8)
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a", "b", "c", "d", "e"], bits=8)
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a", "b", "c", "d"], bits=16)  # 64 > 62
