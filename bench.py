@@ -110,6 +110,12 @@ def main() -> None:
             # py4j/RDD round trip + possible extra exchange) is pure
             # overhead here — skip it statically
             "spark.graft.widen.enabled": "false",
+            # the generated-class cache defaults to 100 entries; a
+            # 78-query suite compiles far more stages than that, so
+            # round-robin runs would evict and RECOMPILE every stage
+            # each round (measured: doc-pipeline queries doubled).
+            # Any many-query service wants this sized to its workload.
+            "spark.sql.codegen.cache.maxEntries": "5000",
         },
     )
     # Warm the JVM/session so the first timed query doesn't pay startup:
