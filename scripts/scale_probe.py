@@ -54,6 +54,7 @@ def relational_probe(spark, reps: list[int]) -> None:
 
     probe_queries = (
         "q01_pricing_summary",
+        "q02_top_orders_by_revenue",  # r4 shuffle-hash reduce-first shape
         "q55_local_supplier_volume",
         "q58_returned_item_revenue",
         "q61_large_volume_customers",
