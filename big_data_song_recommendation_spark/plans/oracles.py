@@ -1280,4 +1280,24 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q79_scd2_history": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WHERE user_id < 100
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), changed AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (lead(ts) OVER w2 IS NULL) AS is_current
+        FROM changed
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, valid_from
+    """,
 }

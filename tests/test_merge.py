@@ -1,0 +1,96 @@
+"""MERGE-family operators (operators/merge.py): keyed upsert,
+conditional MERGE INTO with row-provenance audit, SCD2 compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.operators import merge
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+
+
+def test_upsert_updates_and_inserts(spark):
+    src = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)], "id long, name string, score double"
+    )
+    out = {r["id"]: (r["name"], r["score"]) for r in merge.upsert(_target(spark), src, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_upsert_within_batch_last_writer_wins(spark):
+    src = spark.createDataFrame(
+        [(2, "old", 1.0, 1), (2, "new", 2.0, 5), (2, "mid", 3.0, 3)],
+        "id long, name string, score double, seq long",
+    )
+    tgt = _target(spark).withColumn("seq", F.lit(0))
+    out = merge.upsert(tgt, src, ["id"], order_by="seq").filter("id = 2").first()
+    assert (out["name"], out["score"]) == ("new", 2.0)
+
+
+def test_merge_into_clauses_and_provenance(spark):
+    src = spark.createDataFrame(
+        [(1, "A", 0.0), (3, "x", 99.0), (5, "e", 50.0)],
+        "id long, name string, score double",
+    )
+    out = merge.merge_into(
+        _target(spark),
+        src,
+        ["id"],
+        when_matched_update={"name": F.col("s.name"), "score": F.col("t.score") + 1},
+        when_matched_delete=F.col("s.score") > 90,
+        insert_not_matched=True,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    # id=1 matched -> updated name from source, score incremented
+    assert rows[1]["name"] == "A" and rows[1]["score"] == 11.0
+    assert rows[1]["__merge_action"] == "updated"
+    # id=3 matched the delete predicate -> gone
+    assert 3 not in rows
+    # id=2 untouched target row
+    assert rows[2]["__merge_action"] == "kept" and rows[2]["name"] == "b"
+    # id=5 inserted from source
+    assert rows[5]["__merge_action"] == "inserted" and rows[5]["score"] == 50.0
+
+
+def test_merge_into_no_insert_mode(spark):
+    src = spark.createDataFrame([(9, "z", 9.0)], "id long, name string, score double")
+    out = merge.merge_into(
+        _target(spark), src, ["id"], insert_not_matched=False
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_merge_plan_has_single_key_shuffle(spark):
+    """The merge is one outer join on the keys: no extra exchanges, no
+    cartesian, and a small CDC source side may broadcast."""
+    src = _target(spark)
+    plan = (
+        merge.upsert(_target(spark), src, ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_compact_intervals(spark):
+    rows = [
+        (1, "x", 100, 1), (1, "x", 200, 2), (1, "y", 300, 3), (1, "x", 400, 4),
+        (2, "z", 150, 5),
+    ]
+    df = spark.createDataFrame(rows, "uid long, state string, ts long, eid long")
+    hist = merge.scd2_compact(df, ["uid"], "state", ts_col="ts", tie_breaks=["eid"])
+    got = sorted(
+        (r["uid"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, "x", 100, 300, False),
+        (1, "x", 400, None, True),
+        (1, "y", 300, 400, False),
+        (2, "z", 150, None, True),
+    ]
