@@ -63,6 +63,8 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("mean_byte", T.DoubleType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),  # audio
+        T.StructField("n_samples", T.LongType(), True),  # audio, real decode only
     ]
 )
 
@@ -223,6 +225,20 @@ def _jpeg_decode(payload: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker found")
 
 
+def _wav_decode(payload: bytes) -> tuple[int, int, int]:
+    """Minimal REAL WAV decode with only the stdlib ``wave`` module:
+    RIFF/WAVE container walk via wave.open → (sample_rate, n_channels,
+    n_samples). Non-WAV or truncated streams raise (wave.Error /
+    EOFError), which callers treat as not-decodable."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    with wave.open(io.BytesIO(payload)) as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
 def _stdlib_decode(payload: bytes) -> tuple[int, int]:
     """Magic-byte dispatch over the stdlib codec tiers: PNG (full
     scanline decode) and JPEG (SOF dims parse). Anything else raises —
@@ -272,6 +288,8 @@ def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFram
             n_bytes, checksums, byte_sums, means = [], [], [], []
             widths = pdf["width"].tolist()
             heights = pdf["height"].tolist()
+            rates = pdf["sample_rate"].tolist()
+            n_samples: list = [None] * len(rates)
             for i, p in enumerate(pdf["payload"]):
                 b = bytes(p)
                 n = len(b)
@@ -280,6 +298,11 @@ def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFram
                 checksums.append(hashlib.md5(b).hexdigest())
                 byte_sums.append(s)
                 means.append(math.floor(s / n * 1e4) / 1e4 if n else 0.0)
+                try:
+                    rates[i], _ch, n_samples[i] = _wav_decode(b)
+                    continue  # real audio payload — image tiers n/a
+                except Exception:
+                    pass  # not WAV → image tiers / metadata passthrough
                 if real is not None:
                     try:
                         widths[i], heights[i] = real(b)
@@ -295,6 +318,8 @@ def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFram
                     "mean_byte": means,
                     "width": widths,
                     "height": heights,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(n_samples, dtype="Int64"),
                 }
             )
 
@@ -304,6 +329,7 @@ def decode_media(media: DataFrame, *, batch_hint: str | None = None) -> DataFram
         F.col("meta.modality").alias("modality"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
     )
     return flat.mapInPandas(batches, schema=DECODED_SCHEMA)
 

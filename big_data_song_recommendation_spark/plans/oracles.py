@@ -718,7 +718,13 @@ ORACLES: dict[str, str] = {
                END AS width,
                CASE WHEN modality IN ('image','video')
                     THEN CAST(64 + {_MD5B("'h:' || CAST(doc_id AS VARCHAR)")} % 961 AS INTEGER)
-               END AS height
+               END AS height,
+               CASE WHEN modality = 'audio'
+                    THEN ([8000, 16000, 22050, 44100])[
+                        CAST({_MD5B("'sr:' || CAST(doc_id AS VARCHAR)")} % 4 AS INTEGER) + 1
+                    ]
+               END AS sample_rate,
+               CAST(NULL AS BIGINT) AS n_samples
         FROM media
         ORDER BY doc_id
     """,

@@ -284,3 +284,53 @@ class TestRealJPEGDecode:
         )
         row = multimodal.decode_media(media).collect()[0]
         assert (row["width"], row["height"]) == (31, 17)
+
+
+def _make_wav(rate: int, channels: int, frames: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x01\x02" * channels * frames)
+    return buf.getvalue()
+
+
+class TestRealWAVDecode:
+    def test_wav_params_roundtrip(self):
+        for rate, ch, n in [(8000, 1, 100), (44100, 2, 7), (22050, 1, 1)]:
+            assert multimodal._wav_decode(_make_wav(rate, ch, n)) == (rate, ch, n)
+
+    def test_wav_rejects_garbage(self):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            multimodal._wav_decode(b"RIFFxxxxNOPE")
+        with _pytest.raises(Exception):
+            multimodal._wav_decode(b"plain text")
+
+    def test_decode_media_real_wav_overrides_metadata(self, spark):
+        # metadata LIES (sample_rate=8000); the real RIFF parse must win
+        wav = _make_wav(44100, 2, 25)
+        media = spark.createDataFrame(
+            [(103, wav, ("audio", "wav", None, None, 8000, None, None))],
+            "doc_id long, payload binary, "
+            "meta struct<modality:string,fmt:string,width:int,height:int,"
+            "sample_rate:int,n_frames:int,fps:double>",
+        )
+        row = multimodal.decode_media(media).collect()[0]
+        assert row["sample_rate"] == 44100
+        assert row["n_samples"] == 25
+
+    def test_decode_media_fake_audio_passthrough(self, spark):
+        media = spark.createDataFrame(
+            [(104, b"not audio bytes", ("audio", "wav", None, None, 16000, None, None))],
+            "doc_id long, payload binary, "
+            "meta struct<modality:string,fmt:string,width:int,height:int,"
+            "sample_rate:int,n_frames:int,fps:double>",
+        )
+        row = multimodal.decode_media(media).collect()[0]
+        assert row["sample_rate"] == 16000 and row["n_samples"] is None
