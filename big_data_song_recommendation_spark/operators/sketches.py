@@ -1,0 +1,71 @@
+"""Mergeable-sketch rollup tables: pre-aggregated HyperLogLog state
+per grain, unioned at query time.
+
+The 100 TB pattern: an exact countDistinct over a year of events
+re-shuffles raw data per query; a warehouse instead maintains a small
+per-(day, dim) SKETCH table — binary HLL state, mergeable by union —
+and answers any date-range distinct-count by unioning a handful of
+sketches. Spark 4 ships the Apache DataSketches HLL as native
+aggregates (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``), so the whole pattern is expression-level:
+the rollup is one map-side-combinable groupBy, the query is a tiny
+aggregate over pre-shrunk state, and the sketch column stores/ships
+like any binary column (write the rollup bucketed or Z-ordered like
+any other table).
+
+No oracle twin: HLL estimates are library-specific (DuckDB's HLL
+differs), so correctness is pinned by tests instead — error vs exact
+bounded, and the algebraic property that makes the pattern safe:
+estimate(union of per-grain sketches) == estimate(sketch of the union)
+EXACTLY (same binary state), not just approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: log2 of HLL register count; 12 → ~1.6% relative standard error,
+#: 2.5 KB max state per sketch. Raise for tighter error at scale.
+DEFAULT_LG_K = 12
+
+
+def sketch_rollup(
+    df: DataFrame,
+    grain: list[str],
+    col: str,
+    *,
+    lg_k: int = DEFAULT_LG_K,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-grain HLL state: ``(grain…, sketch binary, n_rows)``.
+    One map-side-combinable shuffle; the output is the table you
+    persist and incrementally refresh (union new partitions in)."""
+    return df.groupBy(*grain).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias(sketch_col),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def rollup_distinct(
+    sketches: DataFrame,
+    group: list[str],
+    *,
+    sketch_col: str = "sketch",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Distinct-count at a coarser grain by UNIONING stored sketches —
+    the query-time half: touches only pre-aggregated state, never the
+    raw fact rows. Empty ``group`` gives the global rollup."""
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col(sketch_col), F.lit(False))
+    ).alias("approx_distinct")
+    if group:
+        return sketches.groupBy(*group).agg(agg, F.sum("n_rows").alias("n_rows"))
+    return sketches.agg(agg, F.sum("n_rows").alias("n_rows"))
+
+
+def estimate(df: DataFrame, col: str, *, lg_k: int = DEFAULT_LG_K) -> Column:
+    """One-shot HLL estimate column (no rollup table) — the direct
+    replacement for approx_count_distinct with an inspectable lg_k."""
+    return F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), F.lit(lg_k)))
