@@ -1286,6 +1286,63 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q80_curation_pipeline": f"""
+        WITH ratios AS (
+            SELECT doc_id, lang, text,
+                   {_TOKEN_COUNT} AS n_tokens,
+                   CASE WHEN len(text) > 0 THEN
+                       (len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                       * 1.0 / len(text)
+                   ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+                   CASE WHEN {_TOKEN_COUNT} > 0 THEN
+                       len(list_filter({_RAW_TOKENS_LOWER},
+                           t -> list_contains({_STOPWORD_LISTS["en"]}, t)))
+                       * 1.0 / ({_TOKEN_COUNT})
+                   ELSE CAST(0.0 AS DOUBLE) END AS sw_ratio
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, text,
+                   floor((CAST(0.4 AS DOUBLE) *
+                          CASE WHEN n_tokens >= 50 THEN CAST(1.0 AS DOUBLE)
+                               ELSE n_tokens / CAST(50.0 AS DOUBLE) END
+                        + CAST(0.3 AS DOUBLE) *
+                          greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                              CAST(1.0 AS DOUBLE) - punct_ratio * 4))
+                        + CAST(0.3 AS DOUBLE) *
+                          greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                              sw_ratio * 5))) * 10000.0) / 10000.0 AS quality
+            FROM ratios
+        ),
+        kept AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5({_NORMALIZED_TEXT})
+                           ORDER BY doc_id
+                       ) AS rnk
+                FROM scored WHERE quality >= 0.5
+            ) WHERE rnk = 1
+        ),
+        sampled AS (
+            SELECT * FROM kept
+            WHERE {_MD5B("CAST(doc_id AS VARCHAR) || ':cur'")} % 10000
+                  < CASE lang WHEN 'en' THEN 5000
+                              WHEN 'zh' THEN 2500
+                              WHEN 'de' THEN 1000
+                              ELSE 500 END
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM({_TOKEN_COUNT}) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\f\\r\\p{{L}}\\p{{N}}]+|[ \\t\\n\\f\\r]+'
+               ))) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM sampled
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q79_scd2_history": """
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,

@@ -1955,6 +1955,54 @@ def q79_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "user_id", "valid_from")
 
 
+def q80_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the composed corpus-in → training-set-out
+    flow every stage of which is individually oracle-checked (q22
+    quality, q15 exact dedup, q72 stratified sampling, q64 token
+    budget) — quality gate ≥ 0.5 → fingerprint dedup (smallest doc_id
+    survives) → per-language deterministic sample → per-language doc +
+    token budget with an id checksum. Plan shape: one scan feeds the
+    quality filter and fingerprint window (fp-keyed shuffle), the
+    sample predicate is a pure filter, and the budget is one aggregate
+    — at 100 TB the only data-dependent exchange is the fingerprint
+    window, exactly like q15."""
+    from ..operators.quality import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = docs.filter(text.quality_score("text") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        passed.withColumn("fp", text.fingerprint("text"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("fp", "rnk")
+    )
+    sampled = stratified_sample(
+        kept,
+        "lang",
+        "doc_id",
+        {"en": 0.5, "zh": 0.25, "de": 0.1},
+        default_fraction=0.05,
+        seed="cur",
+    )
+    return (
+        sampled.select(
+            "lang",
+            "doc_id",
+            text.token_count("text").alias("ws"),
+            text.bpe_token_count("text").alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .transform(_ordered, "lang")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -1962,6 +2010,7 @@ def q79_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q80_curation_pipeline": q80_curation_pipeline,
     "q79_scd2_history": q79_scd2_history,
     "q55_local_supplier_volume": q55_local_supplier_volume,
     "q56_bilateral_shipping": q56_bilateral_shipping,
