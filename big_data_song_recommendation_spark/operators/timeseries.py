@@ -1,0 +1,84 @@
+"""Time-series regularization: per-key time grids, gap detection, and
+forward-fill — turning an irregular event stream into the fixed-step
+series a forecasting / feature pipeline consumes.
+
+Shapes (all expression-level, scale notes inline):
+
+- the grid is ``sequence(min_bucket, max_bucket, step)`` EXPLODED per
+  key — rows generated are bounded by (span/step) per key, never a
+  cross join against a global calendar;
+- observed aggregates join the grid on (key, bucket) — one shuffle
+  keyed exactly like the aggregation that produced them, so at scale
+  the exchange is shared/aligned;
+- forward-fill is ``last(value, ignorenulls=True)`` over an unbounded-
+  preceding window per key — one sort within the same key
+  partitioning, no self-join (the naive as-of formulation).
+
+The reference has no time-series surface at all; this is engine
+superset territory (SURVEY §2 events analytics family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketize(ts_col: str, step_seconds: int) -> Column:
+    """Epoch-floor bucketing to a fixed step, returned as TIMESTAMP.
+    ``timestamp_seconds(floor(epoch/step)*step)`` — engine-portable
+    (DuckDB twin: ``to_timestamp(floor(epoch(ts)/step)*step)``)."""
+    ep = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    return F.timestamp_seconds(
+        (F.floor(ep / step_seconds) * step_seconds).cast("long")
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_agg: Column,
+    *,
+    step_seconds: int = 3600,
+    fill: str = "forward",
+) -> DataFrame:
+    """Regularize to a per-key fixed-step grid.
+
+    Aggregates ``value_agg`` per (keys, bucket), generates each key's
+    dense bucket range, left-joins observations in, marks gaps, and
+    fills: ``fill='forward'`` carries the last observed value,
+    ``'zero'`` fills 0.0, ``'none'`` leaves NULLs.
+
+    Output: ``(keys…, bucket, value, is_gap)``.
+    """
+    if fill not in ("forward", "zero", "none"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    b = bucketize(ts_col, step_seconds)
+    obs = df.groupBy(*keys, b.alias("bucket")).agg(value_agg.alias("__v"))
+    span = obs.groupBy(*keys).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                "__lo", "__hi", F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(obs, [*keys, "bucket"], "left").withColumn(
+        "is_gap", F.col("__v").isNull()
+    )
+    if fill == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        value = F.last("__v", ignorenulls=True).over(w)
+    elif fill == "zero":
+        value = F.coalesce(F.col("__v"), F.lit(0.0))
+    else:
+        value = F.col("__v")
+    return joined.select(*keys, "bucket", value.alias("value"), "is_gap")

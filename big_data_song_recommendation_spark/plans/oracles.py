@@ -1286,6 +1286,42 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q81_gap_filled_series": """
+        WITH obs AS (
+            SELECT user_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400
+                                       AS BIGINT) * 1000000) AS bucket,
+                   ROUND(SUM(value), 2) AS v
+            FROM events
+            WHERE user_id < 20
+            GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+            FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 86400 SECOND))
+                       AS bucket
+            FROM span
+        ),
+        j AS (
+            SELECT g.user_id, g.bucket, o.v, (o.v IS NULL) AS is_gap
+            FROM grid g
+            LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.bucket = o.bucket
+        )
+        SELECT user_id,
+               strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               ROUND(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS value,
+               is_gap
+        FROM j
+        ORDER BY user_id, bucket
+    """,
     "q80_curation_pipeline": f"""
         WITH ratios AS (
             SELECT doc_id, lang, text,

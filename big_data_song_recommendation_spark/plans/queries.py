@@ -2003,6 +2003,33 @@ def q80_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly activity series, gap-filled forward
+    (operators/timeseries.py gap_fill): irregular events → the dense
+    fixed-step grid a forecasting/feature pipeline consumes. Grid rows
+    are bounded per key (span/step), the observation join shares the
+    (user, bucket) keying with the aggregation, and the forward fill
+    is one window — no self-join. Users < 20 keeps the compare
+    bounded; value sums are rounded in-plan (determinism rule)."""
+    from ..operators.timeseries import gap_fill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    series = gap_fill(
+        ev,
+        ["user_id"],
+        "ts",
+        F.round(F.sum("value"), 2),
+        step_seconds=86400,
+        fill="forward",
+    )
+    return series.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.round("value", 2).alias("value"),
+        "is_gap",
+    ).transform(_ordered, "user_id", "bucket")
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2010,6 +2037,7 @@ def q80_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q81_gap_filled_series": q81_gap_filled_series,
     "q80_curation_pipeline": q80_curation_pipeline,
     "q79_scd2_history": q79_scd2_history,
     "q55_local_supplier_volume": q55_local_supplier_volume,
