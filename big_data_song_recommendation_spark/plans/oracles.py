@@ -1286,6 +1286,40 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q82_conversion_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1
+        ),
+        c AS (
+            SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3
+        )
+        SELECT * FROM (
+            SELECT 1 AS stage, 'view' AS step, n1 AS n_users,
+                   CAST(NULL AS DOUBLE) AS pct_of_prev FROM c
+            UNION ALL
+            SELECT 2, 'click', n2,
+                   CASE WHEN n1 > 0
+                        THEN floor(n2 * 10000.0 / n1) / 10000.0 END FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n3,
+                   CASE WHEN n2 > 0
+                        THEN floor(n3 * 10000.0 / n2) / 10000.0 END FROM c
+        )
+        ORDER BY stage
+    """,
     "q81_gap_filled_series": """
         WITH obs AS (
             SELECT user_id,

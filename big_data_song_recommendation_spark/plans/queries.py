@@ -2030,6 +2030,19 @@ def q81_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "user_id", "bucket")
 
 
+def q82_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase
+    (operators/funnel.py): per-stage user counts + conversion ratios.
+    One per-user window partitioning carries every stage (no per-step
+    self-joins); the rollup is a single aggregate + struct explode."""
+    from ..operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).transform(
+        _ordered, "stage"
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2037,6 +2050,7 @@ def q81_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q82_conversion_funnel": q82_conversion_funnel,
     "q81_gap_filled_series": q81_gap_filled_series,
     "q80_curation_pipeline": q80_curation_pipeline,
     "q79_scd2_history": q79_scd2_history,
