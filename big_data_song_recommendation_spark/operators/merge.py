@@ -56,14 +56,21 @@ def upsert(
     match. One outer join on the keys."""
     src = _dedup_source(source, keys, order_by)
     cols = target.columns
-    t = target.alias("t")
-    s = src.alias("s")
+    # presence markers, NOT key-null checks: the join is null-SAFE, so
+    # a legitimately-NULL key row must still read as present; and row
+    # presence (not per-column coalesce) decides the value — a source
+    # row that sets a column to NULL must really set it to NULL.
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = src.withColumn("__s", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
+    in_s = F.col("s.__s").isNotNull()
     picked = [
-        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-        if c not in keys
-        else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+        (
+            F.when(in_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            if c not in keys
+            else F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+        )
         for c in cols
     ]
     return joined.select(*picked)
@@ -93,11 +100,14 @@ def merge_into(
     it before writing."""
     src = _dedup_source(source, keys, order_by)
     cols = target.columns
-    t, s = target.alias("t"), src.alias("s")
+    # presence markers, not key-null checks (see upsert): NULL keys are
+    # matchable under the null-safe join and must read as present
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = src.withColumn("__s", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
-    in_t = F.col(f"t.{keys[0]}").isNotNull()
-    in_s = F.col(f"s.{keys[0]}").isNotNull()
+    in_t = F.col("t.__t").isNotNull()
+    in_s = F.col("s.__s").isNotNull()
 
     upd = when_matched_update or {}
     action = (

@@ -94,3 +94,24 @@ def test_scd2_compact_intervals(spark):
         (1, "y", 300, 400, False),
         (2, "z", 150, None, True),
     ]
+
+
+def test_upsert_source_null_really_overwrites(spark):
+    """Row presence decides, not per-column coalesce: a source row
+    setting a column to NULL must null it out."""
+    src = spark.createDataFrame([(2, None, 0.0)], "id long, name string, score double")
+    out = merge.upsert(_target(spark), src, ["id"]).filter("id = 2").first()
+    assert out["name"] is None and out["score"] == 0.0
+
+
+def test_upsert_null_key_matches_null_key(spark):
+    """The key join is null-safe: a NULL-keyed source row updates the
+    NULL-keyed target row instead of inserting a duplicate."""
+    tgt = spark.createDataFrame(
+        [(None, "orphan", 1.0), (1, "a", 10.0)], "id long, name string, score double"
+    )
+    src = spark.createDataFrame([(None, "claimed", 2.0)], "id long, name string, score double")
+    rows = merge.upsert(tgt, src, ["id"]).collect()
+    assert len(rows) == 2
+    orphan = [r for r in rows if r["id"] is None]
+    assert len(orphan) == 1 and orphan[0]["name"] == "claimed"
