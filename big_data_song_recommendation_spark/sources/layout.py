@@ -69,7 +69,7 @@ def write_zordered(
     *,
     n_files: int = 8,
     bits: int = DEFAULT_BITS,
-    rows_per_rowgroup: int | None = None,
+    tiny_rowgroups: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-curve of ``cols``.
 
@@ -79,9 +79,10 @@ def write_zordered(
     range shuffle, contiguous z-runs per output file, so footer stats
     prune at file granularity and row-group stats inside each file.
 
-    ``rows_per_rowgroup`` shrinks parquet row groups for testing the
-    pruning behavior at toy scale; leave None in production (the
-    128 MB default row group is the right pruning granularity)."""
+    ``tiny_rowgroups`` shrinks parquet block/page sizes so toy-scale
+    tests get enough row groups to observe pruning; leave False in
+    production (the 128 MB default row group is the right pruning
+    granularity)."""
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
@@ -102,7 +103,7 @@ def write_zordered(
         .drop("__zkey")
         .write.mode("overwrite")
     )
-    if rows_per_rowgroup is not None:
+    if tiny_rowgroups:
         writer = writer.option("parquet.block.size", 64 * 1024).option(
             "parquet.page.size", 8 * 1024
         )

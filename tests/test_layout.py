@@ -31,7 +31,7 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").select("user_id", "value", "event_id")
     zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
     layout.write_zordered(
-        ev, zpath, ["user_id", "value"], rows_per_rowgroup=1, n_files=16
+        ev, zpath, ["user_id", "value"], tiny_rowgroups=True, n_files=16
     )
     _write_linear(ev, lpath, ["user_id", "value"], n_files=16)
 
