@@ -1286,6 +1286,24 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q83_cohort_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1
+        ),
+        weeks AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS act_week
+            FROM events
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST((act_week - cohort_week) / 7 AS INTEGER) AS week_offset,
+               COUNT(*) AS n_users
+        FROM weeks JOIN first USING (user_id)
+        GROUP BY first.cohort_week, week_offset
+        ORDER BY 1, 2
+    """,
     "q82_conversion_funnel": """
         WITH s1 AS (
             SELECT user_id, min(ts) AS t1 FROM events

@@ -2043,6 +2043,38 @@ def q82_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per weekly offset they return in. Two aggregates — first
+    activity per user (map-side-combinable min), distinct
+    (user, activity-week) — joined on user; the cohort grain re-uses
+    the user keying. datediff on DATEs (engine-portable; week trunc is
+    ISO-Monday in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        weeks.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .transform(_ordered, "cohort_week", "week_offset")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2050,6 +2082,7 @@ def q82_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q83_cohort_retention": q83_cohort_retention,
     "q82_conversion_funnel": q82_conversion_funnel,
     "q81_gap_filled_series": q81_gap_filled_series,
     "q80_curation_pipeline": q80_curation_pipeline,
