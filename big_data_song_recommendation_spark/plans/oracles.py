@@ -1286,6 +1286,41 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q84: same tokenizer as q64/q77; row_number partitioned on the
+    # chunk hash (md5 — hash60 is its 60-bit prefix, partitions agree)
+    "q84_chunk_dedup": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tf
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, lang, i AS chunk_idx,
+                   array_to_string(tf[i*8+1 : i*8+8], ' ') AS chunk
+            FROM toks,
+                 unnest(range(0, CAST(ceil(len(tf)/8.0) AS INT))) AS u(i)
+        ),
+        keep AS (
+            SELECT doc_id, lang,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) = 1
+                        THEN 1 ELSE 0 END AS ret
+            FROM chunks
+        ),
+        per_doc AS (
+            SELECT doc_id, lang, COUNT(*) AS nc, SUM(ret) AS nr
+            FROM keep GROUP BY 1, 2
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS n_chunks,
+               CAST(SUM(nr) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN nr < nc THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pruned_docs
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
     "q83_cohort_retention": """
         WITH first AS (
             SELECT user_id,

@@ -311,3 +311,37 @@ def test_blocked_gemm_empty_input(spark):
     out = dedup.embedding_dup_pairs_blocked(df, "doc_id", "vec")
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # 12 tokens -> chunks of 4: doc 1 has 3 chunks; doc 2 repeats doc 1's
+    # first chunk verbatim then diverges; doc 3 is all-fresh.
+    a = "a b c d e f g h i j k l"
+    b = "a b c d x y z w"
+    c = "m n o p"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = dedup.chunk_dedup(df, "doc_id", "text", chunk_tokens=4)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk"], r["retained"])
+            for r in out.collect()}
+    assert rows[(1, 0)] == ("a b c d", True)
+    assert rows[(1, 1)] == ("e f g h", True)
+    assert rows[(1, 2)] == ("i j k l", True)
+    assert rows[(2, 0)] == ("a b c d", False)  # dup of doc 1 chunk 0
+    assert rows[(2, 1)] == ("x y z w", True)
+    assert rows[(3, 0)] == ("m n o p", True)
+
+
+def test_chunk_dedup_ragged_tail_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "  !!  "), (3, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    out = dedup.chunk_dedup(df, "doc_id", "text", chunk_tokens=4)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk"], r["retained"])
+            for r in out.collect()}
+    # ragged tail chunk is its own unit; doc 2 tokenizes to nothing
+    assert rows[(1, 0)] == ("a b c d", True)
+    assert rows[(1, 1)] == ("e", True)
+    assert rows[(3, 0)] == ("a b c d", False)
+    assert rows[(3, 1)] == ("e", False)
+    assert not any(k[0] == 2 for k in rows)
