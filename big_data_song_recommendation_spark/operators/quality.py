@@ -160,3 +160,63 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(round(f * 10000)))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-doc average bigram log2-probability under a corpus-trained
+    add-k-smoothed bigram LM — the self-supervised perplexity proxy
+    for quality-ranking a corpus when no external LM is available
+    (the CCNet filtering idea, Wenzek et al. 2020, with the corpus
+    itself as the model). Low scores = improbable token transitions:
+    gibberish, boilerplate soup, wrong-language fragments.
+
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)``, with context
+    counts c(w1 ·) = bigram-initial occurrences (so the smoothed
+    conditional sums to 1 over the V distinct successor words).
+
+    Shape: ONE shingle pass feeds a doc-grain bigram aggregate, from
+    which the corpus bigram table, the context table and the 1-row V
+    aggregate all derive (strictly smaller inputs each step — no
+    second corpus scan). Scoring joins key on the bigram string / the
+    context word: hot function-word bigrams are the skew risk, AQE
+    skew-join splits them; both model tables are dims a cluster would
+    broadcast when they fit. Output: (id, n_bigrams, avg_logp
+    [stable_round 4]).
+    """
+    big = shingle_rows(df, id_col, text_col, 2)
+    doc_bg = big.groupBy("sid", "sh").agg(F.count("*").alias("n_occ"))
+    bg = doc_bg.groupBy("sh").agg(F.sum("n_occ").alias("c12"))
+    ctx = (
+        bg.groupBy(F.substring_index("sh", " ", 1).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = (
+        bg.select(F.substring_index("sh", " ", -1).alias("w2"))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    k = float(add_k)
+    logp = F.log2(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        doc_bg.join(bg, "sh")
+        .withColumn("w1", F.substring_index("sh", " ", 1))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("logp", logp)
+        .groupBy("sid")
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            stable_round(
+                F.sum(F.col("n_occ") * F.col("logp")) / F.sum("n_occ"), 4
+            ).alias("avg_logp"),
+        )
+        .select(F.col("sid").alias(id_col), "n_bigrams", "avg_logp")
+    )

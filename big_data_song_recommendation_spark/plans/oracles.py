@@ -1286,6 +1286,54 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q85: bigram LM twin — tokenizer CTE from q77, context counts are
+    # bigram-initial sums, V = distinct successor words, stable_round
+    # (floor) on the per-doc score BEFORE the lang rollup
+    "q85_bigram_lm_quality": f"""
+        WITH toks AS (
+            SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+            FROM (SELECT doc_id,
+                         string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM documents)
+        ),
+        big AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS sh
+            FROM toks WHERE i < len(t) AND t[i] <> ''
+        ),
+        doc_bg AS (
+            SELECT doc_id, sh, COUNT(*) AS n_occ FROM big GROUP BY 1, 2
+        ),
+        bg AS (
+            SELECT sh, CAST(SUM(n_occ) AS BIGINT) AS c12
+            FROM doc_bg GROUP BY 1
+        ),
+        ctx AS (
+            SELECT split_part(sh, ' ', 1) AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS c1
+            FROM bg GROUP BY 1
+        ),
+        voc AS (
+            SELECT COUNT(DISTINCT split_part(sh, ' ', 2)) AS v FROM bg
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(SUM(d.n_occ) AS BIGINT) AS n_bigrams,
+                   floor(SUM(d.n_occ * log2((b.c12 + 0.5)
+                                            / (c.c1 + 0.5 * voc.v)))
+                         / SUM(d.n_occ) * 10000.0) / 10000.0 AS avg_logp
+            FROM doc_bg d
+            JOIN bg b USING (sh)
+            JOIN ctx c ON split_part(d.sh, ' ', 1) = c.w1
+            CROSS JOIN voc
+            GROUP BY d.doc_id
+        )
+        SELECT docs.lang, COUNT(*) AS n_docs,
+               floor(AVG(avg_logp) * 10000.0) / 10000.0 AS mean_logp,
+               floor(MIN(avg_logp) * 10000.0) / 10000.0 AS min_logp,
+               floor(MAX(avg_logp) * 10000.0) / 10000.0 AS max_logp
+        FROM scored JOIN documents docs USING (doc_id)
+        GROUP BY docs.lang ORDER BY docs.lang
+    """,
     # q84: same tokenizer as q64/q77; row_number partitioned on the
     # chunk hash (md5 — hash60 is its 60-bit prefix, partitions agree)
     "q84_chunk_dedup": """

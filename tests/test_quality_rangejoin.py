@@ -239,3 +239,33 @@ def test_stratified_sample_no_shuffle(spark):
     out = stratified_sample(docs, "lang", "doc_id", {"en": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bigram_lm_scores_rank_probable_above_gibberish(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        bigram_lm_scores,
+    )
+
+    # docs 1-3 share the same high-frequency transitions; doc 4 is a
+    # one-off permutation whose bigrams appear nowhere else
+    common = "the cat sat on the mat"
+    rows = [(1, common), (2, common), (3, common), (4, "mat the on sat cat the")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    assert out[1]["avg_logp"] == out[2]["avg_logp"] == out[3]["avg_logp"]
+    assert out[4]["avg_logp"] < out[1]["avg_logp"]
+    assert out[1]["n_bigrams"] == 5
+
+
+def test_bigram_lm_scores_smoothing_keeps_probs_finite(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        bigram_lm_scores,
+    )
+
+    # a single-doc corpus: every bigram is unique, add-k must keep
+    # logp finite and negative
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    [row] = bigram_lm_scores(df, "doc_id", "text", add_k=0.5).collect()
+    assert row["n_bigrams"] == 3
+    assert row["avg_logp"] < 0.0
+    assert row["avg_logp"] > -60.0
