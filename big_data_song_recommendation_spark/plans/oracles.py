@@ -1286,6 +1286,60 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q86: per-column profile blocks UNION'd; quantile_cont matches
+    # Spark percentile's (n-1)*p linear interpolation; timestamps are
+    # formatted to seconds on both sides; floor-round on numerics
+    "q86_events_profile": """
+        SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS n_null,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               floor(CAST(MIN(event_id) AS DOUBLE)*10000.0)/10000.0 AS min_num,
+               floor(CAST(MAX(event_id) AS DOUBLE)*10000.0)/10000.0 AS max_num,
+               floor(quantile_cont(CAST(event_id AS DOUBLE), 0.5)*10000.0)
+                 /10000.0 AS median,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id),
+               floor(CAST(MIN(user_id) AS DOUBLE)*10000.0)/10000.0,
+               floor(CAST(MAX(user_id) AS DOUBLE)*10000.0)/10000.0,
+               floor(quantile_cont(CAST(user_id AS DOUBLE), 0.5)*10000.0)
+                 /10000.0,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               MIN(event_type), MAX(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+               COUNT(DISTINCT value),
+               floor(MIN(value)*10000.0)/10000.0,
+               floor(MAX(value)*10000.0)/10000.0,
+               floor(quantile_cont(value, 0.5)*10000.0)/10000.0,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+               COUNT(DISTINCT props),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               MIN(props), MAX(props)
+        FROM events
+        ORDER BY col_name
+    """,
     # q85: bigram LM twin — tokenizer CTE from q77, context counts are
     # bigram-initial sums, V = distinct successor words, stable_round
     # (floor) on the per-doc score BEFORE the lang rollup

@@ -2132,6 +2132,20 @@ def q85_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table (operators/profile.py):
+    null counts, exact cardinalities, ranges, numeric medians — one
+    scan, one aggregate, per-column rows unfolded from the 1-row
+    result. The exact-distinct Expand is the oracle-checked mode;
+    ``approximate=True`` is the Expand-free sketch mode at scale."""
+    from ..operators.profile import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_columns(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).transform(_ordered, "col_name")
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2139,6 +2153,7 @@ def q85_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q86_events_profile": q86_events_profile,
     "q85_bigram_lm_quality": q85_bigram_lm_quality,
     "q84_chunk_dedup": q84_chunk_dedup,
     "q83_cohort_retention": q83_cohort_retention,

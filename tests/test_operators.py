@@ -332,3 +332,46 @@ def test_s3a_conf_contract():
     assert env2["spark.hadoop.fs.s3a.endpoint"] == "https://store:9001"
 
     assert len(REFERENCE_BUCKETS) == 6  # the reference's bucket layout
+
+
+def test_profile_columns_mixed_types_and_nulls(spark):
+    import datetime as dt
+
+    from big_data_song_recommendation_spark.operators.profile import (
+        profile_columns,
+    )
+
+    rows = [
+        (1, "a", 2.0, dt.datetime(2024, 1, 1, 12, 0, 0)),
+        (2, "b", 4.0, dt.datetime(2024, 6, 1, 0, 0, 0)),
+        (3, None, None, None),
+        (3, "a", 8.0, dt.datetime(2024, 1, 1, 12, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "v", "t"])
+    out = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"k", "s", "v", "t"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_num"], k["max_num"], k["median"]) == (1.0, 3.0, 2.5)
+    assert k["min_str"] is None
+    s = out["s"]
+    assert (s["n_null"], s["n_distinct"]) == (1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert s["median"] is None
+    v = out["v"]
+    assert (v["n_null"], v["min_num"], v["max_num"], v["median"]) == (1, 2.0, 8.0, 4.0)
+    t = out["t"]
+    assert t["n_null"] == 1
+    assert t["min_str"] == "2024-01-01 12:00:00"
+    assert t["max_str"] == "2024-06-01 00:00:00"
+
+
+def test_profile_columns_single_aggregate_job(spark):
+    from big_data_song_recommendation_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.range(100).selectExpr("id AS a", "CAST(id % 7 AS STRING) AS b")
+    plan = profile_columns(df, approximate=True)._jdf.queryExecution().executedPlan().toString()
+    # approximate mode must not plan an Expand (exact multi-distinct does)
+    assert "Expand" not in plan
