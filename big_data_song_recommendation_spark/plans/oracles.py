@@ -1286,6 +1286,66 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q87: the 3 PageRank rounds unrolled as CTEs — identical
+    # arithmetic to operators/graph.py: (1.0-0.85) written as the
+    # subtraction so both engines fold it to the same IEEE double;
+    # dangling term omitted (symmetric graph -> zero mass, and
+    # c + 0.0 == c exactly); floor-round 6 at the end
+    "q87_item_pagerank": """
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        co AS (
+            SELECT a.item_id AS item_a, b.item_id AS item_b
+            FROM ui a JOIN ui b
+              ON a.user_id = b.user_id AND a.item_id < b.item_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        edges AS (
+            SELECT item_a AS u, item_b AS v FROM co
+            UNION ALL
+            SELECT item_b AS u, item_a AS v FROM co
+        ),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+        nn AS (
+            SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM edges
+        ),
+        r0 AS (
+            SELECT node, deg, 1.0 / nn.n AS r FROM deg CROSS JOIN nn
+        ),
+        r1 AS (
+            SELECT s.node, d.deg, s.r FROM (
+                SELECT e.v AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                         + 0.85 * SUM(r0.r / r0.deg) AS r
+                FROM edges e JOIN r0 ON e.u = r0.node CROSS JOIN nn
+                GROUP BY e.v
+            ) s JOIN deg d USING (node)
+        ),
+        r2 AS (
+            SELECT s.node, d.deg, s.r FROM (
+                SELECT e.v AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                         + 0.85 * SUM(r1.r / r1.deg) AS r
+                FROM edges e JOIN r1 ON e.u = r1.node CROSS JOIN nn
+                GROUP BY e.v
+            ) s JOIN deg d USING (node)
+        ),
+        r3 AS (
+            SELECT e.v AS node,
+                   (1.0 - 0.85) / MAX(nn.n)
+                     + 0.85 * SUM(r2.r / r2.deg) AS r
+            FROM edges e JOIN r2 ON e.u = r2.node CROSS JOIN nn
+            GROUP BY e.v
+        )
+        SELECT node AS item_id,
+               floor(r * 1000000.0) / 1000000.0 AS rank
+        FROM r3 ORDER BY item_id
+    """,
     # q86: per-column profile blocks UNION'd; quantile_cont matches
     # Spark percentile's (n-1)*p linear interpolation; timestamps are
     # formatted to seconds on both sides; floor-round on numerics

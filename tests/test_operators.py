@@ -375,3 +375,27 @@ def test_profile_columns_single_aggregate_job(spark):
     plan = profile_columns(df, approximate=True)._jdf.queryExecution().executedPlan().toString()
     # approximate mode must not plan an Expand (exact multi-distinct does)
     assert "Expand" not in plan
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    from big_data_song_recommendation_spark.operators.graph import pagerank
+
+    # star: node 1 linked with 2,3,4 (symmetric) — 1 is the hub
+    half = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no rank mass leaked
+    assert ranks[1] > ranks[2] == ranks[3] == ranks[4]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from big_data_song_recommendation_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3, 3 dangling: without the correction the mass on 3
+    # would vanish each round and the total would decay below 1
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[3] > ranks[2] > ranks[1]  # downstream accumulates
