@@ -82,3 +82,51 @@ def gap_fill(
     else:
         value = F.col("__v")
     return joined.select(*keys, "bucket", value.alias("value"), "is_gap")
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    n_mads: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier flagging: |x - median| > n_mads ·
+    scale · MAD, where MAD = median(|x - median|). The
+    median/MAD pair is the outlier detector that SURVIVES outliers
+    (mean/stddev z-scores get dragged by the very points they should
+    flag) — the standard metric-monitoring / sensor-cleaning rule;
+    ``scale`` 1.4826 makes MAD a consistent σ estimator under
+    normality.
+
+    Shape: two grouped EXACT percentile aggregates (median, then MAD
+    over the residuals) and two key-equi joins back onto the rows —
+    all three shuffles share the group keying, so Catalyst aligns the
+    exchanges. Exact grouped percentiles sort within each (spreadable)
+    group; at extreme per-group cardinality swap in
+    ``approx_percentile`` for the sketch mode.
+
+    Output: input rows + (med, mad, is_outlier). A group whose MAD is
+    0 (over half the values identical) flags only exact deviants when
+    any deviation exists — the documented degenerate case: threshold
+    0 means every x != median is an outlier.
+    """
+    keys = [F.col(k) for k in key_cols]
+    med = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(med, key_cols)
+    mad = with_med.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.percentile(
+            F.abs(F.col(value_col).cast("double") - F.col("med")), F.lit(0.5)
+        ).alias("mad")
+    )
+    return (
+        with_med.join(mad, key_cols)
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col).cast("double") - F.col("med"))
+            > F.lit(float(n_mads) * float(scale)) * F.col("mad"),
+        )
+    )

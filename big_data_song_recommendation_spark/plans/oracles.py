@@ -1286,6 +1286,31 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q88: median/MAD twin — quantile_cont lerp matches Spark's exact
+    # percentile; the threshold constant is written as the same IEEE
+    # product (3.0*1.4826) both engines fold identically
+    "q88_value_outliers": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        wm AS (
+            SELECT e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+            FROM wm GROUP BY 1
+        )
+        SELECT w.event_type, COUNT(*) AS n_events,
+               floor(MAX(w.med) * 10000.0) / 10000.0 AS med,
+               floor(MAX(d.mad) * 10000.0) / 10000.0 AS mad,
+               CAST(SUM(CASE WHEN abs(w.value - w.med)
+                                  > (3.0 * 1.4826) * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM wm w JOIN mad d USING (event_type)
+        GROUP BY w.event_type ORDER BY w.event_type
+    """,
     # q87: the 3 PageRank rounds unrolled as CTEs — identical
     # arithmetic to operators/graph.py: (1.0-0.85) written as the
     # subtraction so both engines fold it to the same IEEE double;

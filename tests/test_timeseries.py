@@ -63,3 +63,36 @@ def test_plan_has_no_self_join_for_fill(spark):
     joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert joins == 1
     assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_flags_planted_spike_not_mean_dragged(spark):
+    from big_data_song_recommendation_spark.operators.timeseries import (
+        mad_outliers,
+    )
+
+    # tight cluster around 10 plus one huge spike: classic case where
+    # mean/stddev z-score UNDER-flags (the spike inflates sigma) but
+    # median/MAD flags exactly the spike
+    vals = [9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 1000.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], ["g", "i", "v"]
+    )
+    out = {r["i"]: r["is_outlier"] for r in mad_outliers(df, ["g"], "v").collect()}
+    assert out[6] is True
+    assert all(out[i] is False for i in range(6))
+
+
+def test_mad_outliers_zero_mad_degenerate_group(spark):
+    from big_data_song_recommendation_spark.operators.timeseries import (
+        mad_outliers,
+    )
+
+    # >half identical values -> MAD 0: every deviant flags, equals don't
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(5)] + [("a", 9, 5.1)], ["g", "i", "v"]
+    )
+    rows = mad_outliers(df, ["g"], "v").collect()
+    flags = {r["i"]: r["is_outlier"] for r in rows}
+    assert flags[9] is True
+    assert all(flags[i] is False for i in range(5))
+    assert all(r["mad"] == 0.0 for r in rows)
