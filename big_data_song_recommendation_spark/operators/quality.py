@@ -220,3 +220,44 @@ def bigram_lm_scores(
         )
         .select(F.col("sid").alias(id_col), "n_bigrams", "avg_logp")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int = 10,
+    seed: str = "es",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, per
+    stratum — the Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters
+    2006): draw u_i ~ U(0,1], rank by key u_i^(1/w_i), keep the top
+    k. Computed in log space (``ln(u)/w`` — same order, no pow
+    underflow). The corpus-mixing use: sample documents proportional
+    to token count so a fixed-doc-count sample is unbiased in TOKENS.
+
+    Deterministic + engine-portable: u derives from the seeded 60-bit
+    md5 hash of the id (``(hash60+1)/2^60`` ∈ (0,1]), so reruns,
+    partitionings and the DuckDB oracle all draw the same sample —
+    the same replayability rule as ``stratified_sample`` (F6/F15:
+    never Python ``random`` or ``F.rand`` in a checked pipeline).
+
+    Shape: one hash + one per-stratum top-k window — rank-k selection
+    shuffles only the stratum key; no global sort. Weights must be
+    > 0 (caller filters); rows with larger weight get keys nearer 0
+    and win more often. Output: input rows + ``rnk`` (1..k).
+    """
+    from .dedup import hash60
+
+    u = (hash60(F.col(id_col).cast("string"), seed) + 1) / F.lit(2.0**60)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__es_key", F.log(u) / F.col(weight_col))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .drop("__es_key")
+    )

@@ -1286,6 +1286,26 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q89: A-ES weighted sample twin — identical seeded md5 keys, so
+    # both engines draw the same sample; ln computed on the same
+    # (hash+1)/2^60 double
+    "q89_weighted_corpus_sample": f"""
+        WITH w AS (
+            SELECT lang, doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents
+        ),
+        keyed AS (
+            SELECT lang, doc_id, n_tokens,
+                   ln(({_hash60("'es:' || CAST(doc_id AS VARCHAR)")} + 1)
+                      / 1152921504606846976.0) / n_tokens AS k
+            FROM w WHERE n_tokens > 0
+        )
+        SELECT lang, doc_id, n_tokens, rnk FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rnk
+            FROM keyed
+        ) WHERE rnk <= 10
+        ORDER BY lang, rnk
+    """,
     # q88: median/MAD twin — quantile_cont lerp matches Spark's exact
     # percentile; the threshold constant is written as the same IEEE
     # product (3.0*1.4826) both engines fold identically

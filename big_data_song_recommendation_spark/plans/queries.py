@@ -2206,6 +2206,27 @@ def q88_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted deterministic corpus sampling
+    (operators/quality.py weighted_sample, Efraimidis–Spirakis): 10
+    docs per lang drawn with probability ∝ token count — the unbiased
+    way to sample a fixed doc count when the budget is measured in
+    TOKENS. Fully replayable (seeded md5 keys), so the DuckDB twin
+    draws the identical sample. One hash + one per-lang top-k
+    window."""
+    from ..operators.quality import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_w = docs.select(
+        "lang", "doc_id", text.token_count("text").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        weighted_sample(with_w, "lang", "doc_id", "n_tokens", k=10, seed="es")
+        .select("lang", "doc_id", "n_tokens", "rnk")
+        .transform(_ordered, "lang", "rnk")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2213,6 +2234,7 @@ def q88_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q89_weighted_corpus_sample": q89_weighted_corpus_sample,
     "q88_value_outliers": q88_value_outliers,
     "q87_item_pagerank": q87_item_pagerank,
     "q86_events_profile": q86_events_profile,

@@ -269,3 +269,32 @@ def test_bigram_lm_scores_smoothing_keeps_probs_finite(spark):
     assert row["n_bigrams"] == 3
     assert row["avg_logp"] < 0.0
     assert row["avg_logp"] > -60.0
+
+
+def test_weighted_sample_bias_determinism_partition_invariance(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        weighted_sample,
+    )
+
+    # 100 light items (w=1) + 10 heavy (w=50): a k=10 weighted draw
+    # should pick mostly heavy items, on average over seeds
+    rows = [("s", i, 1.0) for i in range(100)] + [
+        ("s", 1000 + i, 50.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    heavy_hits = 0
+    for seed in ("a", "b", "c"):
+        got = weighted_sample(df, "g", "id", "w", k=10, seed=seed)
+        ids = [r["id"] for r in got.collect()]
+        assert len(ids) == 10
+        heavy_hits += sum(1 for i in ids if i >= 1000)
+    # E[heavy] ≈ 7-8/10 per draw; 3 draws ≥ 15 is a loose floor
+    assert heavy_hits >= 15
+
+    # deterministic + layout-invariant: same sample from any partitioning
+    a = sorted(r["id"] for r in weighted_sample(df, "g", "id", "w", k=10).collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(13), "g", "id", "w", k=10).collect()
+    )
+    assert a == b
