@@ -61,3 +61,41 @@ def salted_distinct_count(
         F.countDistinct(value).alias("__partial")
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias(f"n_distinct_{value}"))
+
+
+def skew_report(df: DataFrame, key_col: str, *, top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostic for a prospective shuffle/join key:
+    the top-``top_k`` heavy hitters with their row share and their
+    ratio to the mean rows-per-key — the measurement that DECIDES
+    between a plain shuffle, AQE skew-split, and :func:`salted_join`
+    (a ratio_to_mean in the hundreds on a big⋈big join key is the
+    signal to salt). Run it at ingest grain, not ad hoc: at 100 TB it
+    is one map-side-combinable groupBy + a 1-row broadcast of the
+    totals, and the top-k is a TakeOrdered, never a global sort.
+
+    Output: (key [stringified], n, share, ratio_to_mean, rnk).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    from pyspark.sql import Window
+
+    from ..functions.scalars import stable_round
+
+    top = (
+        counts.crossJoin(F.broadcast(stats))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return top.select(
+        "key",
+        "n",
+        stable_round(F.col("n") / F.col("total"), 6).alias("share"),
+        stable_round(F.col("n") * F.col("n_keys") / F.col("total"), 4).alias(
+            "ratio_to_mean"
+        ),
+    ).withColumn("rnk", F.row_number().over(w))

@@ -1286,6 +1286,26 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q90: skew diagnostic twin — integer '/' is double division in
+    # both engines; (n * n_keys) multiplies exactly before dividing
+    "q90_user_key_skew": """
+        WITH counts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys
+            FROM counts
+        )
+        SELECT key, n,
+               floor(n / total * 1000000.0) / 1000000.0 AS share,
+               floor((n * n_keys) / total * 10000.0) / 10000.0
+                 AS ratio_to_mean,
+               row_number() OVER (ORDER BY n DESC, key ASC) AS rnk
+        FROM counts CROSS JOIN stats
+        ORDER BY n DESC, key ASC
+        LIMIT 10
+    """,
     # q89: A-ES weighted sample twin — identical seeded md5 keys, so
     # both engines draw the same sample; ln computed on the same
     # (hash+1)/2^60 double

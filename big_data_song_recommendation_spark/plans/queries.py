@@ -2227,6 +2227,17 @@ def q89_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_user_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.py skew_report) on
+    events.user_id — the measurement that decides plain shuffle vs
+    AQE skew-split vs salted_join before a 100 TB join. One combinable
+    groupBy + 1-row totals broadcast + TakeOrdered top-10."""
+    from ..operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=10)
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2234,6 +2245,7 @@ def q89_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q90_user_key_skew": q90_user_key_skew,
     "q89_weighted_corpus_sample": q89_weighted_corpus_sample,
     "q88_value_outliers": q88_value_outliers,
     "q87_item_pagerank": q87_item_pagerank,

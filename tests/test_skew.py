@@ -62,3 +62,22 @@ def test_salted_distinct_count_exact(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_skew_report_ranks_hot_key_and_no_global_sort(spark):
+    from big_data_song_recommendation_spark.operators.skew import skew_report
+
+    # key 7 owns 90 of 100 rows; ten singleton keys fill the rest
+    rows = [(7,)] * 90 + [(i,) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, "k", top_k=3)
+    got = out.collect()
+    assert [r["rnk"] for r in got] == [1, 2, 3]
+    top = got[0]
+    assert (top["key"], top["n"]) == ("7", 90)
+    assert top["share"] == 0.9
+    # 11 keys, mean 100/11 ≈ 9.09 -> ratio 90*11/100 = 9.9
+    assert top["ratio_to_mean"] == 9.9
+    # top-k must plan as TakeOrdered, not a global Sort+Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
