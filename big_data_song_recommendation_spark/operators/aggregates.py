@@ -72,3 +72,42 @@ def paginate(
     if offset:
         out = out.offset(offset)
     return out.limit(limit)
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the standard drift / association check a feature
+    pipeline runs between a dimension and an outcome (is priority
+    independent of status?). Expression-level (not MLlib's
+    ``ChiSquareTest``) so the statistic is ORACLE-checkable.
+
+    ``chi2 = Σ_cells (o - e)²/e`` with ``e = row_total·col_total/N``,
+    summed over the FULL r×c cross (empty cells contribute ``e`` —
+    deriving cells from observed pairs only understates the
+    statistic). Shape: one (a,b) aggregate at data grain; everything
+    after runs on the r×c contingency table (catalog-bounded, not
+    data-bounded) — the cross join and the totals broadcast are dim-
+    sized. Output: 1 row (n, r, c, dof, chi2).
+    """
+    from ..functions.scalars import stable_round
+
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    nn = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        ra.crossJoin(cb)
+        .join(obs, ["a", "b"], "left")
+        .crossJoin(F.broadcast(nn))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n")
+    d = F.coalesce(F.col("o"), F.lit(0)) - e
+    return cells.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        ((F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)).alias("dof"),
+        stable_round(F.sum(d * d / e), 4).alias("chi2"),
+    )

@@ -1286,6 +1286,48 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q92: chi-square twin — BIGINT/BIGINT is double division in both
+    # engines; (o-e)*(o-e) multiplied out (no pow) for ulp parity;
+    # empty cells ride the left join
+    "q92_priority_status_chi2": """
+        WITH obs AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b,
+                   COUNT(*) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT ra.a, cb.b, ra.ra, cb.cb,
+                   COALESCE(obs.o, 0) AS o, nn.n
+            FROM ra CROSS JOIN cb
+            LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+            CROSS JOIN nn
+        )
+        SELECT MAX(n) AS n,
+               COUNT(DISTINCT a) AS r,
+               COUNT(DISTINCT b) AS c,
+               (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+               floor(SUM((o - (ra * cb) / n) * (o - (ra * cb) / n)
+                         / ((ra * cb) / n)) * 10000.0) / 10000.0 AS chi2
+        FROM cells
+    """,
+    # q91: RANGE frame twin — both engines include epoch-second peers
+    # in the frame; DECIMAL(12,2) summation is exact so order can't
+    # perturb the total
+    "q91_rolling_user_spend": """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                 AS spend_3d,
+               COUNT(*) OVER w AS n_3d
+        FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events WHERE user_id < 10)
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
     # q90: skew diagnostic twin — integer '/' is double division in
     # both engines; (n * n_keys) multiplies exactly before dividing
     "q90_user_key_skew": """

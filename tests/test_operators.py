@@ -399,3 +399,42 @@ def test_pagerank_dangling_mass_redistributed(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[3] > ranks[2] > ranks[1]  # downstream accumulates
+
+
+def test_chi_square_independent_and_dependent_extremes(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        chi_square,
+    )
+
+    # perfectly independent 2x2 (balanced cross): chi2 = 0
+    indep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        ["a", "b"],
+    )
+    [r] = chi_square(indep, "a", "b").collect()
+    assert (r["n"], r["r"], r["c"], r["dof"]) == (20, 2, 2, 1)
+    assert r["chi2"] == 0.0
+
+    # perfectly dependent 2x2 (a determines b): chi2 = n * (min(r,c)-1)
+    dep = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10, ["a", "b"]
+    )
+    [r] = chi_square(dep, "a", "b").collect()
+    assert r["chi2"] == 20.0
+    assert r["dof"] == 1
+
+
+def test_chi_square_counts_empty_cells(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        chi_square,
+    )
+
+    # (y, q) never observed; its expected count must still contribute
+    df = spark.createDataFrame(
+        [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 4, ["a", "b"]
+    )
+    [r] = chi_square(df, "a", "b").collect()
+    # manual: totals ra={x:8,y:4}, cb={p:8,q:4}, n=12
+    # e(x,p)=16/3, e(x,q)=8/3, e(y,p)=8/3, e(y,q)=4/3
+    # chi2 = (4-16/3)^2/(16/3) + (4-8/3)^2/(8/3)*2 + (0-4/3)^2/(4/3) = 3.0
+    assert abs(r["chi2"] - 3.0) < 1e-9
