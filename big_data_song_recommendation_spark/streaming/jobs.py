@@ -92,6 +92,33 @@ def kafka_topic_stream(
     return parse_kafka_records(reader.load(), value_schema)
 
 
+def socket_json_stream(
+    spark: SparkSession, host: str, port: int, value_schema: T.StructType
+) -> DataFrame:
+    """Network line-protocol ingest via Spark's built-in socket
+    source: one JSON document per line, parsed with the declared
+    schema — the same value-parse contract as
+    :func:`parse_kafka_records` minus the broker metadata columns.
+
+    This is the EXECUTABLE network-ingest tier for images without a
+    Kafka jar (S8 stays contract-tested): the socket source ships in
+    Spark core, so a real TCP round-trip — bind, connect, stream
+    lines, micro-batch, parse — runs end-to-end in tests. It is
+    at-most-once (no offsets, no replay) and single-connection, so it
+    is a smoke/bridge tier, never the production path; production
+    ingest is :func:`kafka_topic_stream` (ref
+    src/streaming/kafka_consumer.py:10-19)."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", int(port))
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value"), value_schema).alias("v")
+    ).select("v.*")
+
+
 def file_stream(
     spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
 ) -> DataFrame:
