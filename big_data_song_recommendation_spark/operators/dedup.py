@@ -818,3 +818,92 @@ def chunk_dedup(
             F.col("sid").alias(id_col), "chunk_idx", "chunk", "retained"
         )
     )
+
+
+def select_canonicals(
+    scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    assume_diameter: int | None = None,
+) -> DataFrame:
+    """Survivorship POLICY over near-dup clusters: instead of
+    :func:`drop_near_duplicates`' keep-smallest-id rule, keep the
+    BEST-``score_col`` member of each cluster (tie-break smallest id)
+    — the curation policy that keeps the cleanest copy of mirrored
+    content, not an arbitrary one.
+
+    Shape: :func:`connected_components` resolves pairs to clusters,
+    then one cluster-keyed window ranks members — the ranking shuffle
+    is cluster-sized (bounded by near-dup group sizes), never corpus-
+    wide. Singletons are their own canonical. Output: (id, cluster,
+    score, n_members, is_canonical).
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        pairs, src=src, dst=dst, assume_diameter=assume_diameter
+    )
+    member = scored.join(
+        comp, scored[id_col] == comp["node"], "left"
+    ).select(
+        scored[id_col],
+        F.col(score_col),
+        F.coalesce(F.col("comp"), scored[id_col]).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        member.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .withColumn("is_canonical", F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_against_store(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    store_fp_col: str = "fp",
+) -> DataFrame:
+    """Continuous-ingestion dedup: an incoming batch checked against
+    the HISTORICAL fingerprint store (drop already-seen content), then
+    exact-deduped within itself (first id wins) — the incremental twin
+    of :func:`exact_duplicates` for a pipeline that ingests shards
+    forever and must never re-admit content it has already accepted.
+
+    Shape: one fp-keyed left join against the store (the store side is
+    a distinct fingerprint table — the compact state a 100 TB pipeline
+    checkpoints, not the text) + one fp-keyed window for the
+    within-batch rule; both share the fp hash partitioning. Output:
+    batch rows + (fp, verdict ∈ dup_store|dup_batch|accept); accepted
+    rows' fps are exactly what the caller appends back to the store.
+    """
+    from pyspark.sql import Window
+
+    b = batch.withColumn("fp", Ftext.fingerprint(F.col(text_col)))
+    s = (
+        store.select(F.col(store_fp_col).alias("fp"))
+        .distinct()
+        .withColumn("__in_store", F.lit(1))
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        b.join(s, "fp", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "verdict",
+            F.when(F.col("__in_store").isNotNull(), F.lit("dup_store"))
+            .when(F.col("__rn") > 1, F.lit("dup_batch"))
+            .otherwise(F.lit("accept")),
+        )
+        .drop("__in_store", "__rn")
+    )

@@ -261,3 +261,37 @@ def weighted_sample(
         .filter(F.col("rnk") <= int(k))
         .drop("__es_key")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    token_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequence packing: documents taken in a deterministic
+    order are laid head-to-tail per stratum and cut into fixed
+    ``budget``-token training sequences; each doc is assigned to the
+    pack its FIRST token lands in — the concat-and-chunk packing an
+    LLM data loader performs when it fills fixed-length contexts from
+    variable-length documents.
+
+    One window cumsum per stratum, integer arithmetic end to end (no
+    float drift); the window's stratum partitioning is the only
+    exchange, so packing 100 TB shards by (stratum) scales with
+    executor count. Docs longer than ``budget`` still get one pack id
+    (their START pack) — chunk oversized docs upstream
+    (:func:`~..operators.dedup.chunk_dedup` grain) if per-pack token
+    counts must be bounded. Output: input rows + ``pack_id``.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(cum_excl / F.lit(int(budget))).cast("long")
+    )

@@ -92,6 +92,41 @@ _STOPWORD_LISTS = {
 _RAW_TOKENS_LOWER = "list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t))"
 
 
+# (doc_id, lang, quality) — the q22 quality score as a reusable CTE
+# body (q94's survivorship policy ranks clusters by it)
+_DOC_QUALITY = f"""
+    SELECT doc_id, lang,
+           floor((CAST(0.4 AS DOUBLE) * len_score
+                  + CAST(0.3 AS DOUBLE) * punct_score
+                  + CAST(0.3 AS DOUBLE) * sw_score) * 10000.0) / 10000.0
+             AS quality
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN n_tokens >= 50 THEN CAST(1.0 AS DOUBLE)
+                    ELSE n_tokens / CAST(50.0 AS DOUBLE) END AS len_score,
+               greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE) - punct_ratio * 4)) AS punct_score,
+               greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                   sw_ratio * 5)) AS sw_score
+        FROM (
+            SELECT doc_id, lang,
+                   {{tc}} AS n_tokens,
+                   CASE WHEN len(text) > 0 THEN
+                       (len(text) - len(regexp_replace(text,
+                            '[^A-Za-z0-9 ]', '', 'g')))
+                       * 1.0 / len(text)
+                   ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+                   CASE WHEN {{tc}} > 0 THEN
+                       len(list_filter({{raw}},
+                           t -> list_contains({{sw}}, t)))
+                       * 1.0 / ({{tc}})
+                   ELSE CAST(0.0 AS DOUBLE) END AS sw_ratio
+            FROM documents
+        )
+    )
+""".format(tc=_TOKEN_COUNT, raw=_RAW_TOKENS_LOWER, sw=_STOPWORD_LISTS["en"])
+
+
 def _votes(lang: str) -> str:
     return (
         f"len(list_filter({_RAW_TOKENS_LOWER},"
@@ -1285,6 +1320,82 @@ ORACLES: dict[str, str] = {
         FROM red
         GROUP BY lang
         ORDER BY lang
+    """,
+    # q93: integer window cumsum — exact in any engine
+    "q93_sequence_packing": f"""
+        WITH tok AS (
+            SELECT lang, doc_id, {_TOKEN_COUNT} AS n_tokens FROM documents
+        ),
+        packed AS (
+            SELECT lang, doc_id, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        / 2048) AS BIGINT) AS pack_id
+            FROM tok
+        )
+        SELECT lang, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc
+        FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # q94: q66's recursive closure + q22's quality twin; canonical =
+    # argmax(quality, tie-break min id) per multi-member cluster
+    "q94_canonical_selection": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        ),
+        comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+        q AS ({_DOC_QUALITY}),
+        member AS (
+            SELECT q.doc_id, q.quality,
+                   COALESCE(comp.comp, q.doc_id) AS cluster
+            FROM q LEFT JOIN comp ON q.doc_id = comp.node
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY cluster
+                       ORDER BY quality DESC, doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster) AS n_members
+            FROM member
+        )
+        SELECT cluster, CAST(MAX(n_members) AS BIGINT) AS n_members,
+               MIN(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+               MIN(CASE WHEN rn = 1 THEN quality END) AS canonical_quality
+        FROM ranked WHERE n_members >= 2
+        GROUP BY cluster ORDER BY cluster
+    """,
+    # q95: store = distinct fingerprints of the 80% history; batch
+    # verdicts: store hit > within-batch repeat > accept
+    "q95_incremental_dedup": f"""
+        WITH store AS (
+            SELECT DISTINCT md5({_NORMALIZED_TEXT}) AS fp
+            FROM documents WHERE doc_id % 5 <> 0
+        ),
+        b AS (
+            SELECT doc_id, lang, md5({_NORMALIZED_TEXT}) AS fp
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        v AS (
+            SELECT b.lang,
+                   CASE WHEN store.fp IS NOT NULL THEN 'dup_store'
+                        WHEN row_number() OVER (
+                            PARTITION BY b.fp ORDER BY b.doc_id) > 1
+                            THEN 'dup_batch'
+                        ELSE 'accept' END AS verdict
+            FROM b LEFT JOIN store ON b.fp = store.fp
+        )
+        SELECT lang, verdict, COUNT(*) AS n
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2
     """,
     # q92: chi-square twin — BIGINT/BIGINT is double division in both
     # engines; (o-e)*(o-e) multiplied out (no pow) for ulp parity;

@@ -2280,6 +2280,84 @@ def q92_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square(orders, "o_orderpriority", "o_orderstatus")
 
 
+def q93_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/quality.py
+    pack_sequences): docs laid head-to-tail per lang in doc_id order,
+    cut into 2048-token packs; per-pack doc/token totals. Integer
+    window cumsum — exact in any engine, one stratum-keyed
+    exchange."""
+    from ..operators.quality import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "lang", "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(with_tok, "lang", "doc_id", "n_tokens", budget=2048)
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .transform(_ordered, "lang", "pack_id")
+    )
+
+
+def q94_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivorship (operators/dedup.py
+    select_canonicals): near-dup clusters (q66's LSH pair list +
+    fixed-depth CC) keep their BEST-quality member, not an arbitrary
+    id — per multi-doc cluster: size, canonical doc, canonical
+    quality. Oracle recomputes the clusters as a recursive-CTE
+    closure and the quality score with q22's exact SQL twin."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, k=3, verify_threshold=0.5
+    )
+    scored = docs.select("doc_id", text.quality_score("text").alias("quality"))
+    ranked = dedup.select_canonicals(
+        scored, pairs, "doc_id", "quality", assume_diameter=3
+    )
+    return (
+        ranked.filter(F.col("n_members") >= 2)
+        .groupBy("cluster")
+        .agg(
+            F.max("n_members").alias("n_members"),
+            F.min(F.when(F.col("is_canonical"), F.col("doc_id"))).alias(
+                "canonical_id"
+            ),
+            F.min(F.when(F.col("is_canonical"), F.col("quality"))).alias(
+                "canonical_quality"
+            ),
+        )
+        .transform(_ordered, "cluster")
+    )
+
+
+def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (operators/dedup.py
+    dedup_against_store): the 20 % batch (doc_id ≡ 0 mod 5) checked
+    against the fingerprint store built from the other 80 %, then
+    exact-deduped within itself — per-(lang, verdict) counts. The
+    store side is fingerprints only: the compact state a forever-
+    ingesting pipeline checkpoints."""
+    from ..operators.dedup import dedup_against_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    store = history.select(text.fingerprint("text").alias("fp"))
+    out = dedup_against_store(batch, store, "doc_id", "text")
+    return (
+        out.groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n"))
+        .transform(_ordered, "lang", "verdict")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2287,6 +2365,9 @@ def q92_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q95_incremental_dedup": q95_incremental_dedup,
+    "q94_canonical_selection": q94_canonical_selection,
+    "q93_sequence_packing": q93_sequence_packing,
     "q92_priority_status_chi2": q92_priority_status_chi2,
     "q91_rolling_user_spend": q91_rolling_user_spend,
     "q90_user_key_skew": q90_user_key_skew,

@@ -121,10 +121,77 @@ def curation_probe(spark, reps: list[int]) -> None:
             )
 
 
+def r4ops_probe(spark, reps: list[int]) -> None:
+    """Round-4 operators under replication: chunk_dedup (one window
+    shuffle on the chunk hash — should scale ~linearly in chunks, the
+    q15 profile at sub-doc grain) and bigram_lm_scores (one shingle
+    pass + bounded model-table joins — linear in tokens; the bigram
+    model tables grow with VOCABULARY², not corpus size, so the join
+    sides saturate). PageRank scales with EDGES per round — probed on
+    the replicated co-occurrence graph (items remapped per replica so
+    the graph grows, not just densifies)."""
+    from big_data_song_recommendation_spark.operators import cooccur
+    from big_data_song_recommendation_spark.operators.dedup import chunk_dedup
+    from big_data_song_recommendation_spark.operators.graph import pagerank
+    from big_data_song_recommendation_spark.operators.quality import (
+        bigram_lm_scores,
+    )
+
+    docs0 = load_table(spark, SF_DIR, "documents")
+    ev0 = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        for r in reps:
+            docs_path = f"{d}/docs_{r}"
+            replicate(docs0, r, "doc_id").write.parquet(docs_path)
+            docs = spark.read.parquet(docs_path)
+            n_docs = docs.count()
+
+            t0 = time.perf_counter()
+            n_chunks = chunk_dedup(docs, "doc_id", "text").count()
+            t_chunk = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            n_scored = bigram_lm_scores(docs, "doc_id", "text").count()
+            t_lm = time.perf_counter() - t0
+
+            # replicate the user-item graph: users remapped per replica
+            ui = (
+                ev0.select(
+                    "user_id",
+                    F.expr("json_tuple(props, 'k')").alias("k0"),
+                )
+                .select("user_id", F.col("k0").cast("int").alias("item_id"))
+                .filter(F.col("item_id").isNotNull())
+                .distinct()
+            )
+            ui_r = replicate(ui, r, "user_id").withColumn(
+                "item_id",
+                F.col("item_id") + (F.col("user_id") % r) * 1000,
+            )
+            pairs = cooccur.cooccurrence_pairs(ui_r, min_support=3)
+            edges = pairs.select(
+                F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+            ).union(
+                pairs.select(
+                    F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+                )
+            )
+            t0 = time.perf_counter()
+            n_ranked = pagerank(edges, iterations=3).count()
+            t_pr = time.perf_counter() - t0
+
+            print(
+                f"x{r}: docs={n_docs} chunks={n_chunks} chunk_dedup={t_chunk:.1f}s | "
+                f"lm_scored={n_scored} lm={t_lm:.1f}s | "
+                f"pr_nodes={n_ranked} pagerank={t_pr:.1f}s",
+                flush=True,
+            )
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
-    if args and args[0] in ("dedup", "relational", "curation"):
+    if args and args[0] in ("dedup", "relational", "curation", "r4ops"):
         mode, args = args[0], args[1:]
     reps = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -135,6 +202,10 @@ def main() -> None:
         return
     if mode == "curation":
         curation_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r4ops":
+        r4ops_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

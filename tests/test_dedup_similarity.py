@@ -345,3 +345,39 @@ def test_chunk_dedup_ragged_tail_and_empty_doc(spark):
     assert rows[(3, 0)] == ("a b c d", False)
     assert rows[(3, 1)] == ("e", False)
     assert not any(k[0] == 2 for k in rows)
+
+
+def test_select_canonicals_keeps_best_scored_member(spark):
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        ["doc_id", "quality"],
+    )
+    # cluster {1,2,3}: best quality 0.9 tied 2/3 -> min id 2; {4} and
+    # {9} are singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in
+           dedup.select_canonicals(scored, pairs, "doc_id", "quality").collect()}
+    assert out[2]["is_canonical"] is True
+    assert out[1]["is_canonical"] is False and out[3]["is_canonical"] is False
+    assert out[1]["cluster"] == out[2]["cluster"] == out[3]["cluster"] == 1
+    assert out[2]["n_members"] == 3
+    assert out[4]["is_canonical"] is True and out[4]["n_members"] == 1
+    assert out[9]["is_canonical"] is True
+
+
+def test_dedup_against_store_verdict_precedence(spark):
+    batch = spark.createDataFrame(
+        [(10, "fresh content here"),
+         (11, "seen before text"),
+         (12, "fresh content here"),   # within-batch repeat of 10
+         (13, "also new stuff")],
+        ["doc_id", "text"],
+    )
+    store_docs = spark.createDataFrame(
+        [(1, "seen BEFORE text!!")], ["doc_id", "text"]  # same fingerprint as 11
+    )
+    from big_data_song_recommendation_spark.functions import text as Ftext
+    store = store_docs.select(Ftext.fingerprint("text").alias("fp"))
+    out = {r["doc_id"]: r["verdict"] for r in
+           dedup.dedup_against_store(batch, store, "doc_id", "text").collect()}
+    assert out == {10: "accept", 11: "dup_store", 12: "dup_batch", 13: "accept"}

@@ -298,3 +298,16 @@ def test_weighted_sample_bias_determinism_partition_invariance(spark):
         for r in weighted_sample(df.repartition(13), "g", "id", "w", k=10).collect()
     )
     assert a == b
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        pack_sequences,
+    )
+
+    # budget 10; cumulative starts: 0,6,12,19,21 -> packs 0,0,1,1,2
+    rows = [("s", 1, 6), ("s", 2, 6), ("s", 3, 7), ("s", 4, 2), ("s", 5, 3)]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "n"])
+    out = {r["doc_id"]: r["pack_id"] for r in
+           pack_sequences(df, "g", "doc_id", "n", budget=10).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
