@@ -166,8 +166,17 @@ def normalized_text(col: Column | str) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint = md5 of normalized text.
-    The exact-dedup key (SURVEY.md build plan §7 item 5)."""
-    return F.md5(normalized_text(col))
+    The exact-dedup key (SURVEY.md build plan §7 item 5).
+
+    Computed via the one-regex ``tokens`` path (filter empties, join
+    with single spaces) — STRING-IDENTICAL to
+    ``md5(normalized_text(col))`` (token-sequence equality is the
+    tokens() contract, corpus-verified; joining with ' ' reinstates
+    exactly the collapsed/trimmed form) at half the regex cost, which
+    every exact-dedup scan pays once per row. Oracle twins keep using
+    ``md5({_NORMALIZED_TEXT})`` — same bytes, so hashes agree."""
+    toks = F.filter(tokens(col), lambda t: t != "")
+    return F.md5(F.array_join(toks, " "))
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

@@ -107,3 +107,31 @@ def test_winnow_packed_pos_is_token_ordinal(spark):
     # kept pos must be a valid 0-based ordinal (< 6), proving the
     # leading-delimiter shift was re-derived away.
     assert pos and all(0 <= p <= 5 for p in pos)
+
+
+def test_fingerprint_equals_md5_of_normalized_text(spark):
+    """The one-regex fingerprint must be STRING-identical to the
+    normalized_text form on every edge shape (the claim its docstring
+    makes)."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.functions import text as Ftext
+
+    cases = [
+        "",
+        "   ",
+        "!!!",
+        "  Hello, World!  ",
+        "a--b__c  d\t\ne",
+        "ALL CAPS 123",
+        "trailing punct...",
+        "...leading punct",
+        "ünïcode straße",  # non-ascii folds to delimiter runs
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "t"])
+    out = df.select(
+        Ftext.fingerprint("t").alias("fast"),
+        F.md5(Ftext.normalized_text("t")).alias("ref"),
+    ).collect()
+    for i, r in enumerate(out):
+        assert r["fast"] == r["ref"], (i, cases[i])
