@@ -295,3 +295,40 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor(cum_excl / F.lit(int(budget))).cast("long")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    fractions: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-free train/valid/test assignment: every row of a GROUP
+    (user, document, session) lands in the same split, decided by the
+    seeded md5 bucket of the group key — the split discipline that
+    row-level ``randomSplit`` (M5) violates for grouped data (a user's
+    events scattered across train and test leak target information).
+
+    Deterministic, replayable, partition-invariant, and engine-
+    portable (same F6/F15 hashing rule as :func:`stratified_sample`/
+    :func:`weighted_sample`): reruns and the DuckDB oracle assign
+    identical splits, and new data joins the same split its group
+    already lives in — no stored assignment table needed. Pure
+    projection: zero shuffles. Output: input rows + ``split``.
+    """
+    from .dedup import hash60
+
+    fr = fractions or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    if abs(sum(fr.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    bucket = hash60(F.col(group_col).cast("string"), seed) % 10000
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = list(fr.items())
+    for name, f in head:
+        acc += f
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", expr)

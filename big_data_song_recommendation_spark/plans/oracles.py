@@ -1321,6 +1321,65 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q96: identical seeded md5 buckets decide the split in both
+    # engines; DECIMAL sums exact; leaked_groups is the invariant
+    "q96_leakage_free_split": f"""
+        WITH tagged AS (
+            SELECT user_id, value,
+                   CASE WHEN {_hash60("'split:' || CAST(user_id AS VARCHAR)")}
+                             % 10000 < 8000 THEN 'train'
+                        WHEN {_hash60("'split:' || CAST(user_id AS VARCHAR)")}
+                             % 10000 < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM events
+        ),
+        leaked AS (
+            SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS leaked_groups
+            FROM (SELECT user_id, COUNT(DISTINCT split) AS ns
+                  FROM tagged GROUP BY 1)
+        )
+        SELECT split, COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS value_total,
+               leaked.leaked_groups
+        FROM tagged CROSS JOIN leaked
+        GROUP BY split, leaked.leaked_groups
+        ORDER BY split
+    """,
+    # q97: tokenizer/bigram CTEs as in q77; long/long division is
+    # double in both engines
+    "q97_lexical_diversity": f"""
+        WITH toks AS (
+            SELECT lang, unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+            FROM documents
+        ),
+        tok_agg AS (
+            SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
+            FROM toks WHERE tok <> '' GROUP BY 1
+        ),
+        big AS (
+            SELECT lang, t[i] || ' ' || t[i+1] AS sh
+            FROM (SELECT lang, t, unnest(range(1, len(t) + 1)) AS i
+                  FROM (SELECT lang,
+                               string_split({_NORMALIZED_TEXT}, ' ') AS t
+                        FROM documents))
+            WHERE i < len(t) AND t[i] <> ''
+        ),
+        big_agg AS (
+            SELECT lang, COUNT(*) AS n_bigrams,
+                   COUNT(DISTINCT sh) AS n_distinct_bigrams
+            FROM big GROUP BY 1
+        )
+        SELECT lang, n_tokens, n_types,
+               floor(n_types / n_tokens * 10000.0) / 10000.0 AS ttr,
+               n_bigrams, n_distinct_bigrams,
+               floor(n_distinct_bigrams / n_bigrams * 10000.0) / 10000.0
+                 AS bigram_diversity
+        FROM tok_agg JOIN big_agg USING (lang)
+        ORDER BY lang
+    """,
     # q93: integer window cumsum — exact in any engine
     "q93_sequence_packing": f"""
         WITH tok AS (

@@ -2358,6 +2358,91 @@ def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/valid/test split (operators/quality.py
+    group_split): every user's events land in ONE split via the
+    seeded md5 bucket of the user id — the discipline row-level
+    randomSplit violates for grouped data. Output per split: distinct
+    users, events, value total — plus the straddle invariant (users
+    in >1 split; 0 by construction, still computed as the checked
+    contract)."""
+    from ..operators.quality import group_split
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = group_split(ev, "user_id")
+    leaked = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias(
+                "leaked_groups"
+            )
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("value_total"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .transform(_ordered, "split")
+    )
+
+
+def q97_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-diversity metrics per lang: type-token ratio
+    and distinct-bigram ratio — the self-BLEU-adjacent diversity
+    check run before training on generated/augmented text (low
+    diversity = mode-collapsed or boilerplate-heavy slices). One
+    tokens explode + one bigram window pass, both lang-rollups."""
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "lang", F.explode(text.tokens("text")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+        )
+    )
+    bigr = (
+        shingle_rows(docs, "doc_id", "text", 2)
+        .join(
+            docs.select("doc_id", "lang"), F.col("sid") == F.col("doc_id")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("sh").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        toks.join(bigr, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            scalars.stable_round(F.col("n_types") / F.col("n_tokens"), 4).alias(
+                "ttr"
+            ),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            scalars.stable_round(
+                F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
+            ).alias("bigram_diversity"),
+        )
+        .transform(_ordered, "lang")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2365,6 +2450,8 @@ def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q97_lexical_diversity": q97_lexical_diversity,
+    "q96_leakage_free_split": q96_leakage_free_split,
     "q95_incremental_dedup": q95_incremental_dedup,
     "q94_canonical_selection": q94_canonical_selection,
     "q93_sequence_packing": q93_sequence_packing,

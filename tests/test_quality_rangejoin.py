@@ -311,3 +311,40 @@ def test_pack_sequences_budget_boundaries(spark):
     out = {r["doc_id"]: r["pack_id"] for r in
            pack_sequences(df, "g", "doc_id", "n", budget=10).collect()}
     assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_group_split_no_leakage_and_proportions(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        group_split,
+    )
+
+    # 5000 rows over 1000 groups, 5 rows each: every group must land
+    # wholly in one split, and fractions should be near 80/10/10
+    df = spark.range(5000).selectExpr("id % 1000 AS g", "id AS row_id")
+    out = group_split(df, "g")
+    per_group = (
+        out.groupBy("g").agg(F.countDistinct("split").alias("ns")).collect()
+    )
+    assert all(r["ns"] == 1 for r in per_group)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.7 < counts["train"] / 5000 < 0.9
+    assert 0.05 < counts["valid"] / 5000 < 0.16
+    assert 0.05 < counts["test"] / 5000 < 0.16
+
+    # deterministic: same assignment under any partitioning
+    a = {(r["g"], r["split"]) for r in out.select("g", "split").distinct().collect()}
+    b = {(r["g"], r["split"]) for r in
+         group_split(df.repartition(17), "g").select("g", "split").distinct().collect()}
+    assert a == b
+
+
+def test_group_split_rejects_bad_fractions(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        group_split,
+    )
+
+    df = spark.range(10).selectExpr("id AS g")
+    with pytest.raises(ValueError):
+        group_split(df, "g", fractions={"a": 0.5, "b": 0.2})
