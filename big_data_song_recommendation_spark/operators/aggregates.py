@@ -111,3 +111,92 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ((F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)).alias("dof"),
         stable_round(F.sum(d * d / e), 4).alias("chi2"),
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, *, bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram with DATA-DERIVED edges: global min/max
+    fold in as a 1-row broadcast (never a driver-side action), each
+    row bins via pure per-row float arithmetic — order-independent,
+    so cross-engine bit parity holds without rounding tricks. The
+    top edge closes the last bin (``least(bins-1, ...)``), the
+    degenerate min==max table lands wholly in bin 0.
+
+    One scan + a tiny broadcast + one combinable groupBy — the shape
+    survives any scale. Output: (bin, lo_edge, hi_edge, n) for
+    non-empty bins.
+    """
+    from ..functions.scalars import stable_round
+
+    b = int(bins)
+    x = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(b))
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(b - 1),
+            F.floor((x - F.col("__lo")) * F.lit(float(b))
+                    / (F.col("__hi") - F.col("__lo"))),
+        )
+    ).cast("int")
+    grouped = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+            F.count("*").alias("n"),
+        )
+    )
+    return grouped.select(
+        "bin",
+        stable_round(F.col("__lo") + F.col("bin") * width, 4).alias("lo_edge"),
+        stable_round(
+            F.col("__lo") + (F.col("bin") + 1) * width, 4
+        ).alias("hi_edge"),
+        "n",
+    )
+
+
+def gini_index(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    """Gini concentration index over an ENTITY-grain value table →
+    1 row (n, total, gini) — the inequality measure a revenue/usage
+    dashboard reports (0 = uniform, →1 = winner-takes-all), and a
+    skew summary complementing :func:`~..operators.skew.skew_report`.
+
+    ``gini = 2·Σ iˣ·xᵢ / (n·Σx) − (n+1)/n`` with x ascending (ties
+    broken on the id for determinism). Rank·value products and totals
+    are summed as EXACT decimals, so only the final closed-form
+    division touches floats — bit-identical cross-engine.
+
+    The ranking needs a TOTAL order: df must already be aggregated to
+    entity grain (dims-sized — customers, not line items). At extreme
+    entity counts swap the single total-order window for the
+    partition-offset ranking (operators/joins.py positional_join
+    form); the formula is unchanged.
+    """
+    from ..functions.scalars import stable_round
+
+    x = F.col(value_col).cast("decimal(18,2)")
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(x.alias("__x"), F.row_number().over(w).alias("__i"))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__w"),
+    )
+    s_d = F.col("__s").cast("double")
+    w_d = F.col("__w").cast("double")
+    return agg.select(
+        "n",
+        s_d.alias("total"),
+        stable_round(
+            (F.lit(2.0) * w_d) / (F.col("n") * s_d)
+            - (F.col("n") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -88,3 +88,91 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an UNDIRECTED graph → 1 row
+    (n_nodes, n_edges, n_triangles, n_wedges, global_clustering).
+
+    Uses the degree-ORIENTED algorithm (each edge directed from its
+    lower-(degree, id) endpoint): every triangle is counted exactly
+    once, and — the scale property — the wedge-join fan-out per node
+    is bounded by its ORIENTED out-degree, which is O(√m) on any
+    graph (arboricity bound), not by the raw degree. A hub with 10M
+    neighbors contributes no 10M² wedge explosion; the naive
+    edge-edge-edge join does. Wedges (length-2 paths) come from the
+    symmetric degrees: Σ deg·(deg-1)/2 — integer-exact.
+
+    Three shuffles total: degree aggregate, wedge self-join on the
+    hinge node, the closing-edge semi-join on (b, c).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=False)
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+
+    base = (
+        und.join(deg.withColumnRenamed("u", "__n1"), F.col("u") == F.col("__n1"))
+        .withColumnRenamed("deg", "du")
+        .drop("__n1")
+        .join(deg.withColumnRenamed("u", "__n2"), F.col("v") == F.col("__n2"))
+        .withColumnRenamed("deg", "dv")
+        .drop("__n2")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = base.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=False)
+
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedges at hinge a: out-neighbor pairs ordered by (deg, id) so the
+    # closing edge, if present, is oriented exactly (b -> c)
+    wedges = o1.join(o2, F.col("o1.a") == F.col("o2.a")).filter(
+        (F.col("o1.db") < F.col("o2.db"))
+        | ((F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b")))
+    ).select(F.col("o1.b").alias("x"), F.col("o2.b").alias("y"))
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    from ..functions.scalars import stable_round
+
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                stable_round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                )
+            )
+            .alias("global_clustering"),
+        )
+    )

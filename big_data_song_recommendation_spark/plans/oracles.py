@@ -1321,6 +1321,90 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q98: per-row float binning — order-independent, so the shared
+    # IEEE expressions agree bit-for-bit; edges recomputed per bin
+    "q98_price_histogram": """
+        WITH stats AS (
+            SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+            FROM orders
+        ),
+        binned AS (
+            SELECT CASE WHEN hi = lo THEN 0
+                        ELSE CAST(least(9, floor(
+                            (CAST(o_totalprice AS DOUBLE) - lo) * 10.0
+                            / (hi - lo))) AS INT) END AS bin,
+                   lo, hi
+            FROM orders CROSS JOIN stats
+        )
+        SELECT bin,
+               floor((lo + bin * ((hi - lo) / 10.0)) * 10000.0) / 10000.0
+                 AS lo_edge,
+               floor((lo + (bin + 1) * ((hi - lo) / 10.0)) * 10000.0)
+                 / 10000.0 AS hi_edge,
+               COUNT(*) AS n
+        FROM binned GROUP BY bin, lo, hi ORDER BY bin
+    """,
+    # q99: rank-weighted sums as exact decimals; only the closed-form
+    # division is float, written identically on both sides
+    "q99_revenue_gini": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT CAST(rev AS DECIMAL(18,2)) AS x,
+                   row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i
+            FROM pc
+        ),
+        agg AS (
+            SELECT COUNT(*) AS n, SUM(x) AS s, SUM(i * x) AS w FROM ranked
+        )
+        SELECT n AS n_customers,
+               ROUND(CAST(s AS DOUBLE), 2) AS total_revenue,
+               floor(((2.0 * CAST(w AS DOUBLE)) / (n * CAST(s AS DOUBLE))
+                      - (n + 1) / n) * 1000000.0) / 1000000.0 AS gini
+        FROM agg
+    """,
+    # q100: naive 3-way self-join closure — exact same census the
+    # degree-oriented Spark plan produces
+    "q100_item_graph_triangles": """
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        co AS (
+            SELECT a.item_id AS u, b.item_id AS v
+            FROM ui a JOIN ui b
+              ON a.user_id = b.user_id AND a.item_id < b.item_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM co UNION ALL SELECT v FROM co
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM co ab JOIN co bc ON ab.v = bc.u
+            JOIN co ac ON ac.u = ab.u AND ac.v = bc.v
+        )
+        SELECT d.n_nodes, ec.n_edges, t.n_triangles, w.n_wedges,
+               CASE WHEN w.n_wedges = 0 THEN 0.0
+                    ELSE floor(3.0 * t.n_triangles / w.n_wedges
+                               * 1000000.0) / 1000000.0
+               END AS global_clustering
+        FROM (SELECT COUNT(*) AS n_nodes FROM deg) d
+        CROSS JOIN (SELECT COUNT(*) AS n_edges FROM co) ec
+        CROSS JOIN tri t
+        CROSS JOIN (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT)
+                      AS n_wedges FROM deg) w
+    """,
     # q96: identical seeded md5 buckets decide the split in both
     # engines; DECIMAL sums exact; leaked_groups is the invariant
     "q96_leakage_free_split": f"""

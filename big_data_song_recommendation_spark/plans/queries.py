@@ -2443,6 +2443,66 @@ def q97_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/aggregates.py
+    equi_width_histogram) of order totals, 10 data-derived bins —
+    min/max fold in as a 1-row broadcast, binning is per-row float
+    arithmetic (order-independent → cross-engine bit parity), one
+    combinable groupBy."""
+    from ..operators.aggregates import equi_width_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equi_width_histogram(orders, "o_totalprice", bins=10).transform(
+        _ordered, "bin"
+    )
+
+
+def q99_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (operators/aggregates.py gini_index):
+    Gini over per-customer revenue — rank·value products summed as
+    exact decimals, only the closed-form division touches floats.
+    The fact join shuffles on orderkey; the ranking runs at customer
+    (dim) grain."""
+    from ..operators.aggregates import gini_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("rev"))
+    )
+    return gini_index(per_cust, "rev", "o_custkey").select(
+        F.col("n").alias("n_customers"),
+        F.round("total", 2).alias("total_revenue"),
+        "gini",
+    )
+
+
+def q100_item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (operators/graph.py triangle_count) of the
+    item co-occurrence graph — community density in one number
+    (global clustering coefficient). Degree-ORIENTED wedge join, so
+    per-node fan-out is bounded by oriented out-degree (O(√m)), never
+    the raw hub degree; the oracle is the naive 3-way self-join,
+    which agrees exactly at test scale."""
+    from ..operators import cooccur
+    from ..operators.graph import triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select("user_id", F.expr("json_tuple(props, 'k')").alias("k0"))
+        .select("user_id", F.col("k0").cast("int").alias("item_id"))
+        .filter(F.col("item_id").isNotNull())
+        .distinct()
+    )
+    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    return triangle_count(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2450,6 +2510,9 @@ def q97_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q100_item_graph_triangles": q100_item_graph_triangles,
+    "q99_revenue_gini": q99_revenue_gini,
+    "q98_price_histogram": q98_price_histogram,
     "q97_lexical_diversity": q97_lexical_diversity,
     "q96_leakage_free_split": q96_leakage_free_split,
     "q95_incremental_dedup": q95_incremental_dedup,

@@ -438,3 +438,76 @@ def test_chi_square_counts_empty_cells(spark):
     # e(x,p)=16/3, e(x,q)=8/3, e(y,p)=8/3, e(y,q)=4/3
     # chi2 = (4-16/3)^2/(16/3) + (4-8/3)^2/(8/3)*2 + (0-4/3)^2/(4/3) = 3.0
     assert abs(r["chi2"] - 3.0) < 1e-9
+
+
+def test_equi_width_histogram_edges_and_degenerate(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 100)], ["x"])
+    out = {r["bin"]: r for r in equi_width_histogram(df, "x", bins=10).collect()}
+    assert set(out) == set(range(10))
+    assert all(out[b]["n"] == 10 for b in range(10))
+    assert out[0]["lo_edge"] == 0.0
+    # max value (99.0) lands in the closed top bin
+    assert out[9]["n"] == 10
+
+    same = spark.createDataFrame([(5.0,)] * 7, ["x"])
+    [row] = equi_width_histogram(same, "x", bins=10).collect()
+    assert (row["bin"], row["n"]) == (0, 7)
+
+
+def test_gini_index_uniform_and_concentrated(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        gini_index,
+    )
+
+    uniform = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)], ["id", "v"]
+    )
+    [r] = gini_index(uniform, "v", "id").collect()
+    assert (r["n"], r["total"], r["gini"]) == (4, 20.0, 0.0)
+
+    conc = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 0.0), (4, 10.0)], ["id", "v"]
+    )
+    [r] = gini_index(conc, "v", "id").collect()
+    assert r["gini"] == 0.75  # 2*40/(4*10) - 5/4
+
+
+def test_triangle_count_k4_star_and_random_truth(spark):
+    import itertools
+    import random
+
+    from big_data_song_recommendation_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], ["src", "dst"]
+    )
+    [r] = triangle_count(k4).collect()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["n_wedges"]) == (
+        4, 6, 4, 12,
+    )
+    assert r["global_clustering"] == 1.0
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    [r] = triangle_count(star).collect()
+    assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0
+
+    # randomized cross-check against brute-force enumeration
+    rng = random.Random(7)
+    nodes = list(range(20))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)})
+    truth = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if ((a, b) in edges or (b, a) in edges)
+        and ((b, c) in edges or (c, b) in edges)
+        and ((a, c) in edges or (c, a) in edges)
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    [r] = triangle_count(df).collect()
+    assert r["n_triangles"] == truth
