@@ -175,3 +175,62 @@ def scd2_compact(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(ts_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table reconciliation between two snapshots of the same entity —
+    the data-diff a lakehouse runs after every load to audit what a
+    batch actually did (and the MERGE-family's verification twin:
+    upsert writes, snapshot_diff proves).
+
+    One full-outer join on the key; per-row verdict:
+    ``added`` (key only in new), ``removed`` (only in old),
+    ``changed`` (present in both, any compare column differs under
+    null-safe equality), ``unchanged``. Output: key cols + verdict +
+    n_changed_cols. The join shuffles both sides once on the key —
+    at 100 TB this is the same exchange profile as the MERGE that
+    produced the snapshot; bucketed layouts (sources/bucketing.py)
+    elide it entirely.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    n_diff = None
+    for c in compare_cols:
+        d = (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("int")
+        n_diff = d if n_diff is None else n_diff + d
+    verdict = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(n_diff > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        verdict.alias("verdict"),
+        F.when(
+            F.col("__in_old").isNull() | F.col("__in_new").isNull(), F.lit(0)
+        )
+        .otherwise(n_diff)
+        .alias("n_changed_cols"),
+    )

@@ -130,3 +130,49 @@ def mad_outliers(
             > F.lit(float(n_mads) * float(scale)) * F.col("mad"),
         )
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    step_seconds: int,
+) -> DataFrame:
+    """Downsample an irregular series to fixed buckets with
+    open/high/low/close + count — the resample shape every metrics /
+    market-data pipeline runs. Open/close are the FIRST/LAST values
+    by (ts, id) within the bucket — the id tie-break makes same-
+    timestamp rows deterministic in any engine (arg_min/min_by alone
+    is not, which is why this uses a ranked window, not the argmin
+    aggregates).
+
+    Shape: one (key, bucket) window + one aggregate on the identical
+    partitioning — Catalyst plans a single exchange for both. Output:
+    key cols + (bucket, open, high, low, close, n).
+    """
+    b = bucketize(ts_col, step_seconds)
+    keys = [F.col(k) for k in key_cols]
+    with_b = df.withColumn("bucket", b)
+    w = Window.partitionBy(*keys, "bucket").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(*keys, "bucket")
+    ranked = with_b.select(
+        *keys,
+        "bucket",
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wc).alias("__cnt"),
+    )
+    return ranked.groupBy(*[F.col(k) for k in key_cols], "bucket").agg(
+        F.min(F.when(F.col("__rn") == 1, F.col("__v"))).alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.min(F.when(F.col("__rn") == F.col("__cnt"), F.col("__v"))).alias(
+            "close"
+        ),
+        F.count("*").alias("n"),
+    )

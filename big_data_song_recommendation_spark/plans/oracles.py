@@ -1321,6 +1321,70 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q101: ranked-window OHLC — (ts, event_id) tie-break makes
+    # first/last deterministic; bucket via the q81 epoch-floor twin
+    "q101_daily_value_ohlc": """
+        WITH b AS (
+            SELECT event_type, value, ts, event_id,
+                   make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400
+                                       AS BIGINT) * 1000000) AS bucket
+            FROM events
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER w AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type, bucket) AS cnt
+            FROM b
+            WINDOW w AS (PARTITION BY event_type, bucket
+                         ORDER BY ts, event_id)
+        )
+        SELECT event_type, strftime(bucket, '%Y-%m-%d') AS day,
+               ROUND(MIN(CASE WHEN rn = 1 THEN value END), 4) AS open,
+               ROUND(MAX(value), 4) AS high,
+               ROUND(MIN(value), 4) AS low,
+               ROUND(MIN(CASE WHEN rn = cnt THEN value END), 4) AS close,
+               COUNT(*) AS n
+        FROM ranked GROUP BY event_type, bucket
+        ORDER BY event_type, day
+    """,
+    # q102: same deterministic perturbation on both sides; null-safe
+    # compares via IS NOT DISTINCT FROM
+    "q102_snapshot_diff": """
+        WITH surv AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN floor(o_totalprice * 1.1 * 100.0) / 100.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 97 <> 0
+        ),
+        added AS (
+            SELECT o_orderkey + 1000000000 AS o_orderkey,
+                   o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 89 = 0
+        ),
+        newt AS (SELECT * FROM surv UNION ALL SELECT * FROM added),
+        d AS (
+            SELECT (o.o_orderkey IS NULL) AS is_add,
+                   (n.o_orderkey IS NULL) AS is_rem,
+                   CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                        THEN 0
+                        ELSE CAST(NOT (o.o_totalprice
+                                  IS NOT DISTINCT FROM n.o_totalprice) AS INT)
+                           + CAST(NOT (o.o_orderstatus
+                                  IS NOT DISTINCT FROM n.o_orderstatus) AS INT)
+                   END AS nc
+            FROM orders o FULL OUTER JOIN newt n
+              ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT CASE WHEN is_add THEN 'added'
+                    WHEN is_rem THEN 'removed'
+                    WHEN nc > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS verdict,
+               COUNT(*) AS n,
+               CAST(SUM(nc) AS BIGINT) AS changed_cols
+        FROM d GROUP BY 1 ORDER BY 1
+    """,
     # q98: per-row float binning — order-independent, so the shared
     # IEEE expressions agree bit-for-bit; edges recomputed per bin
     "q98_price_histogram": """

@@ -2503,6 +2503,63 @@ def q100_item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample (operators/timeseries.py resample_ohlc): the
+    event value series downsampled to daily buckets per event_type —
+    open/close are first/last by (ts, event_id), deterministic under
+    timestamp ties (why the operator ranks instead of arg_min). One
+    (key, bucket) window + one same-keyed aggregate."""
+    from ..operators.timeseries import resample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ohlc(
+        ev, ["event_type"], "ts", "value", "event_id", step_seconds=86400
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        "n",
+    ).transform(_ordered, "event_type", "day")
+
+
+def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/merge.py snapshot_diff):
+    orders vs a deterministically perturbed twin (keys % 97 removed,
+    % 13 repriced, % 89 re-keyed as inserts) — verdict counts +
+    changed-column totals. One full-outer key join; the audit every
+    MERGE deserves."""
+    from ..operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    surv = orders.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            k % 13 == 0,
+            scalars.stable_round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(k % 89 == 0).withColumn(
+        "o_orderkey", k + F.lit(1000000000)
+    )
+    new = surv.unionByName(added)
+    diff = snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return (
+        diff.groupBy("verdict")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_changed_cols").alias("changed_cols"),
+        )
+        .transform(_ordered, "verdict")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2510,6 +2567,8 @@ def q100_item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q102_snapshot_diff": q102_snapshot_diff,
+    "q101_daily_value_ohlc": q101_daily_value_ohlc,
     "q100_item_graph_triangles": q100_item_graph_triangles,
     "q99_revenue_gini": q99_revenue_gini,
     "q98_price_histogram": q98_price_histogram,

@@ -115,3 +115,26 @@ def test_upsert_null_key_matches_null_key(spark):
     assert len(rows) == 2
     orphan = [r for r in rows if r["id"] is None]
     assert len(orphan) == 1 and orphan[0]["name"] == "claimed"
+
+
+def test_snapshot_diff_verdicts_and_null_safety(spark):
+    from big_data_song_recommendation_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, None)],
+        ["k", "v", "s"],
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged; 2 changed (both cols); 3 changed (null -> value);
+        # 4 removed; 5 added
+        [(1, 10.0, "A"), (2, 21.0, "B2"), (3, 3.0, "C"), (5, 50.0, "E")],
+        ["k", "v", "s"],
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert out[1]["verdict"] == "unchanged" and out[1]["n_changed_cols"] == 0
+    assert out[2]["verdict"] == "changed" and out[2]["n_changed_cols"] == 2
+    assert out[3]["verdict"] == "changed" and out[3]["n_changed_cols"] == 1
+    assert out[4]["verdict"] == "removed"
+    assert out[5]["verdict"] == "added"

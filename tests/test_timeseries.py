@@ -96,3 +96,30 @@ def test_mad_outliers_zero_mad_degenerate_group(spark):
     assert flags[9] is True
     assert all(flags[i] is False for i in range(5))
     assert all(r["mad"] == 0.0 for r in rows)
+
+
+def test_resample_ohlc_first_last_by_ts_then_id(spark):
+    import datetime as dt
+
+    from big_data_song_recommendation_spark.operators.timeseries import (
+        resample_ohlc,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", 1, t0, 5.0),                              # open (earliest)
+        ("a", 2, t0, 7.0),                              # same ts: id breaks tie
+        ("a", 3, t0 + dt.timedelta(hours=2), 1.0),      # low
+        ("a", 4, t0 + dt.timedelta(hours=3), 9.0),      # high
+        ("a", 5, t0 + dt.timedelta(hours=4), 6.0),      # close (latest)
+        ("a", 6, t0 + dt.timedelta(days=1), 2.0),       # next bucket
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "ts", "v"])
+    out = {r["bucket"]: r for r in
+           resample_ohlc(df, ["k"], "ts", "v", "id", step_seconds=86400).collect()}
+    day1 = out[t0]
+    assert (day1["open"], day1["high"], day1["low"], day1["close"], day1["n"]) == (
+        5.0, 9.0, 1.0, 6.0, 5,
+    )
+    day2 = out[t0 + dt.timedelta(days=1)]
+    assert (day2["open"], day2["close"], day2["n"]) == (2.0, 2.0, 1)
