@@ -907,3 +907,49 @@ def dedup_against_store(
         )
         .drop("__in_store", "__rn")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the SMALLER doc's
+    shingle set is ≥ ``threshold`` contained in the other's
+    (``|A∩B| / min(|A|,|B|)``) — catches excerpt/quote/subset
+    duplication that Jaccard structurally cannot (a 50-line doc fully
+    embedded in a 5000-line doc has Jaccard ≈ 0.01 but containment
+    1.0). The standard complement to symmetric dedup in corpus
+    curation (Broder's containment, the CCNet/Dolma excerpt rule).
+
+    Same shuffle shape as :func:`ngram_jaccard_pairs` (shingle-keyed
+    self-join, ``max_df`` stop-shingle cap bounds fan-out); at 100 TB
+    the banded-LSH candidate route composes the same way. Output:
+    (id_a < id_b, containment, n_a, n_b).
+    """
+    sets = _shingle_sets(df, id_col, text_col, k, max_df).cache()
+    sizes = sets.groupBy("sid").agg(F.count("*").alias("n"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    cont = F.col("c") / F.least(F.col("na.n"), F.col("nb.n"))
+    return (
+        inter.join(na, F.col("id_a") == F.col("na.sid"))
+        .join(nb, F.col("id_b") == F.col("nb.sid"))
+        .filter(cont >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont, 6).alias("containment"),
+            F.col("na.n").alias("n_a"),
+            F.col("nb.n").alias("n_b"),
+        )
+    )

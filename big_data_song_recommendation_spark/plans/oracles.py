@@ -1321,6 +1321,25 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q103: containment over the shared shingle-set CTE; division of
+    # two BIGINTs is double in both engines
+    "q103_containment_pairs": f"""
+        WITH sets AS ({_SHINGLE_SETS}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(c / least(na.n, nb.n), 6) AS containment,
+               na.n AS n_a, nb.n AS n_b
+        FROM inter
+        JOIN sizes na ON id_a = na.doc_id
+        JOIN sizes nb ON id_b = nb.doc_id
+        WHERE c / least(na.n, nb.n) >= 0.5
+        ORDER BY id_a, id_b
+    """,
     # q101: ranked-window OHLC — (ts, event_id) tie-break makes
     # first/last deterministic; bucket via the q81 epoch-floor twin
     "q101_daily_value_ohlc": """

@@ -2560,6 +2560,19 @@ def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py
+    containment_pairs): pairs where the smaller doc's 3-shingle set
+    is ≥ 50 % contained in the other — the excerpt/subset rule
+    Jaccard can't express. Same shingle-join shuffle shape as q17."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).transform(_ordered, "id_a", "id_b")
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2567,6 +2580,7 @@ def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q103_containment_pairs": q103_containment_pairs,
     "q102_snapshot_diff": q102_snapshot_diff,
     "q101_daily_value_ohlc": q101_daily_value_ohlc,
     "q100_item_graph_triangles": q100_item_graph_triangles,

@@ -381,3 +381,21 @@ def test_dedup_against_store_verdict_precedence(spark):
     out = {r["doc_id"]: r["verdict"] for r in
            dedup.dedup_against_store(batch, store, "doc_id", "text").collect()}
     assert out == {10: "accept", 11: "dup_store", 12: "dup_batch", 13: "accept"}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = (
+        "intro words before the excerpt begins now "
+        + small
+        + " and then a long unrelated tail keeps going with many more "
+        "words about completely different topics until the end of it"
+    )
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    cont = dedup.containment_pairs(df, "doc_id", "text", k=3, threshold=0.8)
+    [row] = cont.collect()
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["containment"] == 1.0  # every shingle of small is in big
+    # the symmetric metric misses it at the same bar
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.8)
+    assert jac.count() == 0
