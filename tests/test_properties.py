@@ -210,3 +210,56 @@ def test_winnowing_guarantee(spark, pre, shared, post):
     assert by_doc.get(1, set()) & by_doc.get(2, set()), (
         f"no shared fingerprint for shared run {shared!r}"
     )
+
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+doc_text = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=12))
+def test_chunk_dedup_invariants(spark, texts):
+    """(1) retained chunk contents are globally unique, (2) every
+    distinct chunk content has exactly one retained copy, (3) the
+    retained copy is the lexicographically-first (id, idx) holder —
+    for any corpus."""
+    from big_data_song_recommendation_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_dedup(df, "doc_id", "text", chunk_tokens=3).collect()
+    retained = [r for r in rows if r["retained"]]
+    assert len({r["chunk"] for r in retained}) == len(retained)
+    assert {r["chunk"] for r in retained} == {r["chunk"] for r in rows}
+    first = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        first.setdefault(r["chunk"], (r["doc_id"], r["chunk_idx"]))
+    for r in rows:
+        assert r["retained"] == (first[r["chunk"]] == (r["doc_id"], r["chunk_idx"]))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=20),
+)
+def test_pack_sequences_conservation_and_monotonicity(spark, toks, budget):
+    """Packs are contiguous in doc order, ids are non-decreasing, and
+    every pack except possibly the last STARTS below the budget
+    boundary it belongs to (greedy concat-and-chunk semantics)."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        pack_sequences,
+    )
+
+    rows = [("g", i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "n"])
+    out = sorted(
+        pack_sequences(df, "g", "doc_id", "n", budget=budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    prev_pack = 0
+    for r in out:
+        assert r["pack_id"] == cum // budget
+        assert r["pack_id"] >= prev_pack
+        prev_pack = r["pack_id"]
+        cum += r["n"]
