@@ -1321,6 +1321,54 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q104: per-edge anti-join orphan counts
+    "q104_referential_integrity": """
+        SELECT 'lineitem->orders' AS fk_edge,
+               (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+               (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                 AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+        ORDER BY fk_edge
+    """,
+    # q105: q25's sessionization + lag transition, top-10 total order
+    "q105_session_transitions": """
+        WITH sess AS (
+            SELECT user_id, event_id, ts, event_type,
+                   SUM(CASE WHEN gap IS NULL OR gap > 1800.0
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT *,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events WHERE user_id < 200
+            )
+        ),
+        trans AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM sess
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n FROM trans
+        ORDER BY n DESC, prev_type ASC, next_type ASC
+        LIMIT 10
+    """,
     # q103: containment over the shared shingle-set CTE; division of
     # two BIGINTs is double in both engines
     "q103_containment_pairs": f"""

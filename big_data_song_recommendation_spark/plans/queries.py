@@ -2573,6 +2573,61 @@ def q103_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "id_a", "id_b")
 
 
+def q104_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan child rows per
+    FK edge (lineitem→orders, orders→customer) — the constraint check
+    a lakehouse runs per load since parquet enforces nothing. Each
+    edge is one left_anti count; the parent side ships as a broadcast
+    when dim-sized, and the anti-join pushes the single needed column
+    into both scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        n_child = child.agg(F.count("*").alias("n_child_rows"))
+        orphans = (
+            child.select(F.col(ck))
+            .join(parent.select(F.col(pk).alias(ck)), ck, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return n_child.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
+        )
+
+    a = edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+    b = edge("orders->customer", orders, "o_custkey", cust, "c_custkey")
+    return a.unionByName(b).transform(_ordered, "fk_edge")
+
+
+def q105_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session behavior mining: event-type transition counts
+    (Markov edges) inside 30-min-gap sessions (q25's sessionization),
+    top-10 — the journey analysis a product pipeline derives from the
+    same single per-user window chain: gap→session cumsum→lag
+    transition, ONE user-keyed exchange end to end."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = scalars.epoch_seconds("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(wrun)
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = (
+        sessioned.withColumn("prev_type", F.lag("event_type").over(ws))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        trans.orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
+        .limit(10)
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2580,6 +2635,8 @@ def q103_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q105_session_transitions": q105_session_transitions,
+    "q104_referential_integrity": q104_referential_integrity,
     "q103_containment_pairs": q103_containment_pairs,
     "q102_snapshot_diff": q102_snapshot_diff,
     "q101_daily_value_ohlc": q101_daily_value_ohlc,
