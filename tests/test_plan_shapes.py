@@ -159,3 +159,54 @@ def test_runtime_bloom_filter_engages_when_dims_cannot_broadcast(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_group_split_is_pure_projection(spark):
+    """q96's split assignment must add ZERO exchanges — it is a hash
+    expression, not a shuffle (the whole point vs randomSplit-then-
+    join repair)."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        group_split,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(group_split(ev.select("user_id", "value"), "user_id"))
+    assert "Exchange" not in plan
+
+
+def test_chunk_dedup_single_data_shuffle(spark):
+    """q84: chunking stays in the scan projection; the ONLY
+    data-dependent exchange is the chunk-hash window."""
+    from big_data_song_recommendation_spark.operators.dedup import chunk_dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(chunk_dedup(docs, "doc_id", "text"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_sequences_single_stratum_shuffle(spark):
+    """q93: one stratum-keyed window exchange, nothing else."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "doc_id", F.length("text").alias("n")
+    )
+    plan = _plan(pack_sequences(docs, "lang", "doc_id", "n", budget=1000))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangle_closing_edge_is_semi_join(spark):
+    """q100: the closing-edge membership test must plan as a semi
+    join (existence), never materializing triangle tuples."""
+    from big_data_song_recommendation_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)], ["src", "dst"]
+    )
+    plan = _plan(triangle_count(edges))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
