@@ -1321,6 +1321,67 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q106: PPR rounds unrolled — (1.0-0.85) as a subtraction, e from
+    # the same seed rule; dangling omitted (symmetric graph, 0 mass)
+    "q106_personalized_pagerank": """
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        co AS (
+            SELECT a.item_id AS item_a, b.item_id AS item_b
+            FROM ui a JOIN ui b
+              ON a.user_id = b.user_id AND a.item_id < b.item_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        edges AS (
+            SELECT item_a AS u, item_b AS v FROM co
+            UNION ALL
+            SELECT item_b AS u, item_a AS v FROM co
+        ),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+        ns AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS ns
+            FROM deg WHERE node % 10 = 0
+        ),
+        base AS (
+            SELECT d.node, d.deg,
+                   CASE WHEN d.node % 10 = 0 THEN 1.0 / ns.ns
+                        ELSE 0.0 END AS e
+            FROM deg d CROSS JOIN ns
+        ),
+        r0 AS (SELECT node, deg, e, e AS r FROM base),
+        r1 AS (
+            SELECT b.node, b.deg, b.e,
+                   (1.0 - 0.85) * b.e + 0.85 * COALESCE(s.c, 0.0) AS r
+            FROM base b LEFT JOIN (
+                SELECT e2.v AS node, SUM(r0.r / r0.deg) AS c
+                FROM edges e2 JOIN r0 ON e2.u = r0.node GROUP BY e2.v
+            ) s ON b.node = s.node
+        ),
+        r2 AS (
+            SELECT b.node, b.deg, b.e,
+                   (1.0 - 0.85) * b.e + 0.85 * COALESCE(s.c, 0.0) AS r
+            FROM base b LEFT JOIN (
+                SELECT e2.v AS node, SUM(r1.r / r1.deg) AS c
+                FROM edges e2 JOIN r1 ON e2.u = r1.node GROUP BY e2.v
+            ) s ON b.node = s.node
+        ),
+        r3 AS (
+            SELECT b.node,
+                   (1.0 - 0.85) * b.e + 0.85 * COALESCE(s.c, 0.0) AS r
+            FROM base b LEFT JOIN (
+                SELECT e2.v AS node, SUM(r2.r / r2.deg) AS c
+                FROM edges e2 JOIN r2 ON e2.u = r2.node GROUP BY e2.v
+            ) s ON b.node = s.node
+        )
+        SELECT node AS item_id,
+               floor(r * 1000000.0) / 1000000.0 AS rank
+        FROM r3 ORDER BY item_id
+    """,
     # q104: per-edge anti-join orphan counts
     "q104_referential_integrity": """
         SELECT 'lineitem->orders' AS fk_edge,

@@ -2628,6 +2628,44 @@ def q105_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart item recommendations
+    (operators/graph.py personalized_pagerank): restart vector on the
+    seed items (ids ≡ 0 mod 10), 3 rounds over the symmetrized
+    co-occurrence graph — the graph-native collaborative signal
+    complementing ALS (q40) and content cosine (q16). Exact unrolled-
+    CTE oracle, like q87."""
+    from ..operators import cooccur
+    from ..operators.graph import personalized_pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select("user_id", F.expr("json_tuple(props, 'k')").alias("k0"))
+        .select("user_id", F.col("k0").cast("int").alias("item_id"))
+        .filter(F.col("item_id").isNotNull())
+        .distinct()
+    )
+    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 10 == 0)
+    )
+    return (
+        personalized_pagerank(edges, seeds, damping=0.85, iterations=3)
+        .select(
+            F.col("node").alias("item_id"),
+            scalars.stable_round("rank", 6).alias("rank"),
+        )
+        .transform(_ordered, "item_id")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2635,6 +2673,7 @@ def q105_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q106_personalized_pagerank": q106_personalized_pagerank,
     "q105_session_transitions": q105_session_transitions,
     "q104_referential_integrity": q104_referential_integrity,
     "q103_containment_pairs": q103_containment_pairs,

@@ -511,3 +511,22 @@ def test_triangle_count_k4_star_and_random_truth(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     [r] = triangle_count(df).collect()
     assert r["n_triangles"] == truth
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from big_data_song_recommendation_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two disconnected triangles {1,2,3} and {4,5,6}; seed in the first
+    half = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    ranks = {r["node"]: r["rank"] for r in
+             personalized_pagerank(edges, seeds, iterations=5).collect()}
+    # mass stays in the seed's component; the other triangle gets none
+    assert ranks[4] == ranks[5] == ranks[6] == 0.0
+    assert ranks[1] > ranks[2] == ranks[3] > 0.0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
