@@ -1321,6 +1321,64 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q107: identical md5-bucket assignment; counts integer-exact;
+    # the z formula is the same IEEE expression on both sides
+    "q107_ab_test_ztest": f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        assigned AS (
+            SELECT user_id,
+                   CASE WHEN {_hash60("'ab:' || CAST(user_id AS VARCHAR)")}
+                             % 10000 < 5000
+                        THEN 'control' ELSE 'treatment' END AS split
+            FROM users
+        ),
+        pu AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tv
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        med AS (SELECT quantile_cont(tv, 0.5) AS m FROM pu),
+        conv AS (
+            SELECT user_id FROM pu CROSS JOIN med WHERE tv > m
+        ),
+        arm AS (
+            SELECT split, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN c.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM assigned a LEFT JOIN conv c USING (user_id)
+            GROUP BY split
+        ),
+        one AS (
+            SELECT MAX(CASE WHEN split = 'control' THEN n END) AS n_c,
+                   MAX(CASE WHEN split = 'control' THEN k END) AS k_c,
+                   MAX(CASE WHEN split = 'treatment' THEN n END) AS n_t,
+                   MAX(CASE WHEN split = 'treatment' THEN k END) AS k_t
+            FROM arm
+        )
+        SELECT n_c, k_c, n_t, k_t,
+               floor(k_c / n_c * 1000000.0) / 1000000.0 AS rate_control,
+               floor(k_t / n_t * 1000000.0) / 1000000.0 AS rate_treatment,
+               floor(((k_t / n_t) - (k_c / n_c))
+                     / sqrt(((k_c + k_t) / (n_c + n_t))
+                            * (1 - (k_c + k_t) / (n_c + n_t))
+                            * (1.0 / n_c + 1.0 / n_t))
+                     * 10000.0) / 10000.0 AS z_score
+        FROM one
+    """,
+    # q108: percent_rank = (rank-1)/(n-1) — one division of exact
+    # integers in both engines
+    "q108_value_percent_rank": """
+        SELECT event_id, event_type, ROUND(value, 4) AS value,
+               floor(pct * 1000000.0) / 1000000.0 AS pct
+        FROM (
+            SELECT event_id, event_type, value, user_id,
+                   percent_rank() OVER (
+                       PARTITION BY event_type ORDER BY value) AS pct
+            FROM events
+        )
+        WHERE user_id < 5
+        ORDER BY event_type, event_id
+    """,
     # q106: PPR rounds unrolled — (1.0-0.85) as a subtraction, e from
     # the same seed rule; dangling omitted (symmetric graph, 0 mass)
     "q106_personalized_pagerank": """

@@ -2666,6 +2666,84 @@ def q106_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: 50/50 deterministic assignment
+    (group_split's md5 buckets as the hypothetical treatment flag),
+    purchase conversion per arm, two-proportion z-statistic — the
+    readout every A/B pipeline computes. All counts integer-exact;
+    the z formula is one shared-IEEE expression over them."""
+    from ..operators.quality import group_split
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assigned = group_split(
+        users, "user_id",
+        fractions={"control": 0.5, "treatment": 0.5}, seed="ab",
+    )
+    # conversion = above-median total purchase value: ~50 % base rate
+    # at ANY scale factor (a has-any-purchase rule saturates to p = 1
+    # on dense event data, making the z denominator exactly 0)
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("tv")
+        )
+    )
+    med = per_user.agg(F.percentile(F.col("tv"), F.lit(0.5)).alias("m"))
+    conv = (
+        per_user.crossJoin(F.broadcast(med))
+        .filter(F.col("tv") > F.col("m"))
+        .select("user_id")
+        .withColumn("__c", F.lit(1))
+    )
+    j = assigned.join(conv, "user_id", "left")
+    arm = j.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("k"),
+    )
+    one = arm.agg(
+        F.max(F.when(F.col("split") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("split") == "control", F.col("k"))).alias("k_c"),
+        F.max(F.when(F.col("split") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("split") == "treatment", F.col("k"))).alias("k_t"),
+    )
+    p_c = F.col("k_c") / F.col("n_c")
+    p_t = F.col("k_t") / F.col("n_t")
+    p = (F.col("k_c") + F.col("k_t")) / (F.col("n_c") + F.col("n_t"))
+    z = (p_t - p_c) / F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    )
+    return one.select(
+        "n_c", "k_c", "n_t", "k_t",
+        scalars.stable_round(p_c, 6).alias("rate_control"),
+        scalars.stable_round(p_t, 6).alias("rate_treatment"),
+        scalars.stable_round(z, 4).alias("z_score"),
+    )
+
+
+def q108_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: percent_rank of the value metric
+    within its event_type — the rank-based feature transform that is
+    robust to arbitrary metric distributions. One type-keyed window
+    sort; output bounded to users < 5 for the compare."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        ev.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            scalars.stable_round("pct", 6).alias("pct"),
+        )
+        .transform(_ordered, "event_type", "event_id")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2673,6 +2751,8 @@ def q106_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q108_value_percent_rank": q108_value_percent_rank,
+    "q107_ab_test_ztest": q107_ab_test_ztest,
     "q106_personalized_pagerank": q106_personalized_pagerank,
     "q105_session_transitions": q105_session_transitions,
     "q104_referential_integrity": q104_referential_integrity,
