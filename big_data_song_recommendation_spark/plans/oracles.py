@@ -1321,6 +1321,33 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q109: unnest-with-ordinality twin; per-vec distances floor-
+    # rounded BEFORE the label rollup so both engines aggregate
+    # identical 4-digit inputs (avg of doubles can drift in the last
+    # ulp across engines — same mitigation as q85)
+    "q109_label_scatter": """
+        WITH expl AS (
+            SELECT vec_id, label, i - 1 AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS x
+            FROM (SELECT vec_id, label, embedding,
+                         unnest(range(1, len(embedding) + 1)) AS i
+                  FROM embeddings)
+        ),
+        cent AS (
+            SELECT label, dim, AVG(x) AS c FROM expl GROUP BY 1, 2
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label,
+                   floor(SUM((e.x - c.c) * (e.x - c.c)) * 10000.0)
+                     / 10000.0 AS d2
+            FROM expl e JOIN cent c USING (label, dim)
+            GROUP BY 1, 2
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               floor(AVG(d2) * 10000.0) / 10000.0 AS mean_scatter,
+               floor(MAX(d2) * 10000.0) / 10000.0 AS max_scatter
+        FROM dist GROUP BY label ORDER BY label
+    """,
     # q107: identical md5-bucket assignment; counts integer-exact;
     # the z formula is the same IEEE expression on both sides
     "q107_ab_test_ztest": f"""

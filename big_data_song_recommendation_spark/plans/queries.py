@@ -2744,6 +2744,42 @@ def q108_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q109_label_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-class separability report: per-label centroid (one
+    (label, dim) aggregate over the exploded vectors) and intra-class
+    L2² scatter stats — the Fisher-style check run before trusting
+    labels for supervised filtering. Two exchanges: the (label, dim)
+    centroid aggregate and the vec-grain distance rollup; the
+    centroid table is dims×labels — broadcastable at any corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = expl.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    dist = (
+        expl.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            scalars.stable_round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                4,
+            ).alias("d2")
+        )
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            scalars.stable_round(F.avg("d2"), 4).alias("mean_scatter"),
+            scalars.stable_round(F.max("d2"), 4).alias("max_scatter"),
+        )
+        .transform(_ordered, "label")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2751,6 +2787,7 @@ def q108_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q109_label_scatter": q109_label_scatter,
     "q108_value_percent_rank": q108_value_percent_rank,
     "q107_ab_test_ztest": q107_ab_test_ztest,
     "q106_personalized_pagerank": q106_personalized_pagerank,
