@@ -200,3 +200,49 @@ def gini_index(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group OLS ``y = intercept + slope·x`` via the closed-form
+    normal equations over five sums in ONE combinable aggregate — the
+    trend/fit primitive for drift monitors (daily volume trends) and
+    distribution diagnostics (Zipf log-log slope). Expression-level,
+    not MLlib, so the statistics are oracle-checkable.
+
+    Degenerate groups come back NULL, never an ANSI divide error:
+    constant x → slope/intercept/r2 NULL; constant y (den_y = 0) →
+    r2 NULL. Output: group cols + (n, slope, intercept, r2).
+    """
+    from ..functions.scalars import stable_round
+
+    g = list(group_cols or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*[F.col(c) for c in g]).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(den != 0, num / den)
+    intercept = F.when(
+        den != 0, (F.col("sy") - (num / den) * F.col("sx")) / F.col("n")
+    )
+    r2 = F.when((den != 0) & (den_y != 0), (num * num) / (den * den_y))
+    return agg.select(
+        *[F.col(c) for c in g],
+        "n",
+        stable_round(slope, 4).alias("slope"),
+        stable_round(intercept, 4).alias("intercept"),
+        stable_round(r2, 4).alias("r2"),
+    )

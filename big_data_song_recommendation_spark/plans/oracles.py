@@ -1321,6 +1321,74 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q110/q111: the linear_fit normal equations mirrored verbatim —
+    # same five sums, same guarded divisions, floor-round 4
+    "q110_zipf_fit": f"""
+        WITH toks AS (
+            SELECT unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+            FROM documents
+        ),
+        fr AS (
+            SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+            GROUP BY 1
+        ),
+        pts AS (
+            SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+                           AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y
+            FROM fr
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+            FROM pts
+        )
+        SELECT n,
+               CASE WHEN (n*sxx - sx*sx) <> 0 THEN
+                    floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0)
+                      / 10000.0 END AS slope,
+               CASE WHEN (n*sxx - sx*sx) <> 0 THEN
+                    floor((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                          / n * 10000.0) / 10000.0 END AS intercept,
+               CASE WHEN (n*sxx - sx*sx) <> 0
+                     AND (n*syy - sy*sy) <> 0 THEN
+                    floor(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                          / ((n*sxx - sx*sx) * (n*syy - sy*sy))
+                          * 10000.0) / 10000.0 END AS r2
+        FROM s
+    """,
+    "q111_daily_event_trend": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pts AS (
+            SELECT event_type,
+                   CAST(date_diff('day',
+                        MIN(d) OVER (PARTITION BY event_type), d)
+                        AS DOUBLE) AS x,
+                   CAST(c AS DOUBLE) AS y
+            FROM daily
+        ),
+        s AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+            FROM pts GROUP BY 1
+        )
+        SELECT event_type, n,
+               CASE WHEN (n*sxx - sx*sx) <> 0 THEN
+                    floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0)
+                      / 10000.0 END AS slope,
+               CASE WHEN (n*sxx - sx*sx) <> 0 THEN
+                    floor((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                          / n * 10000.0) / 10000.0 END AS intercept,
+               CASE WHEN (n*sxx - sx*sx) <> 0
+                     AND (n*syy - sy*sy) <> 0 THEN
+                    floor(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                          / ((n*sxx - sx*sx) * (n*syy - sy*sy))
+                          * 10000.0) / 10000.0 END AS r2
+        FROM s ORDER BY event_type
+    """,
     # q109: unnest-with-ordinality twin; per-vec distances floor-
     # rounded BEFORE the label rollup so both engines aggregate
     # identical 4-digit inputs (avg of doubles can drift in the last

@@ -2780,6 +2780,53 @@ def q109_label_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic (operators/aggregates.py
+    linear_fit): OLS slope of ln(freq) on ln(rank) over the token
+    frequency table — natural-language corpora sit near slope −1;
+    synthetic/boilerplate slices drift, making this a corpus sanity
+    gate. The ranking runs at VOCABULARY grain (the one total order),
+    the fit is one combinable aggregate."""
+    from ..operators.aggregates import linear_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return linear_fit(pts, "x", "y")
+
+
+def q111_daily_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-trend drift monitor (linear_fit per group): daily event
+    counts per type regressed on day index from each type's first day
+    — the slope a pipeline alerts on when ingest volume decays. Day
+    indexing is one type-partitioned window min; the fit aggregates
+    per type."""
+    from ..operators.aggregates import linear_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    wmin = Window.partitionBy("event_type")
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.min("d").over(wmin)).alias("x"),
+        F.col("c").alias("y"),
+    )
+    return linear_fit(pts, "x", "y", ["event_type"]).transform(
+        _ordered, "event_type"
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2787,6 +2834,8 @@ def q109_label_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q111_daily_event_trend": q111_daily_event_trend,
+    "q110_zipf_fit": q110_zipf_fit,
     "q109_label_scatter": q109_label_scatter,
     "q108_value_percent_rank": q108_value_percent_rank,
     "q107_ab_test_ztest": q107_ab_test_ztest,

@@ -530,3 +530,23 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert ranks[4] == ranks[5] == ranks[6] == 0.0
     assert ranks[1] > ranks[2] == ranks[3] > 0.0
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_linear_fit_exact_line_and_degenerates(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        linear_fit,
+    )
+
+    line = spark.createDataFrame(
+        [(float(x), 2.0 * x + 1.0) for x in range(10)], ["x", "y"]
+    )
+    [r] = linear_fit(line, "x", "y").collect()
+    assert (r["n"], r["slope"], r["intercept"], r["r2"]) == (10, 2.0, 1.0, 1.0)
+
+    const_x = spark.createDataFrame([(3.0, float(y)) for y in range(5)], ["x", "y"])
+    [r] = linear_fit(const_x, "x", "y").collect()
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+    const_y = spark.createDataFrame([(float(x), 7.0) for x in range(5)], ["x", "y"])
+    [r] = linear_fit(const_y, "x", "y").collect()
+    assert r["slope"] == 0.0 and r["intercept"] == 7.0 and r["r2"] is None
