@@ -246,3 +246,69 @@ def linear_fit(
         stable_round(intercept, 4).alias("intercept"),
         stable_round(r2, 4).alias("r2"),
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (and entropies) between two categorical
+    columns — the information-theoretic association measure that,
+    unlike :func:`chi_square`'s significance test, quantifies HOW MUCH
+    one column tells you about the other (feature-relevance ranking,
+    redundant-dimension detection). ``nmi`` normalizes by
+    ``min(H(a), H(b))`` → [0, 1].
+
+    Only observed cells contribute (0·log 0 = 0), so the data-grain
+    work is ONE (a, b) aggregate; every log/ratio runs on the
+    catalog-bounded contingency table. Output: 1 row
+    (n, h_a, h_b, h_ab, mi, nmi).
+    """
+    from ..functions.scalars import stable_round
+
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    nn = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(nn))
+    )
+    p_ab = F.col("o") / F.col("n")
+    h_ab = -F.sum(p_ab * F.log2(p_ab))
+    mi = F.sum(
+        p_ab
+        * F.log2(
+            (F.col("o") * F.col("n"))
+            / (F.col("ra") * F.col("cb"))
+        )
+    )
+    marg_a = ra.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum((F.col("ra") / F.col("n")) * F.log2(F.col("ra") / F.col("n"))))
+        .alias("h_a")
+    )
+    marg_b = cb.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum((F.col("cb") / F.col("n")) * F.log2(F.col("cb") / F.col("n"))))
+        .alias("h_b")
+    )
+    joint = cells.agg(
+        F.max("n").alias("n"), h_ab.alias("h_ab"), mi.alias("mi")
+    )
+    return (
+        joint.crossJoin(F.broadcast(marg_a))
+        .crossJoin(F.broadcast(marg_b))
+        .select(
+            "n",
+            stable_round("h_a", 4).alias("h_a"),
+            stable_round("h_b", 4).alias("h_b"),
+            stable_round("h_ab", 4).alias("h_ab"),
+            stable_round("mi", 4).alias("mi"),
+            stable_round(
+                F.when(
+                    F.least(F.col("h_a"), F.col("h_b")) > 0,
+                    F.col("mi") / F.least(F.col("h_a"), F.col("h_b")),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("nmi"),
+        )
+    )

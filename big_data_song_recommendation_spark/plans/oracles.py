@@ -1321,6 +1321,86 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q112: entropies/MI from the contingency table; BIGINT products
+    # exact before the double divisions; unrounded h's feed nmi
+    "q112_type_hour_mutual_info": """
+        WITH obs AS (
+            SELECT event_type AS a, CAST(hour(ts) AS VARCHAR) AS b,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+        j AS (
+            SELECT MAX(nn.n) AS n,
+                   -SUM((o / nn.n) * log2(o / nn.n)) AS h_ab,
+                   SUM((o / nn.n)
+                       * log2((o * nn.n) / (ra.ra * cb.cb))) AS mi
+            FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn
+        ),
+        ha AS (
+            SELECT -SUM((ra / nn.n) * log2(ra / nn.n)) AS h_a
+            FROM ra CROSS JOIN nn
+        ),
+        hb AS (
+            SELECT -SUM((cb / nn.n) * log2(cb / nn.n)) AS h_b
+            FROM cb CROSS JOIN nn
+        )
+        SELECT n,
+               floor(h_a * 10000.0) / 10000.0 AS h_a,
+               floor(h_b * 10000.0) / 10000.0 AS h_b,
+               floor(h_ab * 10000.0) / 10000.0 AS h_ab,
+               floor(mi * 10000.0) / 10000.0 AS mi,
+               floor(CASE WHEN least(h_a, h_b) > 0
+                          THEN mi / least(h_a, h_b) ELSE 0.0 END
+                     * 10000.0) / 10000.0 AS nmi
+        FROM j CROSS JOIN ha CROSS JOIN hb
+    """,
+    # q113: q66's recursive closure, rolled to a size histogram
+    "q113_dup_cluster_sizes": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        ),
+        comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+        sizes AS (SELECT comp, COUNT(*) AS size FROM comp GROUP BY 1)
+        SELECT size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+    # q114: distinct (source, bigram) sets; shared = EXISTS in any
+    # other source (the left_semi twin)
+    "q114_cross_source_novelty": f"""
+        WITH bg AS (
+            SELECT DISTINCT source, t[i] || ' ' || t[i+1] AS sh
+            FROM (SELECT source, t, unnest(range(1, len(t) + 1)) AS i
+                  FROM (SELECT source,
+                               string_split({_NORMALIZED_TEXT}, ' ') AS t
+                        FROM documents))
+            WHERE i < len(t) AND t[i] <> ''
+        ),
+        per AS (SELECT source, COUNT(*) AS n_bigrams FROM bg GROUP BY 1),
+        sh AS (
+            SELECT x.source, COUNT(*) AS n_shared
+            FROM bg x
+            WHERE EXISTS (SELECT 1 FROM bg y
+                          WHERE y.sh = x.sh AND y.source <> x.source)
+            GROUP BY 1
+        )
+        SELECT p.source, p.n_bigrams,
+               COALESCE(s.n_shared, 0) AS n_shared,
+               floor((p.n_bigrams - COALESCE(s.n_shared, 0)) / p.n_bigrams
+                     * 10000.0) / 10000.0 AS novelty
+        FROM per p LEFT JOIN sh s USING (source)
+        ORDER BY p.source
+    """,
     # q110/q111: the linear_fit normal equations mirrored verbatim —
     # same five sums, same guarded divisions, floor-round 4
     "q110_zipf_fit": f"""

@@ -2827,6 +2827,80 @@ def q111_daily_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/aggregates.py mutual_information)
+    between event type and hour-of-day — quantifies HOW MUCH temporal
+    signal the type carries (feature-relevance, beyond q92's
+    significance test). One data-grain aggregate; all information
+    arithmetic on the contingency table."""
+    from ..operators.aggregates import mutual_information
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type", F.hour("ts").cast("string").alias("hr")
+    )
+    return mutual_information(tagged, "event_type", "hr")
+
+
+def q113_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: q66's LSH pair list →
+    connected components → how many clusters of each size — the
+    dedup-report histogram that tells you whether duplication is
+    pairwise noise or mirror farms. Component grain only after the
+    clustering; the histogram is two tiny aggregates."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, k=3, verify_threshold=0.5
+    )
+    comp = dedup.connected_components(pairs, assume_diameter=3)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").alias("n_clusters"))
+        .transform(_ordered, "size")
+    )
+
+
+def q114_cross_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice novelty: for each source, the fraction of its
+    distinct bigrams absent from every OTHER source — the dataset-
+    version drift check run before mixing a new crawl into a trained
+    corpus. One bigram pass; the membership test is a left_anti on
+    the bigram string."""
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        shingle_rows(docs, "doc_id", "text", 2)
+        .join(docs.select("doc_id", "source"), F.col("sid") == F.col("doc_id"))
+        .select("source", "sh")
+        .distinct()
+    )
+    per_src = bg.groupBy("source").agg(F.count("*").alias("n_bigrams"))
+    other = bg.alias("x").join(
+        bg.alias("y"),
+        (F.col("x.sh") == F.col("y.sh")) & (F.col("x.source") != F.col("y.source")),
+        "left_semi",
+    )
+    shared = other.groupBy("source").agg(F.count("*").alias("n_shared"))
+    return (
+        per_src.join(shared, "source", "left")
+        .select(
+            "source",
+            "n_bigrams",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            scalars.stable_round(
+                (F.col("n_bigrams") - F.coalesce(F.col("n_shared"), F.lit(0)))
+                / F.col("n_bigrams"),
+                4,
+            ).alias("novelty"),
+        )
+        .transform(_ordered, "source")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2834,6 +2908,9 @@ def q111_daily_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q114_cross_source_novelty": q114_cross_source_novelty,
+    "q113_dup_cluster_sizes": q113_dup_cluster_sizes,
+    "q112_type_hour_mutual_info": q112_type_hour_mutual_info,
     "q111_daily_event_trend": q111_daily_event_trend,
     "q110_zipf_fit": q110_zipf_fit,
     "q109_label_scatter": q109_label_scatter,

@@ -550,3 +550,24 @@ def test_linear_fit_exact_line_and_degenerates(spark):
     const_y = spark.createDataFrame([(float(x), 7.0) for x in range(5)], ["x", "y"])
     [r] = linear_fit(const_y, "x", "y").collect()
     assert r["slope"] == 0.0 and r["intercept"] == 7.0 and r["r2"] is None
+
+
+def test_mutual_information_extremes(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    # independent balanced 2x2: MI = 0, H(a) = H(b) = 1 bit
+    indep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        ["a", "b"],
+    )
+    [r] = mutual_information(indep, "a", "b").collect()
+    assert (r["h_a"], r["h_b"], r["mi"], r["nmi"]) == (1.0, 1.0, 0.0, 0.0)
+    assert r["h_ab"] == 2.0
+
+    # a determines b: MI = H(a) = H(b) = 1 bit, NMI = 1
+    dep = spark.createDataFrame([("x", "p")] * 8 + [("y", "q")] * 8, ["a", "b"])
+    [r] = mutual_information(dep, "a", "b").collect()
+    assert (r["h_a"], r["h_b"], r["h_ab"]) == (1.0, 1.0, 1.0)
+    assert r["mi"] == 1.0 and r["nmi"] == 1.0
