@@ -1321,6 +1321,58 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q115: q28's discrete-percentile method on ship latency
+    "q115_fulfillment_latency": """
+        WITH lat AS (
+            SELECT o_orderpriority, l_orderkey, l_linenumber,
+                   date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        ranked AS (
+            SELECT o_orderpriority, days,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY days, l_orderkey, l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM lat
+        )
+        SELECT o_orderpriority, MAX(n) AS n_lines,
+               floor(AVG(days) * 10000.0) / 10000.0 AS mean_days,
+               MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN days END) AS median_days,
+               MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN days END) AS p90_days
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    # q116: directional confidence over q54's pair machinery; rounded
+    # confidence drives the top-20 order on both sides
+    "q116_association_rules": """
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        co AS (
+            SELECT a.item_id AS item_a, b.item_id AS item_b,
+                   COUNT(*) AS n_co
+            FROM ui a JOIN ui b
+              ON a.user_id = b.user_id AND a.item_id < b.item_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        ),
+        supp AS (SELECT item_id, COUNT(*) AS n FROM ui GROUP BY 1),
+        dirs AS (
+            SELECT item_a AS ante, item_b AS cons, n_co FROM co
+            UNION ALL
+            SELECT item_b AS ante, item_a AS cons, n_co FROM co
+        )
+        SELECT ante, cons, n_co, s.n AS n_ante,
+               floor(n_co / s.n * 10000.0) / 10000.0 AS confidence
+        FROM dirs JOIN supp s ON ante = s.item_id
+        ORDER BY confidence DESC, ante ASC, cons ASC
+        LIMIT 20
+    """,
     # q112: entropies/MI from the contingency table; BIGINT products
     # exact before the double divisions; unrounded h's feed nmi
     "q112_type_hour_mutual_info": """

@@ -2901,6 +2901,95 @@ def q114_cross_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per priority: discrete
+    median/p90 of days-to-ship (q28's engine-portable percentile
+    method) + mean — the operational-SLA readout. One fact join on
+    orderkey, one priority-keyed window rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        "o_orderpriority",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    cnt = Window.partitionBy("o_orderpriority")
+    ranked = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+
+    def disc(q: float) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("days"),
+            )
+        )
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_lines"),
+            scalars.stable_round(F.avg("days"), 4).alias("mean_days"),
+            disc(0.5).alias("median_days"),
+            disc(0.9).alias("p90_days"),
+        )
+        .transform(_ordered, "o_orderpriority")
+    )
+
+
+def q116_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the co-occurrence pairs (q54's support
+    machinery): directional confidence P(b|a) = n_co / n_a for both
+    orientations, top-20 by confidence — item-based CF's
+    interpretable rule form. Item supports broadcast into the
+    bounded pair list."""
+    from ..operators import cooccur
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select("user_id", F.expr("json_tuple(props, 'k')").alias("k0"))
+        .select("user_id", F.col("k0").cast("int").alias("item_id"))
+        .filter(F.col("item_id").isNotNull())
+        .distinct()
+    )
+    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    supp = ui.groupBy(F.col("item_id").alias("iid")).agg(
+        F.count("*").alias("n")
+    )
+    both = pairs.select(
+        F.col("item_a").alias("ante"), F.col("item_b").alias("cons"), "n_co"
+    ).union(
+        pairs.select(
+            F.col("item_b").alias("ante"), F.col("item_a").alias("cons"), "n_co"
+        )
+    )
+    rules = both.join(
+        F.broadcast(supp), F.col("ante") == F.col("iid")
+    ).select(
+        "ante",
+        "cons",
+        "n_co",
+        F.col("n").alias("n_ante"),
+        scalars.stable_round(F.col("n_co") / F.col("n"), 4).alias("confidence"),
+    )
+    return rules.orderBy(
+        F.desc("confidence"), F.asc("ante"), F.asc("cons")
+    ).limit(20)
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2908,6 +2997,8 @@ def q114_cross_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q116_association_rules": q116_association_rules,
+    "q115_fulfillment_latency": q115_fulfillment_latency,
     "q114_cross_source_novelty": q114_cross_source_novelty,
     "q113_dup_cluster_sizes": q113_dup_cluster_sizes,
     "q112_type_hour_mutual_info": q112_type_hour_mutual_info,
