@@ -1321,6 +1321,59 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q117: ntile + exact-decimal cumulative sums; one division/row
+    "q117_revenue_lorenz": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                        AS DECIMAL(18,2)) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        ),
+        tiled AS (
+            SELECT rev, ntile(10) OVER (
+                       ORDER BY rev ASC, o_custkey ASC) AS decile
+            FROM pc
+        ),
+        per AS (
+            SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS d_rev
+            FROM tiled GROUP BY 1
+        ),
+        tot AS (SELECT SUM(d_rev) AS t_rev FROM per),
+        cum AS (
+            SELECT decile, n_customers, d_rev,
+                   SUM(d_rev) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev
+            FROM per
+        )
+        SELECT decile, n_customers,
+               CAST(d_rev AS DOUBLE) AS decile_revenue,
+               floor(CAST(cum_rev AS DOUBLE) / CAST(t_rev AS DOUBLE)
+                     * 1000000.0) / 1000000.0 AS cum_share
+        FROM cum CROSS JOIN tot ORDER BY decile
+    """,
+    # q118: same fixed-6-decimal digit extraction; expected freq as
+    # ln/ln(10) to mirror Spark's log(base, x) exactly
+    "q118_benford_audit": """
+        WITH obs AS (
+            SELECT CAST(substr(regexp_replace(
+                       printf('%.6f', abs(o_totalprice)),
+                       '[0.,]', '', 'g'), 1, 1) AS INT) AS d,
+                   COUNT(*) AS o
+            FROM orders WHERE o_totalprice <> 0 GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+        SELECT d, o,
+               floor(o / n * 1000000.0) / 1000000.0 AS obs_freq,
+               floor(ln(1.0 + 1.0 / d) / ln(10.0) * 1000000.0)
+                 / 1000000.0 AS benford_freq,
+               floor((o - ln(1.0 + 1.0 / d) / ln(10.0) * n)
+                     * (o - ln(1.0 + 1.0 / d) / ln(10.0) * n)
+                     / (ln(1.0 + 1.0 / d) / ln(10.0) * n)
+                     * 10000.0) / 10000.0 AS chi_term
+        FROM obs CROSS JOIN tot ORDER BY d
+    """,
     # q115: q28's discrete-percentile method on ship latency
     "q115_fulfillment_latency": """
         WITH lat AS (

@@ -2990,6 +2990,88 @@ def q116_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles for customer revenue (q99's Gini,
+    spatialized): customers ranked by revenue into 10 ntiles,
+    cumulative share of revenue per decile — exact-decimal sums, one
+    closed-form division per row. The dashboard twin of the scalar
+    Gini."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(_revenue()), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    per_dec = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("rev").alias("d_rev")
+    )
+    tot = per_dec.agg(F.sum("d_rev").alias("t_rev"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rev", F.sum("d_rev").over(wc))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("d_rev").cast("double").alias("decile_revenue"),
+            scalars.stable_round(
+                F.col("cum_rev").cast("double") / F.col("t_rev").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .transform(_ordered, "decile")
+    )
+
+
+def q118_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the forensic
+    data-quality check for fabricated/synthetic numeric columns:
+    observed first-significant-digit frequencies vs log10(1 + 1/d),
+    with the chi-square distance. Pure per-row string/log exprs + one
+    9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col("o_totalprice")), 6), "[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") != 0)
+        .withColumn("d", digit)
+        .groupBy("d")
+        .agg(F.count("*").alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    expected = F.log(10.0, 1.0 + 1.0 / F.col("d"))
+    cells = obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "o",
+        scalars.stable_round(F.col("o") / F.col("n"), 6).alias("obs_freq"),
+        scalars.stable_round(expected, 6).alias("benford_freq"),
+        ((F.col("o") - expected * F.col("n"))
+         * (F.col("o") - expected * F.col("n"))
+         / (expected * F.col("n"))).alias("__chi"),
+    )
+    return cells.select(
+        "d", "o", "obs_freq", "benford_freq",
+        scalars.stable_round("__chi", 4).alias("chi_term"),
+    ).transform(_ordered, "d")
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -2997,6 +3079,8 @@ def q116_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q118_benford_audit": q118_benford_audit,
+    "q117_revenue_lorenz": q117_revenue_lorenz,
     "q116_association_rules": q116_association_rules,
     "q115_fulfillment_latency": q115_fulfillment_latency,
     "q114_cross_source_novelty": q114_cross_source_novelty,
