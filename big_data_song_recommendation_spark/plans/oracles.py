@@ -1321,6 +1321,68 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q119: q75's SRP chain + q16's brute-force, intersected per probe
+    "q119_ann_recall_eval": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM vecs
+        ),
+        elx AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM el
+        ),
+        planes AS (SELECT unnest(range(0, 6)) AS p),
+        proj AS (
+            SELECT vec_id, p,
+                   SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS proj
+            FROM elx CROSS JOIN planes
+            GROUP BY 1, 2
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pv.v, cv.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM bucket p
+                JOIN bucket c ON p.bucket = c.bucket
+                             AND c.vec_id <> p.vec_id
+                JOIN vecs pv ON pv.vec_id = p.vec_id
+                JOIN vecs cv ON cv.vec_id = c.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        p.v, c.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        )
+        SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits,
+               floor(COUNT(a.neighbor_id) / 3.0 * 10000.0) / 10000.0
+                 AS recall_at_3
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """,
     # q117: ntile + exact-decimal cumulative sums; one division/row
     "q117_revenue_lorenz": """
         WITH pc AS (
