@@ -1321,6 +1321,45 @@ ORACLES: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    # q120: DuckDB isodow is already Monday=1
+    "q120_activity_heatmap": """
+        WITH cell AS (
+            SELECT CAST(isodow(ts) AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hr, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cell)
+        SELECT dow, hr, n,
+               floor(n / t * 1000000.0) / 1000000.0 AS share
+        FROM cell CROSS JOIN tot
+        ORDER BY dow, hr
+    """,
+    # q121: decimal-exact monthly revenue; MoM from the lag window
+    "q121_nation_revenue_momentum": """
+        WITH monthly AS (
+            SELECT n.n_name,
+                   strftime(date_trunc('month', o.o_orderdate), '%Y-%m')
+                     AS month,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,4))) AS rev
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT n_name, month, rev,
+                   lag(rev) OVER (PARTITION BY n_name ORDER BY month)
+                     AS prev
+            FROM monthly
+        )
+        SELECT n_name, month, CAST(rev AS DOUBLE) AS revenue,
+               CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+                    floor(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                          * 10000.0) / 10000.0 END AS mom_growth
+        FROM lagged ORDER BY n_name, month
+    """,
     # q119: q75's SRP chain + q16's brute-force, intersected per probe
     "q119_ann_recall_eval": f"""
         WITH vecs AS (

@@ -3109,6 +3109,87 @@ def q119_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday×hour activity heatmap with global share — the load-
+    profile matrix capacity planning reads. One combinable aggregate
+    + a 1-row total broadcast; dayofweek is ISO-normalized to Monday=1
+    on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        # Spark dayofweek: Sunday=1 .. Saturday=7 -> ISO Monday=1
+        ((F.dayofweek("ts") + 5) % 7 + 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    tot = cell.agg(F.sum("n").alias("t"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n",
+            scalars.stable_round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+        .transform(_ordered, "dow", "hr")
+    )
+
+
+def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation: monthly revenue
+    (decimal-exact), lag window per nation, pct change — the
+    top-mover/momentum report. The star join broadcasts dims; the
+    MoM window shares the nation keying with the monthly aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("rev").over(w)
+    return (
+        monthly.withColumn("prev", prev)
+        .select(
+            "n_name",
+            "month",
+            F.col("rev").cast("double").alias("revenue"),
+            scalars.stable_round(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("prev") != 0),
+                    (F.col("rev") - F.col("prev")).cast("double")
+                    / F.col("prev").cast("double"),
+                ),
+                4,
+            ).alias("mom_growth"),
+        )
+        .transform(_ordered, "n_name", "month")
+    )
+
+
 # Insertion order: the 25 queries added after the round-3 driver gate
 # (q55-q79) lead, then the original roster. CORRECTNESS_r03.json
 # recorded exactly the first 50 sorted keys (q01-q54), so if the driver
@@ -3116,6 +3197,8 @@ def q119_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leading with the never-yet-driver-checked queries rotates them into
 # coverage; if it sorts, this ordering is a no-op. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q121_nation_revenue_momentum": q121_nation_revenue_momentum,
+    "q120_activity_heatmap": q120_activity_heatmap,
     "q119_ann_recall_eval": q119_ann_recall_eval,
     "q118_benford_audit": q118_benford_audit,
     "q117_revenue_lorenz": q117_revenue_lorenz,
