@@ -173,17 +173,25 @@ def gini_index(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
     are summed as EXACT decimals, so only the final closed-form
     division touches floats — bit-identical cross-engine.
 
-    The ranking needs a TOTAL order: df must already be aggregated to
-    entity grain (dims-sized — customers, not line items). At extreme
-    entity counts swap the single total-order window for the
-    partition-offset ranking (operators/joins.py positional_join
-    form); the formula is unchanged.
+    The ranking needs a TOTAL order, delivered distributed: the
+    two-phase :func:`~.ranks.bucketed_rank` (equi-width value buckets
+    → per-bucket counts → offset prefix-sum → partitioned local
+    ranks) — no single-partition window ever touches the entity rows,
+    so the shape survives any entity count.
     """
     from ..functions.scalars import stable_round
+    from .ranks import bucketed_rank, with_equi_width_bucket
 
     x = F.col(value_col).cast("decimal(18,2)")
-    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    ranked = df.select(x.alias("__x"), F.row_number().over(w).alias("__i"))
+    b = with_equi_width_bucket(
+        df.select(F.col(value_col), F.col(id_col)), value_col
+    )
+    ranked = bucketed_rank(
+        b,
+        [F.col(value_col).asc(), F.col(id_col).asc()],
+        ["__vb"],
+        out="__i",
+    ).select(x.alias("__x"), "__i")
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("__x").alias("__s"),

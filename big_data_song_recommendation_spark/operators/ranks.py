@@ -1,0 +1,167 @@
+"""Distributed total-order ranking — the two-phase replacement for
+``Window.orderBy(...)`` with no partition spec.
+
+A global window moves EVERY row through one task (Spark's own
+``WindowExec: No Partition Defined`` warning): correct at test scale,
+a stuck task at 100 TB. The classic fix is two-phase ranking:
+
+1. bucket every row by an expression that is MONOTONE non-decreasing
+   along the sort order (so bucket boundaries respect the order);
+2. count rows per bucket (one combinable aggregate — the only
+   data-grain shuffle) and prefix-sum those counts into per-bucket
+   rank OFFSETS — a window over the bucket-count table, which is
+   metadata-sized (bucket cardinality, never data cardinality);
+3. rank locally inside each bucket (window partitioned on the bucket
+   key — parallel, balanced by the bucketing) and add the offset.
+
+``global_rank = bucket_offset + local_rank`` reproduces row_number /
+rank over the total order exactly, provided order-ties never span a
+bucket boundary — guaranteed when the bucket is a function of a
+prefix of the order key (equi-width value bins, the value itself, a
+string prefix).
+
+No reference twin: the reference ranks with pandas sorts on collected
+frames (ref ``src/data_processing.py`` value_counts/sort_values); this
+module is the 100 TB-safe form of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_equi_width_bucket", "bucketed_rank", "ntile_from_rank"]
+
+
+def with_equi_width_bucket(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    bins: int = 256,
+    group: list[str] | None = None,
+    out: str = "__vb",
+) -> DataFrame:
+    """Attach an equi-width bin of ``value`` (per ``group`` when given)
+    as column ``out`` — the standard monotone bucket for numeric sort
+    keys. Min/max fold in as a tiny broadcast aggregate (never a
+    driver action); the top edge closes into the last bin; a
+    degenerate min==max group lands wholly in bin 0.
+
+    Equi-width bins balance roughly-uniform values; heavily skewed
+    value distributions concentrate buckets — acceptable for ranking
+    (each bucket is still far below a global window) and refinable by
+    raising ``bins``.
+    """
+    g = list(group or [])
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    b = int(bins)
+    stats = (
+        df.groupBy(*g).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        if g
+        else df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    )
+    joined = (
+        df.join(F.broadcast(stats), g)
+        if g
+        else df.crossJoin(F.broadcast(stats))
+    )
+    bin_ = (
+        # NULL value → NULL bin explicitly: least() SKIPS nulls, which
+        # would otherwise drop null rows into the top bin — a NULL bin
+        # instead sorts NULLS FIRST, matching asc-nulls-first rank order
+        F.when(v.isNull(), F.lit(None))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(b - 1),
+                F.floor(
+                    (v - F.col("__lo"))
+                    * F.lit(float(b))
+                    / (F.col("__hi") - F.col("__lo"))
+                ),
+            )
+        )
+        .cast("int")
+    )
+    return joined.withColumn(out, bin_).drop("__lo", "__hi")
+
+
+def bucketed_rank(
+    df: DataFrame,
+    order: list[Column],
+    buckets: list[Column | str],
+    *,
+    group: list[str] | None = None,
+    out: str = "rank",
+    method: str = "row_number",
+) -> DataFrame:
+    """Two-phase total-order rank: ``out`` = row_number() (or rank())
+    over ``order`` within each ``group`` (global when no group),
+    computed WITHOUT a single-partition window.
+
+    ``buckets`` must be monotone non-decreasing along ``order`` within
+    each group and of bounded (metadata-scale) cardinality — e.g. the
+    :func:`with_equi_width_bucket` bin, the leading sort value itself,
+    or a string prefix of the leading sort column. For
+    ``method="rank"`` ties must also never span buckets, which holds
+    whenever the bucket is a function of a prefix of the order key.
+
+    Plan shape: one combinable groupBy on (group, buckets) for the
+    counts; one prefix-sum window over that bucket-count table (the
+    only unpartitioned window — metadata-sized by the bucket-
+    cardinality contract); one join of the offsets back (no forced
+    broadcast — AQE promotes it while the table fits); one window
+    partitioned on (group, buckets) for the local ranks.
+    """
+    g = list(group or [])
+    bcols = [F.col(b) if isinstance(b, str) else b for b in buckets]
+    bnames = [f"__rb{i}" for i in range(len(bcols))]
+    work = df
+    for name, col in zip(bnames, bcols):
+        work = work.withColumn(name, col)
+
+    cnts = work.groupBy(*g, *bnames).agg(F.count("*").alias("__bc"))
+    woff = (
+        Window.partitionBy(*g).orderBy(*bnames)
+        if g
+        else Window.orderBy(*bnames)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    keys = g + bnames
+    offs = cnts.select(
+        *[F.col(k).alias(f"{k}__o") for k in keys],
+        F.coalesce(F.sum("__bc").over(woff), F.lit(0)).alias("__boff"),
+    )
+    # null-safe equi-join: a NULL sort key ranks first (asc nulls
+    # first), it must not vanish at the offset lookup
+    cond = None
+    for k in keys:
+        c = work[k].eqNullSafe(offs[f"{k}__o"])
+        cond = c if cond is None else (cond & c)
+    wloc = Window.partitionBy(*g, *bnames).orderBy(*order)
+    rk = F.row_number() if method == "row_number" else F.rank()
+    return (
+        work.join(offs, cond)
+        .withColumn(out, (F.col("__boff") + rk.over(wloc)).cast("long"))
+        .drop(*bnames, *[f"{k}__o" for k in keys], "__boff")
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
+    """SQL ``ntile(tiles)`` reconstructed from a 1-based total-order
+    rank and the row count: the first ``n % tiles`` tiles hold
+    ``n div tiles + 1`` rows, the rest ``n div tiles`` — the exact
+    standard semantics, so a :func:`bucketed_rank` feeds distributed
+    ntile without the global window SQL ntile plans."""
+    t = F.lit(int(tiles))
+    base = (n / t).cast("long")  # floor for non-negative n
+    rem = n % t
+    big = rem * (base + 1)
+    return (
+        F.when(rank <= big, ((rank - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(
+            rem
+            + ((rank - big - 1) / F.greatest(base, F.lit(1))).cast("long")
+            + 1
+        )
+        .cast("int")
+    )

@@ -100,14 +100,14 @@ def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reduce lineitem BEFORE aggregating: the segment filter keeps ~1/5
     # of orders, so joining first and aggregating the surviving rows
     # beats pre-aggregating all of lineitem (0.74 s -> 0.57 s at
-    # sf0.1). The qualified-orders side is fact-derived, so no
-    # broadcast hint (it would OOM the driver at 100 TB); SHUFFLE_HASH
-    # shuffles both sides on orderkey — a partitioning the groupBy
-    # then reuses, so the whole query pays two exchanges total and
-    # never sorts. Under the session default (AQE on) the runtime is
-    # free to upgrade the build side to a broadcast from actual stats.
+    # sf0.1). NO forced broadcast anywhere: customer scales with SF
+    # (1/5 of it still OOMs a 100 TB build side) and an explicit hint
+    # cannot be demoted by AQE — both joins stay un-hinted except the
+    # fact-fact SHUFFLE_HASH (a partitioning the groupBy then reuses,
+    # so the query pays two exchanges and never sorts); AQE upgrades
+    # either build side to a broadcast from ACTUAL stats when it fits.
     qualifying = orders.join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
         li.join(
@@ -306,12 +306,14 @@ def q11_union_order_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q12_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast dim join lineitem⋈part (J2 analogue) + per-type
-    revenue. part is a classic broadcast dimension."""
+    """Dim join lineitem⋈part (J2 analogue) + per-type revenue. part
+    SCALES with SF (200k rows/SF), so no forced broadcast hint — AQE
+    broadcasts from actual stats while part fits and falls back to a
+    shuffled join when it no longer does (a hint would pin the OOM)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(
             F.round(F.sum(_revenue()), 2).alias("revenue"),
@@ -869,7 +871,8 @@ def q36_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count distinct suppliers, keep groups with ≥ 5.
 
     ONE distinct pays for everything: project lineitem through the
-    broadcast part join to (brand, bucket, suppkey), distinct THAT
+    part join (un-hinted — part scales with SF, AQE broadcasts it only
+    while it fits) to (brand, bucket, suppkey), distinct THAT
     (map-side combinable at lineitem grain, same as a pair-distinct
     would be), and the supplier count per group is then a plain
     count(*) — no countDistinct Expand machinery, one shuffle total
@@ -877,7 +880,7 @@ def q36_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", (F.col("p_size") % 5).alias("size_bucket"), "l_suppkey")
         .distinct()
         .groupBy("p_brand", "size_bucket")
@@ -2727,12 +2730,32 @@ def q107_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q108_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization: percent_rank of the value metric
     within its event_type — the rank-based feature transform that is
-    robust to arbitrary metric distributions. One type-keyed window
-    sort; output bounded to users < 5 for the compare."""
+    robust to arbitrary metric distributions. event_type is a
+    LOW-CARDINALITY key (a type-keyed window funnels 1/|types| of the
+    fact table through one task each), so the rank is two-phase
+    (operators/ranks.py): per-(type, value-bin) counts → offsets →
+    bin-partitioned local rank(); percent_rank reconstructs as
+    (rank-1)/(n-1), its exact definition. Output bounded to users < 5
+    for the compare."""
+    from ..operators.ranks import bucketed_rank, with_equi_width_bucket
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = bucketed_rank(
+        with_equi_width_bucket(ev, "value", group=["event_type"]),
+        [F.col("value").asc()],
+        ["__vb"],
+        group=["event_type"],
+        out="__rk",
+        method="rank",
+    )
+    n_per = ev.groupBy("event_type").agg(F.count("*").alias("__n"))
+    pct = F.when(
+        F.col("__n") > 1,
+        (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
     return (
-        ev.withColumn("pct", F.percent_rank().over(w))
+        ranked.join(F.broadcast(n_per), "event_type")
+        .withColumn("pct", pct)
         .filter(F.col("user_id") < 5)
         .select(
             "event_id",
@@ -2785,9 +2808,13 @@ def q110_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear_fit): OLS slope of ln(freq) on ln(rank) over the token
     frequency table — natural-language corpora sit near slope −1;
     synthetic/boilerplate slices drift, making this a corpus sanity
-    gate. The ranking runs at VOCABULARY grain (the one total order),
-    the fit is one combinable aggregate."""
+    gate. The VOCABULARY-grain total order is delivered by the
+    two-phase bucketed rank (operators/ranks.py): buckets are
+    (-count, 2-char token prefix) — exact per-frequency offsets, the
+    huge count=1 tail sub-split by prefix — so no single task ever
+    sorts the vocabulary; the fit is one combinable aggregate."""
     from ..operators.aggregates import linear_fit
+    from ..operators.ranks import bucketed_rank
 
     docs = load_table(spark, sf_dir, "documents")
     freq = (
@@ -2796,9 +2823,14 @@ def q110_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
-    pts = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    ranked = bucketed_rank(
+        freq,
+        [F.col("c").desc(), F.col("tok").asc()],
+        [(-F.col("c")), F.substring("tok", 1, 2)],
+        out="__rn",
+    )
+    pts = ranked.select(
+        F.log(F.col("__rn").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
     return linear_fit(pts, "x", "y")
@@ -2904,8 +2936,16 @@ def q114_cross_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q115_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order→ship latency distribution per priority: discrete
     median/p90 of days-to-ship (q28's engine-portable percentile
-    method) + mean — the operational-SLA readout. One fact join on
-    orderkey, one priority-keyed window rank."""
+    method) + mean — the operational-SLA readout.
+
+    days-to-ship is a BOUNDED-DOMAIN integer (TPC-H ships within ~4
+    months), so the whole distribution collapses to a (priority, days)
+    count table in ONE combinable fact-grain aggregate; the discrete
+    value-at-rank ceil(q·n) is then the smallest days whose cumulative
+    count reaches the rank — identical to the rank-window definition
+    (ties on days all carry the same value), with every window running
+    on the ~5×180-row count table, never at fact grain. The oracle
+    keeps the literal rank-window form; both agree exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lat = li.join(
@@ -2913,36 +2953,36 @@ def q115_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         li["l_orderkey"] == orders["o_orderkey"],
     ).select(
         "o_orderpriority",
-        "l_orderkey",
-        "l_linenumber",
         F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
             "days"
         ),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "days", "l_orderkey", "l_linenumber"
+    grp = lat.groupBy("o_orderpriority", "days").agg(
+        F.count("*").alias("cnt")
     )
-    cnt = Window.partitionBy("o_orderpriority")
-    ranked = lat.select(
-        "o_orderpriority",
-        "days",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("n"),
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = grp.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("days").cast("long") * F.col("cnt")).alias("sd"),
     )
 
     def disc(q: float) -> F.Column:
-        return F.min(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
-                F.col("days"),
-            )
-        )
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("cum") >= rank, F.col("days")))
 
     return (
-        ranked.groupBy("o_orderpriority")
+        cum.join(F.broadcast(tot), "o_orderpriority")
+        .groupBy("o_orderpriority")
         .agg(
             F.max("n").alias("n_lines"),
-            scalars.stable_round(F.avg("days"), 4).alias("mean_days"),
+            scalars.stable_round(
+                F.max("sd").cast("double") / F.max("n").cast("double"), 4
+            ).alias("mean_days"),
             disc(0.5).alias("median_days"),
             disc(0.9).alias("p90_days"),
         )
@@ -2954,8 +2994,9 @@ def q116_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules from the co-occurrence pairs (q54's support
     machinery): directional confidence P(b|a) = n_co / n_a for both
     orientations, top-20 by confidence — item-based CF's
-    interpretable rule form. Item supports broadcast into the
-    bounded pair list."""
+    interpretable rule form. The item-support join is UN-hinted: the
+    item vocabulary is unbounded at corpus scale, so AQE decides
+    broadcast-vs-shuffle from actual support-table stats."""
     from ..operators import cooccur
 
     ev = load_table(spark, sf_dir, "events")
@@ -2977,7 +3018,7 @@ def q116_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rules = both.join(
-        F.broadcast(supp), F.col("ante") == F.col("iid")
+        supp, F.col("ante") == F.col("iid")
     ).select(
         "ante",
         "cons",
@@ -2995,7 +3036,12 @@ def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatialized): customers ranked by revenue into 10 ntiles,
     cumulative share of revenue per decile — exact-decimal sums, one
     closed-form division per row. The dashboard twin of the scalar
-    Gini."""
+    Gini.
+
+    The ntile is DISTRIBUTED (operators/ranks.py): two-phase bucketed
+    rank + the closed-form ntile reconstruction — customer rows never
+    funnel through a single-partition window; the only unpartitioned
+    windows left run on the bucket-count and 10-row decile tables."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -3010,8 +3056,22 @@ def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    from ..operators.ranks import (
+        bucketed_rank,
+        ntile_from_rank,
+        with_equi_width_bucket,
+    )
+
+    ranked = bucketed_rank(
+        with_equi_width_bucket(per_cust, "rev"),
+        [F.col("rev").asc(), F.col("o_custkey").asc()],
+        ["__vb"],
+        out="__rn",
+    )
+    n_tot = per_cust.agg(F.count("*").alias("__n"))
+    tiled = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "decile", ntile_from_rank(F.col("__rn"), F.col("__n"), 10)
+    )
     per_dec = tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("rev").alias("d_rev")
     )
@@ -3136,8 +3196,10 @@ def q120_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth per nation: monthly revenue
     (decimal-exact), lag window per nation, pct change — the
-    top-mover/momentum report. The star join broadcasts dims; the
-    MoM window shares the nation keying with the monthly aggregate."""
+    top-mover/momentum report. nation (25 rows, SF-invariant) is the
+    only forced broadcast; customer SCALES with SF so its join is
+    un-hinted (AQE broadcasts it only while it fits). The MoM window
+    shares the nation keying with the monthly aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -3148,7 +3210,7 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

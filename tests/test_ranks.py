@@ -1,0 +1,171 @@
+"""Two-phase distributed ranking (operators/ranks.py): exact parity
+with the single-window rank/ntile/percent_rank it replaces, plus the
+plan contract the rewrite exists for — NO row-grain ranking window
+without a partition spec (the ``WindowExec: No Partition Defined``
+shape that funnels every row through one task at 100 TB)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.operators.ranks import (
+    bucketed_rank,
+    ntile_from_rank,
+    with_equi_width_bucket,
+)
+from big_data_song_recommendation_spark.plans.queries import QUERIES
+
+from .conftest import SF_DIR
+
+_ROW_GRAIN_FN = re.compile(r"(row_number|ntile|percent_rank|\brank)\(")
+_SPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
+
+
+def unpartitioned_rank_windows(plan: str) -> list[str]:
+    """Window plan lines computing a row-grain rank function whose
+    windowspecdefinition has NO partition columns (first spec arg is
+    already an ordering term)."""
+    bad = []
+    for line in plan.splitlines():
+        if "Window [" not in line or not _ROW_GRAIN_FN.search(line):
+            continue
+        m = _SPEC.search(line)
+        if not m:
+            continue
+        first_arg = m.group(1).split(",")[0]
+        if " ASC " in first_arg or " DESC " in first_arg:
+            bad.append(line.strip()[:160])
+    return bad
+
+
+def _seeded(spark):
+    """120 rows with heavy value ties across several groups."""
+    rows = [
+        Row(g=["a", "b", "c"][i % 3], v=float((i * 7) % 11), k=i)
+        for i in range(120)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bucketed_rank_matches_global_row_number(spark):
+    df = _seeded(spark)
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=4),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        out="rn",
+    )
+    assert {(r.k, r.rn) for r in got.collect()} == want
+
+
+def test_bucketed_rank_rank_method_with_ties(spark):
+    df = _seeded(spark).select("g", "v", "k")
+    w = Window.orderBy(F.col("v").asc())
+    want = {(r.k, r.rk) for r in df.withColumn("rk", F.rank().over(w)).collect()}
+    got = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=4),
+        [F.col("v").asc()],
+        ["__vb"],
+        out="rk",
+        method="rank",
+    )
+    assert {(r.k, r.rk) for r in got.collect()} == want
+
+
+def test_grouped_percent_rank_parity(spark):
+    df = _seeded(spark)
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r.k, r.p) for r in df.withColumn("p", F.percent_rank().over(w)).collect()
+    }
+    ranked = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=4, group=["g"]),
+        [F.col("v").asc()],
+        ["__vb"],
+        group=["g"],
+        out="rk",
+        method="rank",
+    )
+    n = df.groupBy("g").agg(F.count("*").alias("n"))
+    got = ranked.join(n, "g").withColumn(
+        "p",
+        F.when(
+            F.col("n") > 1,
+            (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    assert {(r.k, r.p) for r in got.collect()} == want
+
+
+def test_null_sort_keys_rank_first_not_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(v=None, k=1), Row(v=2.0, k=2), Row(v=1.0, k=3), Row(v=None, k=4)]
+    )
+    got = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=4),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        out="rn",
+    )
+    out = {(r.k, r.rn) for r in got.collect()}
+    assert out == {(1, 1), (4, 2), (3, 3), (2, 4)}
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    for n, tiles in ((37, 10), (40, 10), (5, 10), (9, 4), (1, 10)):
+        df = spark.range(1, n + 1).select(F.col("id").alias("k"))
+        w = Window.orderBy("k")
+        want = {
+            (r.k, r.t)
+            for r in df.withColumn("t", F.ntile(tiles).over(w)).collect()
+        }
+        got = df.select(
+            "k",
+            ntile_from_rank(F.col("k"), F.lit(n).cast("long"), tiles).alias("t"),
+        )
+        assert {(r.k, r.t) for r in got.collect()} == want, (n, tiles)
+
+
+def test_rewritten_queries_have_no_unpartitioned_rank_windows(spark):
+    """q117/q99/q110/q108: the round-4 verdict's scale-killers — every
+    row-grain ranking window must now carry a partition spec; the only
+    unpartitioned windows left are prefix-sums over metadata-sized
+    bucket/decile tables."""
+    for q in (
+        "q117_revenue_lorenz",
+        "q99_revenue_gini",
+        "q110_zipf_fit",
+        "q108_value_percent_rank",
+    ):
+        plan = (
+            QUERIES[q]
+            .__wrapped__(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        bad = unpartitioned_rank_windows(plan)
+        assert not bad, f"{q}: unpartitioned rank window(s): {bad}"
+
+
+def test_q115_no_fact_grain_window(spark):
+    """q115 computes discrete percentiles on the (priority, days)
+    count table: no row_number at all, and its one cumulative window
+    is priority-partitioned."""
+    plan = (
+        QUERIES["q115_fulfillment_latency"]
+        .__wrapped__(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number" not in plan
+    assert not unpartitioned_rank_windows(plan)
