@@ -27,11 +27,6 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text → array<string>."""
-    return F.split(F.trim(_c(col)), _WORD_SPLIT)
-
-
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     t = F.trim(_c(col))

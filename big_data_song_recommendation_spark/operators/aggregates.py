@@ -88,12 +88,19 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     after runs on the r×c contingency table (catalog-bounded, not
     data-bounded) — the cross join and the totals broadcast are dim-
     sized. Output: 1 row (n, r, c, dof, chi2).
+
+    CONTRACT: rows with a NULL in either column are EXCLUDED up front
+    (the standard complete-case test). Without the filter a NULL group
+    would be counted in the marginals/N but could never equi-join back
+    onto the r×c cross, silently inflating chi2 (ADVICE r4).
     """
     from ..functions.scalars import stable_round
 
-    obs = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").alias("o"))
+    obs = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
     ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
     nn = obs.agg(F.sum("o").alias("n"))
@@ -268,12 +275,19 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     work is ONE (a, b) aggregate; every log/ratio runs on the
     catalog-bounded contingency table. Output: 1 row
     (n, h_a, h_b, h_ab, mi, nmi).
+
+    CONTRACT: rows with a NULL in either column are EXCLUDED up front
+    (complete-case, same as :func:`chi_square`): a NULL cell would be
+    dropped by the marginal equi-joins while still counted in N, so
+    probabilities would no longer sum to 1 (ADVICE r4).
     """
     from ..functions.scalars import stable_round
 
-    obs = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").alias("o"))
+    obs = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
     ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
     nn = obs.agg(F.sum("o").alias("n"))

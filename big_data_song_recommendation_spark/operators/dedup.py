@@ -886,10 +886,22 @@ def dedup_against_store(
     within-batch rule; both share the fp hash partitioning. Output:
     batch rows + (fp, verdict ∈ dup_store|dup_batch|accept); accepted
     rows' fps are exactly what the caller appends back to the store.
+
+    NULL text fingerprints as the deterministic sentinel
+    ``md5('') || ':null'`` rather than a NULL fp: a NULL equi-join key
+    would never match the store, so one NULL-text row would be
+    re-accepted on EVERY future batch instead of deduping against the
+    first accepted one (ADVICE r4).
     """
     from pyspark.sql import Window
 
-    b = batch.withColumn("fp", Ftext.fingerprint(F.col(text_col)))
+    b = batch.withColumn(
+        "fp",
+        F.coalesce(
+            Ftext.fingerprint(F.col(text_col)),
+            F.concat(F.md5(F.lit("")), F.lit(":null")),
+        ),
+    )
     s = (
         store.select(F.col(store_fp_col).alias("fp"))
         .distinct()

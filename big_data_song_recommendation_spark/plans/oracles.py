@@ -2392,6 +2392,27 @@ ORACLES: dict[str, str] = {
         FROM events
         ORDER BY col_name
     """,
+    # q86b: the approx-profile gate — oracle recomputes n_rows/n_null
+    # exactly and expects every HLL tolerance flag TRUE; the sketch
+    # values themselves are engine-specific and never compared
+    "q86b_events_profile_approx": """
+        SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS n_null, TRUE AS within_rsd
+        FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), TRUE FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), TRUE
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), TRUE
+        FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), TRUE FROM events
+        UNION ALL
+        SELECT 'props', COUNT(*), COUNT(*) - COUNT(props), TRUE FROM events
+        ORDER BY col_name
+    """,
     # q85: bigram LM twin — tokenizer CTE from q77, context counts are
     # bigram-initial sums, V = distinct successor words, stable_round
     # (floor) on the per-doc score BEFORE the lang rollup

@@ -1,0 +1,59 @@
+"""Golden-file invariance for the rows-only ML queries' substrate
+(VERDICT r4 #8): q40/q41 can never be oracle-checked, so the seeded
+ALS ranking and KMeans assignment are pinned to committed goldens —
+any hyperparameter, seed, partitioning, or convergence drift fails
+here instead of shipping invisibly. Regenerate DELIBERATELY with
+scripts/gen_ml_goldens.py after an intentional change."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from big_data_song_recommendation_spark.ml import features, recommend
+from big_data_song_recommendation_spark.sources.readers import load_table
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "ml_goldens.json")
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+def test_als_ranking_matches_golden(spark, golden):
+    ev = load_table(spark, SF, "events")
+    ratings = recommend.derive_ratings_from_events(ev).cache()
+    res = recommend.train_als(
+        ratings, evaluate=False, rank=8, maxIter=5, implicitPrefs=False
+    )
+    users = ratings.select("user_id").distinct().orderBy("user_id").limit(5)
+    recs = recommend.recommend_top_n(res.model, 3, users=users)
+    got = {f"{r['user_id']}:{r['rnk']}": int(r["item_id"]) for r in recs.collect()}
+    assert got == golden["als_top3"]
+
+
+def test_kmeans_assignment_matches_golden(spark, golden):
+    li = (
+        load_table(spark, SF, "lineitem")
+        .orderBy(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount"
+        )
+        .limit(500)
+    )
+    pipe = features.feature_pipeline(["l_quantity", "l_extendedprice", "l_discount"])
+    _, out = features.fit_transform(pipe, li)
+    _, assigned = recommend.train_kmeans(out, k=5)
+    rows = assigned.select("l_orderkey", "l_linenumber", "cluster").collect()
+    groups: dict[int, list[str]] = {}
+    for r in rows:
+        groups.setdefault(r["cluster"], []).append(
+            f"{r['l_orderkey']}:{r['l_linenumber']}"
+        )
+    got = sorted(sorted(g) for g in groups.values())
+    assert got == golden["kmeans_partition"]
