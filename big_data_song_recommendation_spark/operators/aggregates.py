@@ -190,9 +190,12 @@ def gini_index(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
     from .ranks import bucketed_rank, with_equi_width_bucket
 
     x = F.col(value_col).cast("decimal(18,2)")
-    b = with_equi_width_bucket(
-        df.select(F.col(value_col), F.col(id_col)), value_col
+    # entity table is consumed by the bucket-stats agg AND the bucket
+    # join — cut its (often join-heavy) lineage once
+    ent = df.select(F.col(value_col), F.col(id_col)).localCheckpoint(
+        eager=False
     )
+    b = with_equi_width_bucket(ent, value_col)
     ranked = bucketed_rank(
         b,
         [F.col(value_col).asc(), F.col(id_col).asc()],

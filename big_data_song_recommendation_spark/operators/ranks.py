@@ -119,6 +119,11 @@ def bucketed_rank(
     work = df
     for name, col in zip(bnames, bcols):
         work = work.withColumn(name, col)
+    # two consumers (bucket counts + offset join) would otherwise both
+    # recompute the FULL upstream lineage — cut it once, lazily (the
+    # q66 connected-components discipline): nothing materializes until
+    # the query's action, then both branches read the same partitions
+    work = work.localCheckpoint(eager=False)
 
     cnts = work.groupBy(*g, *bnames).agg(F.count("*").alias("__bc"))
     woff = (

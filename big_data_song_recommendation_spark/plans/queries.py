@@ -2955,6 +2955,9 @@ def q114_cross_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), F.col("sid") == F.col("doc_id"))
         .select("source", "sh")
         .distinct()
+        # three consumers (per-source counts + both sides of the
+        # membership semi-join) — tokenize/shingle the corpus ONCE
+        .localCheckpoint(eager=False)
     )
     per_src = bg.groupBy("source").agg(F.count("*").alias("n_bigrams"))
     other = bg.alias("x").join(
@@ -3005,7 +3008,9 @@ def q115_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = lat.groupBy("o_orderpriority", "days").agg(
         F.count("*").alias("cnt")
-    )
+    # two consumers (cumulative window + totals) — run the fact join
+    # once; the count table itself is ~5×180 rows
+    ).localCheckpoint(eager=False)
     wcum = (
         Window.partitionBy("o_orderpriority")
         .orderBy("days")
@@ -3108,6 +3113,9 @@ def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_equi_width_bucket,
     )
 
+    # three consumers (rank chain, total count, total revenue) — cut
+    # the fact-join lineage once so it runs once
+    per_cust = per_cust.localCheckpoint(eager=False)
     ranked = bucketed_rank(
         with_equi_width_bucket(per_cust, "rev"),
         [F.col("rev").asc(), F.col("o_custkey").asc()],
@@ -3121,7 +3129,9 @@ def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dec = tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("rev").alias("d_rev")
     )
-    tot = per_dec.agg(F.sum("d_rev").alias("t_rev"))
+    # total revenue == sum over deciles; computing it from per_cust
+    # keeps the rank chain single-consumer (no duplicated window)
+    tot = per_cust.agg(F.sum("rev").alias("t_rev"))
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3265,9 +3275,10 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(
             "n_name",
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
-                "month"
-            ),
+            # group on the truncated DATE; the "yyyy-MM" string is
+            # formatted AFTER aggregation (nations×months rows), not
+            # per fact row
+            F.date_trunc("month", "o_orderdate").alias("mon"),
         )
         .agg(
             F.sum(
@@ -3276,6 +3287,8 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rev")
         )
+        .withColumn("month", F.date_format("mon", "yyyy-MM"))
+        .drop("mon")
     )
     w = Window.partitionBy("n_name").orderBy("month")
     prev = F.lag("rev").over(w)
