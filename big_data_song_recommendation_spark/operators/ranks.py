@@ -151,6 +151,61 @@ def bucketed_rank(
     )
 
 
+def bucketed_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    buckets: list[Column | str],
+    value: Column | str,
+    *,
+    group: list[str] | None = None,
+    out: str = "cum",
+) -> DataFrame:
+    """Two-phase INCLUSIVE running sum of ``value`` along ``order``
+    (per ``group``), same skeleton as :func:`bucketed_rank`: per-bucket
+    value totals → prefix-summed into bucket offsets (metadata-sized
+    window) → bucket-partitioned local running sums + offset. The
+    budget-selection primitive (take rows in deterministic order until
+    a cumulative quota is met) at any scale.
+
+    Same bucket contract as :func:`bucketed_rank`; exact only when
+    ``value`` sums without rounding (integers / decimals — the long
+    token counts this exists for)."""
+    g = list(group or [])
+    v = F.col(value) if isinstance(value, str) else value
+    bcols = [F.col(b) if isinstance(b, str) else b for b in buckets]
+    bnames = [f"__cb{i}" for i in range(len(bcols))]
+    work = df.withColumn("__cv", v)
+    for name, col in zip(bnames, bcols):
+        work = work.withColumn(name, col)
+    work = work.localCheckpoint(eager=False)
+
+    tots = work.groupBy(*g, *bnames).agg(F.sum("__cv").alias("__bt"))
+    woff = (
+        Window.partitionBy(*g).orderBy(*bnames)
+        if g
+        else Window.orderBy(*bnames)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    keys = g + bnames
+    offs = tots.select(
+        *[F.col(k).alias(f"{k}__o") for k in keys],
+        F.coalesce(F.sum("__bt").over(woff), F.lit(0)).alias("__coff"),
+    )
+    cond = None
+    for k in keys:
+        c = work[k].eqNullSafe(offs[f"{k}__o"])
+        cond = c if cond is None else (cond & c)
+    wloc = (
+        Window.partitionBy(*g, *bnames)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        work.join(offs, cond)
+        .withColumn(out, F.col("__coff") + F.sum("__cv").over(wloc))
+        .drop(*bnames, *[f"{k}__o" for k in keys], "__coff", "__cv")
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """SQL ``ntile(tiles)`` reconstructed from a 1-based total-order
     rank and the row count: the first ``n % tiles`` tiles hold

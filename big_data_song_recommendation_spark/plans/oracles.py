@@ -2392,6 +2392,129 @@ ORACLES: dict[str, str] = {
         FROM events
         ORDER BY col_name
     """,
+    # q122: RAG chunk windows — same tokenizer CTE, starts from
+    # range(0, n, stride), content via 1-based inclusive list_slice
+    # (clamped at n on both engines)
+    "q122_doc_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORMALIZED_TEXT}, ' '),
+                               x -> x <> '') AS t
+            FROM documents WHERE doc_id < 40
+        ),
+        base AS (
+            SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        ),
+        st AS (
+            SELECT doc_id, t, n, unnest(range(0, n, 6)) AS s FROM base
+        )
+        SELECT doc_id,
+               CAST(s / 6 AS INT) AS chunk_idx,
+               len(list_slice(t, s + 1, least(s + 8, n))) AS n_tokens,
+               md5(array_to_string(list_slice(t, s + 1, least(s + 8, n)),
+                   ' ')) AS chunk_hash
+        FROM st
+        ORDER BY doc_id, chunk_idx
+    """,
+    # q123: int8 quantize→reconstruct mirrored element-wise — Spark's
+    # (round((x-lo)/scale) - 128 + 128)·scale + lo collapses exactly to
+    # round((x-lo)/scale)·scale + lo (integer arithmetic ≤255 is exact
+    # in doubles); round() agrees (arg is non-negative, so HALF_UP ==
+    # half-away); probes stay full-precision (asymmetric distance)
+    "q123_quantized_recall": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, v, list_min(v) AS lo,
+                   CASE WHEN list_max(v) > list_min(v)
+                        THEN (list_max(v) - list_min(v)) / 255.0
+                        ELSE 1.0 END AS scale
+            FROM vecs
+        ),
+        hat AS (
+            SELECT vec_id,
+                   list_transform(v,
+                       x -> round((x - lo) / scale) * scale + lo) AS hv
+            FROM q
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        p.v, c.hv), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM vecs p JOIN hat c ON c.vec_id <> p.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        p.v, c.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        )
+        SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits,
+               floor(COUNT(a.neighbor_id) / 3.0 * 10000.0) / 10000.0
+                 AS recall_at_3
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id ORDER BY e.query_id
+    """,
+    # q124: mixture selection — integer token sums, double only at the
+    # scale/budget derivation (identical op order) and the final share
+    "q124_corpus_mixture": f"""
+        WITH t(lang, target_share) AS (VALUES
+            ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+            ('es', CAST(0.15 AS DOUBLE)), ('de', CAST(0.1 AS DOUBLE)),
+            ('zh', CAST(0.05 AS DOUBLE))),
+        d AS (
+            SELECT doc_id, lang, {_TOKEN_COUNT} AS tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        avail AS (SELECT lang, SUM(tok) AS avail FROM d GROUP BY 1),
+        sc AS (
+            SELECT MIN(avail / target_share) AS scale
+            FROM avail JOIN t USING (lang)
+        ),
+        b AS (
+            SELECT lang, avail, target_share,
+                   CAST(FLOOR(target_share * scale) AS BIGINT) AS budget
+            FROM avail JOIN t USING (lang) CROSS JOIN sc
+        ),
+        cum AS (
+            SELECT doc_id, lang, tok,
+                   SUM(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM d
+        ),
+        sel AS (
+            SELECT cum.lang, tok FROM cum JOIN b ON cum.lang = b.lang
+            WHERE cum <= budget
+        ),
+        per AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS sel_tokens
+            FROM sel GROUP BY 1
+        ),
+        tot AS (SELECT SUM(sel_tokens) AS tot FROM per)
+        SELECT per.lang, n_docs, sel_tokens,
+               CAST(avail AS BIGINT) AS avail_tokens, budget, target_share,
+               floor(CAST(sel_tokens AS DOUBLE) / CAST(tot AS DOUBLE)
+                     * 10000.0) / 10000.0 AS achieved_share
+        FROM per JOIN b ON per.lang = b.lang CROSS JOIN tot
+        ORDER BY per.lang
+    """,
     # q86b: the approx-profile gate — oracle recomputes n_rows/n_null
     # exactly and expects every HLL tolerance flag TRUE; the sketch
     # values themselves are engine-specific and never compared

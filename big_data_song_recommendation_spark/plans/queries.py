@@ -3311,6 +3311,154 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking: fixed-size overlapping token windows
+    (size 8, stride 6 → 2-token overlap) — the retrieval-prep
+    operator every RAG/embedding pipeline runs before vectorizing.
+    Pure Catalyst: one tokens() pass, chunk starts from ``sequence``,
+    content via ``slice`` — no explode-per-token, no Python; the only
+    exchange is the output sort. Partial tail chunks are KEPT (the
+    standard rule; both engines apply it identically). Output bounded
+    to doc_id < 40 for the compare: (doc_id, chunk_idx, n_tokens,
+    chunk md5)."""
+    size, stride = 8, 6
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.filter(text.tokens("text"), lambda t: t != "").alias("t"),
+        )
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("s"),
+    )
+    chunk = F.slice("t", F.col("s") + 1, size)
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    ).transform(_ordered, "doc_id", "chunk_idx")
+
+
+def q123_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-EVALUATING int8-quantization quality gate (q119's pattern
+    on the storage axis): recall@3 of brute-force cosine over the
+    QUANTIZED corpus (operators/similarity.py quantize → reconstruct,
+    the 4-8× bandwidth reduction an at-scale candidate scan runs on)
+    against full-precision ground truth — per probe, both sides
+    bit-reproducible, so the precision/recall trade the quantizer
+    ships with is oracle-verified."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_knn(emb, probes, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_quantized(emb, probes, k=3).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            scalars.stable_round(F.col("n_hits") / 3.0, 4).alias("recall_at_3"),
+        )
+        .transform(_ordered, "query_id")
+    )
+
+
+def q124_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion corpus mixture (the Pile/Dolma domain-weights
+    step): given target language shares, find the largest total token
+    budget whose per-language split is feasible (scale = min over
+    langs of available/target), then select docs per language in
+    deterministic md5 order until each budget is met.
+
+    The budget selection is the two-phase :func:`~.ranks.
+    bucketed_cumsum` — hash-prefix buckets, per-bucket totals,
+    offset prefix-sum, bucket-partitioned running sums — so the
+    take-until-quota scan never funnels a language through one task.
+    Integer-exact token arithmetic throughout; only the final share
+    is rounded."""
+    from ..operators.ranks import bucketed_cumsum
+
+    targets = [
+        ("en", 0.5), ("fr", 0.2), ("es", 0.15), ("de", 0.1), ("zh", 0.05),
+    ]
+    tmap = F.create_map(*[F.lit(x) for kv in targets for x in kv])
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        text.token_count("text").alias("tok"),
+    ).withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    avail = d.groupBy("lang").agg(F.sum("tok").alias("avail"))
+    shared = avail.withColumn("target_share", tmap[F.col("lang")]).filter(
+        F.col("target_share").isNotNull()
+    )
+    scale = shared.agg(
+        F.min(F.col("avail") / F.col("target_share")).alias("scale")
+    )
+    budgets = shared.crossJoin(F.broadcast(scale)).select(
+        "lang",
+        "avail",
+        "target_share",
+        F.floor(F.col("target_share") * F.col("scale")).alias("budget"),
+    )
+    cum = bucketed_cumsum(
+        d,
+        [F.col("h").asc(), F.col("doc_id").asc()],
+        [F.substring("h", 1, 2)],
+        "tok",
+        group=["lang"],
+        out="cum",
+    )
+    sel = cum.join(F.broadcast(budgets), "lang").filter(
+        F.col("cum") <= F.col("budget")
+    )
+    per = sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sel_tokens"),
+        F.max("avail").alias("avail_tokens"),
+        F.max("budget").alias("budget"),
+        F.max("target_share").alias("target_share"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(F.sum("sel_tokens").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "sel_tokens",
+            "avail_tokens",
+            "budget",
+            "target_share",
+            scalars.stable_round(
+                F.col("sel_tokens").cast("double") / F.col("tot").cast("double"),
+                4,
+            ).alias("achieved_share"),
+        )
+        .transform(_ordered, "lang")
+    )
+
+
 # Insertion order IS the driver-budget order: the round-4 gate walked
 # the first 50 keys in insertion order, so the head leads with (a) the
 # only never-driver-checked queries (q74-q78), (b) the new approx-
@@ -3324,6 +3472,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_corpus_bigrams": q77_corpus_bigrams,
     "q78_pii_redaction": q78_pii_redaction,
     "q86b_events_profile_approx": q86b_events_profile_approx,
+    "q122_doc_chunks": q122_doc_chunks,
+    "q123_quantized_recall": q123_quantized_recall,
+    "q124_corpus_mixture": q124_corpus_mixture,
     "q117_revenue_lorenz": q117_revenue_lorenz,
     "q99_revenue_gini": q99_revenue_gini,
     "q110_zipf_fit": q110_zipf_fit,

@@ -12,6 +12,7 @@ from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from big_data_song_recommendation_spark.operators.ranks import (
+    bucketed_cumsum,
     bucketed_rank,
     ntile_from_rank,
     with_equi_width_bucket,
@@ -117,6 +118,28 @@ def test_null_sort_keys_rank_first_not_dropped(spark):
     )
     out = {(r.k, r.rn) for r in got.collect()}
     assert out == {(1, 1), (4, 2), (3, 3), (2, 4)}
+
+
+def test_bucketed_cumsum_matches_window_sum(spark):
+    df = _seeded(spark)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.k, r.c)
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = bucketed_cumsum(
+        with_equi_width_bucket(df, "v", bins=4, group=["g"]),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        "v",
+        group=["g"],
+        out="c",
+    )
+    assert {(r.k, r.c) for r in got.collect()} == want
 
 
 def test_ntile_from_rank_matches_sql_ntile(spark):
