@@ -206,6 +206,41 @@ def bucketed_cumsum(
     )
 
 
+def bucketed_avg_rank(
+    df: DataFrame,
+    value: str,
+    buckets: list[Column | str],
+    *,
+    group: list[str] | None = None,
+    out: str = "avg_rank",
+) -> DataFrame:
+    """FRACTIONAL (average) rank of ``value`` ascending — the tie rule
+    rank statistics (Spearman's ρ, Mann-Whitney U) are defined on:
+    tied values share the mean of the positions they span,
+    ``min_rank + (n_ties − 1)/2``.
+
+    Distributed exactly like :func:`bucketed_rank` (min-rank via the
+    two-phase bucket scheme) plus one value-keyed tie-count window —
+    a key that spreads by construction. Average ranks are
+    half-integers, so downstream sums stay EXACT in doubles — which
+    is what makes rank statistics bit-stable cross-engine where raw
+    double sums are not."""
+    g = list(group or [])
+    r = bucketed_rank(
+        df,
+        [F.col(value).asc()],
+        buckets,
+        group=group,
+        out="__rmin",
+        method="rank",
+    )
+    wt = Window.partitionBy(*g, value)
+    return r.withColumn(
+        out,
+        F.col("__rmin") + (F.count("*").over(wt) - 1) / 2.0,
+    ).drop("__rmin")
+
+
 def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """SQL ``ntile(tiles)`` reconstructed from a 1-based total-order
     rank and the row count: the first ``n % tiles`` tiles hold

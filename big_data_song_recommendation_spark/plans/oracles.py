@@ -2515,6 +2515,75 @@ ORACLES: dict[str, str] = {
         FROM per JOIN b ON per.lang = b.lang CROSS JOIN tot
         ORDER BY per.lang
     """,
+    # q125: Spearman via average ranks — half-integer rank sums are
+    # exact in doubles, so only the final division/sqrt touch floats
+    "q125_spearman_spend_balance": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT c_acctbal AS a, b
+            FROM pc JOIN customer ON o_custkey = c_custkey
+        ),
+        r AS (
+            SELECT rank() OVER (ORDER BY a)
+                     + (COUNT(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+                   rank() OVER (ORDER BY b)
+                     + (COUNT(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(ra) AS sa, SUM(rb) AS sb, SUM(ra * rb) AS sab,
+                   SUM(ra * ra) AS saa, SUM(rb * rb) AS sbb
+            FROM r
+        )
+        SELECT n,
+               CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                    THEN floor((n * sab - sa * sb)
+                         / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+                         * 1000000.0) / 1000000.0
+               END AS rho
+        FROM s
+    """,
+    # q126: Mann-Whitney U from combined average ranks — U exact,
+    # only the effect size divides
+    "q126_mann_whitney": """
+        WITH t AS (
+            SELECT event_type, value FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        r AS (
+            SELECT event_type,
+                   rank() OVER (ORDER BY value)
+                     + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS r
+            FROM t
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(r) AS rsum
+            FROM r GROUP BY 1
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               a.rsum - a.n * (a.n + 1) / 2.0 AS u_a,
+               floor((a.rsum - a.n * (a.n + 1) / 2.0)
+                     / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))
+                     * 1000000.0) / 1000000.0 AS cles
+        FROM (SELECT * FROM g WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM g WHERE event_type = 'purchase') b
+    """,
+    # q127: grouped-percentile sketch gate — oracle recomputes the
+    # exact interpolated median and expects the tolerance flag TRUE
+    "q127_approx_percentile_gate": """
+        SELECT event_type, COUNT(*) AS n_events,
+               floor(quantile_cont(value, 0.5) * 10000.0) / 10000.0
+                 AS p50_exact,
+               TRUE AS within_band
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     # q86b: the approx-profile gate — oracle recomputes n_rows/n_null
     # exactly and expects every HLL tolerance flag TRUE; the sketch
     # values themselves are engine-specific and never compared

@@ -3459,6 +3459,122 @@ def q124_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    realized revenue — the monotone-association check (robust to the
+    heavy-tailed spend distribution Pearson is not). Both rankings run
+    through the two-phase :func:`~.ranks.bucketed_avg_rank`
+    (average-rank tie rule), and because average ranks are
+    HALF-INTEGERS every sum in the correlation is exact in doubles —
+    rank statistics are bit-stable cross-engine where raw double sums
+    are not. Output: 1 row (n, rho)."""
+    from ..operators.ranks import bucketed_avg_rank, with_equi_width_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("b"))
+        .join(
+            cust.select("c_custkey", F.col("c_acctbal").alias("a")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("a", "b")
+    )
+    ra = bucketed_avg_rank(
+        with_equi_width_bucket(per, "a"), "a", ["__vb"], out="ra"
+    ).drop("__vb")
+    rb = bucketed_avg_rank(
+        with_equi_width_bucket(ra, "b", out="__vb2"), "b", ["__vb2"], out="rb"
+    ).drop("__vb2")
+    s = rb.agg(
+        F.count("*").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    da = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    db = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return s.select(
+        "n",
+        scalars.stable_round(
+            F.when((da > 0) & (db > 0), num / F.sqrt(da * db)), 6
+        ).alias("rho"),
+    )
+
+
+def q126_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the value metric of two event types —
+    the nonparametric two-sample test (complements q107's parametric
+    z-test) plus the common-language effect size U/(n₁·n₂). Combined
+    average ranks via the two-phase machinery; U = R₁ − n₁(n₁+1)/2 is
+    exact (half-integer rank sums), only the effect size divides."""
+    from ..operators.ranks import bucketed_avg_rank, with_equi_width_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "value"
+    )
+    r = bucketed_avg_rank(
+        with_equi_width_bucket(t, "value"), "value", ["__vb"], out="r"
+    )
+    g = r.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("r").alias("rsum")
+    ).localCheckpoint(eager=False)  # 2 rows, two consumers below
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("rsum").alias("r_a")
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b")
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        u.alias("u_a"),
+        scalars.stable_round(
+            u / (F.col("n_a").cast("double") * F.col("n_b").cast("double")), 6
+        ).alias("cles"),
+    )
+
+
+def q127_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating sketch gate for grouped percentiles (the q86b
+    pattern on the order-statistics axis): ``approx_percentile``
+    (Greenwald-Khanna, the only sane grouped-percentile at 100 TB and
+    the declared sketch mode of q28/q88) checked IN-QUERY against the
+    exact percentile — the flag asserts the approx answer lands within
+    the exact p45–p55 value band (i.e. within ±0.05 quantile error,
+    5× the sketch's 1% accuracy parameter). The oracle recomputes the
+    exact values and expects TRUE, so sketch drift is a hash FAIL
+    without demanding cross-engine sketch equality."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("p50_approx"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50_exact"),
+        F.percentile(F.col("value"), F.lit(0.45)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.55)).alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        scalars.stable_round("p50_exact", 4).alias("p50_exact"),
+        (
+            (F.col("p50_approx") >= F.col("lo"))
+            & (F.col("p50_approx") <= F.col("hi"))
+        ).alias("within_band"),
+    ).transform(_ordered, "event_type")
+
+
 # Insertion order IS the driver-budget order: the round-4 gate walked
 # the first 50 keys in insertion order, so the head leads with (a) the
 # only never-driver-checked queries (q74-q78), (b) the new approx-
@@ -3475,6 +3591,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_doc_chunks": q122_doc_chunks,
     "q123_quantized_recall": q123_quantized_recall,
     "q124_corpus_mixture": q124_corpus_mixture,
+    "q125_spearman_spend_balance": q125_spearman_spend_balance,
+    "q126_mann_whitney": q126_mann_whitney,
+    "q127_approx_percentile_gate": q127_approx_percentile_gate,
     "q117_revenue_lorenz": q117_revenue_lorenz,
     "q99_revenue_gini": q99_revenue_gini,
     "q110_zipf_fit": q110_zipf_fit,

@@ -188,10 +188,67 @@ def r4ops_probe(spark, reps: list[int]) -> None:
             )
 
 
+def ranks_probe(spark, reps: list[int]) -> None:
+    """Round-5 two-phase ranking under replication: entity tables of
+    1M·r rows ranked end-to-end. The global-window form is the r4
+    shape this round removed — probed only at the SMALLEST size as
+    the baseline (it is the single-task bottleneck); bucketed_rank and
+    bucketed_cumsum walls should grow ~linearly with rows while the
+    global window's wall is dominated by one task's sort whatever the
+    core count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from big_data_song_recommendation_spark.operators.ranks import (
+        bucketed_cumsum,
+        bucketed_rank,
+        with_equi_width_bucket,
+    )
+
+    base_n = 1_000_000
+    for r in reps:
+        n = base_n * r
+        ent = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.xxhash64("id") % 100000).cast("double").alias("v"),
+        )
+        t0 = time.perf_counter()
+        ranked = bucketed_rank(
+            with_equi_width_bucket(ent, "v", bins=256),
+            [F.col("v").asc(), F.col("k").asc()],
+            ["__vb"],
+            out="rn",
+        )
+        mx = ranked.agg(F.max("rn")).collect()[0][0]
+        t_rank = time.perf_counter() - t0
+        assert mx == n, (mx, n)
+
+        t0 = time.perf_counter()
+        cum = bucketed_cumsum(
+            with_equi_width_bucket(ent, "v", bins=256),
+            [F.col("v").asc(), F.col("k").asc()],
+            ["__vb"],
+            "v",
+            out="c",
+        )
+        cum.agg(F.max("c")).collect()
+        t_cum = time.perf_counter() - t0
+
+        line = f"x{r}: rows={n} bucketed_rank={t_rank:.1f}s bucketed_cumsum={t_cum:.1f}s"
+        if r == reps[0]:
+            t0 = time.perf_counter()
+            w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+            ent.withColumn("rn", F.row_number().over(w)).agg(
+                F.max("rn")
+            ).collect()
+            line += f" global_window_baseline={time.perf_counter() - t0:.1f}s"
+        print(line, flush=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
-    if args and args[0] in ("dedup", "relational", "curation", "r4ops"):
+    if args and args[0] in ("dedup", "relational", "curation", "r4ops", "ranks"):
         mode, args = args[0], args[1:]
     reps = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -206,6 +263,10 @@ def main() -> None:
         return
     if mode == "r4ops":
         r4ops_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "ranks":
+        ranks_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

@@ -210,3 +210,47 @@ def test_triangle_closing_edge_is_semi_join(spark):
     plan = _plan(triangle_count(edges))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """100 TB contract: when a join's build side is filtered-selective
+    and too big to broadcast, Spark's runtime bloom filter must inject
+    on the probe side (bloom_filter_agg on the build keys + might_contain
+    pre-filtering the fact scan) — the row-level runtime pruning that
+    keeps shuffled fact-fact joins viable at scale. Verified under
+    test-scale thresholds; the conf is the session default upstream."""
+    import pyspark.sql.functions as F
+
+    tweaks = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".creationSideThreshold": "104857600",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    # getOrCreate reuses the shared fixture session: save + restore so
+    # later tests see the session defaults again
+    saved = {k: spark.conf.get(k, None) for k in tweaks}
+    for k, v in tweaks.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -263,3 +263,45 @@ def test_pack_sequences_conservation_and_monotonicity(spark, toks, budget):
         assert r["pack_id"] >= prev_pack
         prev_pack = r["pack_id"]
         cum += r["n"]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bucketed_rank_equals_global_window(spark, rows, bins):
+    """Two-phase bucketed_rank must reproduce the global row_number
+    for ANY value distribution (ties, negatives, constants) and ANY
+    bin count — the exactness contract the single-partition-window
+    rewrites rest on."""
+    from pyspark.sql import Window
+
+    from big_data_song_recommendation_spark.operators.ranks import (
+        bucketed_rank,
+        with_equi_width_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, (v, _) in enumerate(rows)], ["v", "k"]
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=bins),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        out="rn",
+    )
+    assert {(r.k, r.rn) for r in got.collect()} == want
