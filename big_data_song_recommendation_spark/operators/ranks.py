@@ -60,11 +60,22 @@ def with_equi_width_bucket(
         if g
         else df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     )
-    joined = (
-        df.join(F.broadcast(stats), g)
-        if g
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if g:
+        # null-safe group join: a NULL group is a legal rank partition
+        # (window partitionBy groups NULLs together); a plain equi-join
+        # would silently drop those rows
+        st = stats.select(
+            *[F.col(c).alias(f"{c}__s") for c in g], "__lo", "__hi"
+        )
+        cond = None
+        for c in g:
+            e = df[c].eqNullSafe(st[f"{c}__s"])
+            cond = e if cond is None else (cond & e)
+        joined = df.join(F.broadcast(st), cond).drop(
+            *[f"{c}__s" for c in g]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     bin_ = (
         # NULL value → NULL bin explicitly: least() SKIPS nulls, which
         # would otherwise drop null rows into the top bin — a NULL bin

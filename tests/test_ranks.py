@@ -142,6 +142,29 @@ def test_bucketed_cumsum_matches_window_sum(spark):
     assert {(r.k, r.c) for r in got.collect()} == want
 
 
+def test_null_group_rows_survive_grouped_rank(spark):
+    """A NULL group key is a legal rank partition (window partitionBy
+    groups NULLs together) — the bucket-stats join must not drop those
+    rows."""
+    df = spark.createDataFrame(
+        [("a", 2.0, 1), ("a", 1.0, 2), (None, 3.0, 3), (None, 1.0, 4)],
+        "g string, v double, k long",
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=4, group=["g"]),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        group=["g"],
+        out="rn",
+    )
+    assert {(r.k, r.rn) for r in got.collect()} == want
+
+
 def test_ntile_from_rank_matches_sql_ntile(spark):
     for n, tiles in ((37, 10), (40, 10), (5, 10), (9, 4), (1, 10)):
         df = spark.range(1, n + 1).select(F.col("id").alias("k"))
