@@ -127,15 +127,20 @@ def negative_samples(
     positives mean per-user output can be slightly UNDER
     per_positive×positives — standard for samplers, documented here.
 
-    The dense index is a global row_number over the distinct item
-    catalog — a single-partition sort of the CATALOG only (items are
-    dimension-sized; the fact-side work stays distributed)."""
-    from pyspark.sql import Window
+    The dense index is a total-order row_number over the distinct item
+    catalog, delivered by the two-phase bucketed rank
+    (operators/ranks.py) — no single-partition sort even at extreme
+    catalog sizes (the idx broadcast below is the catalog-size bound
+    that matters first)."""
+    from ..operators.ranks import bucketed_rank, with_equi_width_bucket
 
     items = positives.select(item_col).distinct()
-    idx = items.withColumn(
-        "__idx", F.row_number().over(Window.orderBy(item_col))
-    )
+    idx = bucketed_rank(
+        with_equi_width_bucket(items, item_col),
+        [F.col(item_col).asc()],
+        ["__vb"],
+        out="__idx",
+    ).drop("__vb").withColumn("__idx", F.col("__idx").cast("int"))
     n_items = idx.count()
     proposals = (
         positives.select(user_col)

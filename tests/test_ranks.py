@@ -12,6 +12,7 @@ from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
 from big_data_song_recommendation_spark.operators.ranks import (
+    bucketed_avg_rank,
     bucketed_cumsum,
     bucketed_rank,
     ntile_from_rank,
@@ -140,6 +141,25 @@ def test_bucketed_cumsum_matches_window_sum(spark):
         out="c",
     )
     assert {(r.k, r.c) for r in got.collect()} == want
+
+
+def test_bucketed_avg_rank_matches_window_form(spark):
+    """Average-rank ties must equal rank() + (tie_count − 1)/2 from
+    the single-window form — the definition Spearman/Mann-Whitney
+    rest on."""
+    df = _seeded(spark)
+    w = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    want = {
+        (r.k, r.ar)
+        for r in df.withColumn(
+            "ar", F.rank().over(w) + (F.count("*").over(wt) - 1) / 2.0
+        ).collect()
+    }
+    got = bucketed_avg_rank(
+        with_equi_width_bucket(df, "v", bins=4), "v", ["__vb"], out="ar"
+    )
+    assert {(r.k, r.ar) for r in got.collect()} == want
 
 
 def test_null_group_rows_survive_grouped_rank(spark):
