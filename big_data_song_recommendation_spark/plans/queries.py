@@ -3260,25 +3260,19 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    monthly = (
+    # aggregate push-below-joins (q03's trick): reduce lineitem to
+    # (custkey, month) grain FIRST — the only fact-grain shuffle, with
+    # map-side combine — then join the reduced table through the dims
+    # and re-aggregate to nation grain (decimal sums re-associate
+    # exactly). The "yyyy-MM" string is formatted at (nation, month)
+    # grain, never per fact row.
+    per_cust_month = (
         li.join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li["l_orderkey"] == orders["o_orderkey"],
         )
-        .join(
-            cust.select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
         .groupBy(
-            "n_name",
-            # group on the truncated DATE; the "yyyy-MM" string is
-            # formatted AFTER aggregation (nations×months rows), not
-            # per fact row
-            F.date_trunc("month", "o_orderdate").alias("mon"),
+            "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
         )
         .agg(
             F.sum(
@@ -3287,6 +3281,18 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rev")
         )
+    )
+    monthly = (
+        per_cust_month.join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "mon")
+        .agg(F.sum("rev").alias("rev"))
         .withColumn("month", F.date_format("mon", "yyyy-MM"))
         .drop("mon")
     )
