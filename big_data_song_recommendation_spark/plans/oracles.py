@@ -1426,7 +1426,8 @@ ORACLES: dict[str, str] = {
     "q117_revenue_lorenz": """
         WITH pc AS (
             SELECT o_custkey,
-                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))), 2)
                         AS DECIMAL(18,2)) AS rev
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
@@ -1981,7 +1982,8 @@ ORACLES: dict[str, str] = {
     "q99_revenue_gini": """
         WITH pc AS (
             SELECT o_custkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+                   ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))), 2) AS rev
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         ),
@@ -2520,7 +2522,8 @@ ORACLES: dict[str, str] = {
     "q125_spearman_spend_balance": """
         WITH pc AS (
             SELECT o_custkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS b
+                   ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))), 2) AS b
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         ),

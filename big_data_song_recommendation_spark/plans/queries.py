@@ -2520,7 +2520,11 @@ def q99_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("rev"))
+        .agg(
+            # decimal-exact sum: the ranking value must be engine-
+            # identical at any scale (see q117)
+            F.round(F.sum(_revenue().cast("decimal(18,4)")), 2).alias("rev")
+        )
     )
     return gini_index(per_cust, "rev", "o_custkey").select(
         F.col("n").alias("n_customers"),
@@ -3102,7 +3106,13 @@ def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum(_revenue()), 2)
+            # decimal-exact summation (q121's pattern): double sums are
+            # ORDER-DEPENDENT, and at sf0.1 a handful of customers land
+            # on different cents across engines — which swaps decile
+            # membership at rank boundaries. Summing per-row
+            # decimal(18,4) casts is associative-exact, so the ranking
+            # value is engine-identical at any scale.
+            F.round(F.sum(_revenue().cast("decimal(18,4)")), 2)
             .cast("decimal(18,2)")
             .alias("rev")
         )
@@ -3485,7 +3495,9 @@ def q125_spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("b"))
+        .agg(
+            F.round(F.sum(_revenue().cast("decimal(18,4)")), 2).alias("b")
+        )
         .join(
             cust.select("c_custkey", F.col("c_acctbal").alias("a")),
             F.col("o_custkey") == F.col("c_custkey"),
