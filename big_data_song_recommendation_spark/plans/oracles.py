@@ -153,7 +153,9 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
                o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -115,7 +115,13 @@ def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(
+            # decimal-exact sum: the top-10 SELECTION rides this value,
+            # so it must be engine-identical at any scale (see q117)
+            F.round(F.sum(_revenue().cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
