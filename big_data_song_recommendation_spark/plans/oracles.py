@@ -2589,6 +2589,33 @@ ORACLES: dict[str, str] = {
                TRUE AS within_band
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    # q128: the MERGE clause set as set algebra — updated = matched
+    # minus deleted, inserted = source-only, kept = target-only;
+    # repriced values round the SAME double on both engines
+    "q128_orders_merge": """
+        WITH src AS (
+            SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice
+            FROM orders WHERE o_orderkey % 89 = 3
+        ),
+        result AS (
+            SELECT 'updated' AS action, s.o_totalprice AS tp
+            FROM orders t JOIN src s USING (o_orderkey)
+            WHERE t.o_orderpriority <> '5-LOW'
+            UNION ALL
+            SELECT 'inserted', s.o_totalprice
+            FROM src s ANTI JOIN orders t USING (o_orderkey)
+            UNION ALL
+            SELECT 'kept', t.o_totalprice
+            FROM orders t ANTI JOIN src s USING (o_orderkey)
+        )
+        SELECT action, COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(tp AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS total_price
+        FROM result GROUP BY 1 ORDER BY 1
+    """,
     # q86b: the approx-profile gate — oracle recomputes n_rows/n_null
     # exactly and expects every HLL tolerance flag TRUE; the sketch
     # values themselves are engine-specific and never compared

@@ -3599,6 +3599,51 @@ def q127_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "event_type")
 
 
+def q128_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ANSI-MERGE clause set (operators/merge.py merge_into) as a
+    checked query: a deterministic CDC batch against orders — matched
+    rows updated (10% repricing, status 'U') unless the matched
+    target is 5-LOW priority (deleted), source-only keys inserted,
+    untouched rows kept. Output: per-action row count + decimal-exact
+    totalprice sum — the post-merge audit a lakehouse upsert job
+    emits. One null-safe key join; CDC side broadcasts from stats."""
+    from ..operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    ins = (
+        orders.filter(F.col("o_orderkey") % 89 == 3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = merge_into(
+        orders,
+        upd.unionByName(ins),
+        ["o_orderkey"],
+        when_matched_update={
+            "o_totalprice": F.col("s.o_totalprice"),
+            "o_orderstatus": F.col("s.o_orderstatus"),
+        },
+        when_matched_delete=F.col("t.o_orderpriority") == F.lit("5-LOW"),
+    )
+    return (
+        merged.groupBy(F.col("__merge_action").alias("action"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .transform(_ordered, "action")
+    )
+
+
 # Insertion order IS the driver-budget order: the round-4 gate walked
 # the first 50 keys in insertion order, so the head leads with (a) the
 # only never-driver-checked queries (q74-q78), (b) the new approx-
@@ -3618,6 +3663,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_spearman_spend_balance": q125_spearman_spend_balance,
     "q126_mann_whitney": q126_mann_whitney,
     "q127_approx_percentile_gate": q127_approx_percentile_gate,
+    "q128_orders_merge": q128_orders_merge,
     "q117_revenue_lorenz": q117_revenue_lorenz,
     "q99_revenue_gini": q99_revenue_gini,
     "q110_zipf_fit": q110_zipf_fit,

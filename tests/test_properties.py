@@ -305,3 +305,63 @@ def test_bucketed_rank_equals_global_window(spark, rows, bins):
         out="rn",
     )
     assert {(r.k, r.rn) for r in got.collect()} == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bucketed_cumsum_and_avg_rank_equal_window_forms(spark, rows, bins):
+    """bucketed_cumsum must reproduce the inclusive running window sum
+    and bucketed_avg_rank the rank()+(ties−1)/2 fractional rank for
+    ANY value distribution and bin count."""
+    from pyspark.sql import Window
+
+    from big_data_song_recommendation_spark.operators.ranks import (
+        bucketed_avg_rank,
+        bucketed_cumsum,
+        with_equi_width_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), int(w), i) for i, (v, w) in enumerate(rows)],
+        ["v", "wgt", "k"],
+    )
+    wc = (
+        Window.orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_cum = {
+        (r.k, r.c)
+        for r in df.withColumn("c", F.sum("wgt").over(wc)).collect()
+    }
+    got_cum = bucketed_cumsum(
+        with_equi_width_bucket(df, "v", bins=bins),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        "wgt",
+        out="c",
+    )
+    assert {(r.k, r.c) for r in got_cum.collect()} == want_cum
+
+    wr = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    want_ar = {
+        (r.k, r.ar)
+        for r in df.withColumn(
+            "ar", F.rank().over(wr) + (F.count("*").over(wt) - 1) / 2.0
+        ).collect()
+    }
+    got_ar = bucketed_avg_rank(
+        with_equi_width_bucket(df, "v", bins=bins), "v", ["__vb"], out="ar"
+    )
+    assert {(r.k, r.ar) for r in got_ar.collect()} == want_ar
