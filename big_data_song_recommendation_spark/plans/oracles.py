@@ -2616,6 +2616,29 @@ ORACLES: dict[str, str] = {
                  AS total_price
         FROM result GROUP BY 1 ORDER BY 1
     """,
+    # q129: RFM quartiles — ntile over engine-exact metrics (int days
+    # and counts, decimal monetary), custkey tie-break on all three
+    "q129_rfm_segmentation": """
+        WITH per AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(o_orderdate),
+                             (SELECT MAX(o_orderdate) FROM orders)) AS r,
+                   COUNT(*) AS f,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+            FROM orders GROUP BY 1
+        ),
+        q AS (
+            SELECT m,
+                   ntile(4) OVER (ORDER BY r, o_custkey) AS rq,
+                   ntile(4) OVER (ORDER BY f, o_custkey) AS fq,
+                   ntile(4) OVER (ORDER BY m, o_custkey) AS mq
+            FROM per
+        )
+        SELECT rq * 100 + fq * 10 + mq AS rfm_code,
+               COUNT(*) AS n_customers,
+               CAST(ROUND(SUM(m), 2) AS DOUBLE) AS total_monetary
+        FROM q GROUP BY 1 ORDER BY 1
+    """,
     # q86b: the approx-profile gate — oracle recomputes n_rows/n_null
     # exactly and expects every HLL tolerance flag TRUE; the sketch
     # values themselves are engine-specific and never compared

@@ -3644,6 +3644,61 @@ def q128_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quartile codes (the classic CRM segmentation), every quartile a
+    DISTRIBUTED ntile (three two-phase bucketed ranks + the closed-
+    form ntile reconstruction — no single-partition window at
+    customer grain). All three ranking values are engine-exact: days
+    and counts are integers, monetary is a decimal sum. Output:
+    per-segment customer count + decimal-exact monetary total."""
+    from ..operators.ranks import (
+        bucketed_rank,
+        ntile_from_rank,
+        with_equi_width_bucket,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last"),
+            F.count("*").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("r", F.datediff("mx", "last"))
+        .drop("mx", "last")
+        .localCheckpoint(eager=False)  # 3 rank chains + the count
+    )
+    n_tot = per.agg(F.count("*").alias("__n"))
+
+    t = per
+    for metric in ("r", "f", "m"):
+        t = bucketed_rank(
+            with_equi_width_bucket(t, metric, out=f"__vb_{metric}"),
+            [F.col(metric).asc(), F.col("o_custkey").asc()],
+            [f"__vb_{metric}"],
+            out=f"__rn_{metric}",
+        ).drop(f"__vb_{metric}")
+    t = t.crossJoin(F.broadcast(n_tot))
+    code = (
+        ntile_from_rank(F.col("__rn_r"), F.col("__n"), 4) * 100
+        + ntile_from_rank(F.col("__rn_f"), F.col("__n"), 4) * 10
+        + ntile_from_rank(F.col("__rn_m"), F.col("__n"), 4)
+    )
+    return (
+        t.withColumn("rfm_code", code)
+        .groupBy("rfm_code")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("m"), 2).cast("double").alias("total_monetary"),
+        )
+        .transform(_ordered, "rfm_code")
+    )
+
+
 # Insertion order IS the driver-budget order: the round-4 gate walked
 # the first 50 keys in insertion order, so the head leads with (a) the
 # only never-driver-checked queries (q74-q78), (b) the new approx-
@@ -3664,6 +3719,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_mann_whitney": q126_mann_whitney,
     "q127_approx_percentile_gate": q127_approx_percentile_gate,
     "q128_orders_merge": q128_orders_merge,
+    "q129_rfm_segmentation": q129_rfm_segmentation,
     "q117_revenue_lorenz": q117_revenue_lorenz,
     "q99_revenue_gini": q99_revenue_gini,
     "q110_zipf_fit": q110_zipf_fit,
