@@ -2639,6 +2639,39 @@ ORACLES: dict[str, str] = {
                CAST(ROUND(SUM(m), 2) AS DOUBLE) AS total_monetary
         FROM q GROUP BY 1 ORDER BY 1
     """,
+    # q130: cohort LTV — integer month arithmetic, decimal sums; the
+    # cumulative window runs on the cohort×month aggregate
+    "q130_cohort_ltv": """
+        WITH first AS (
+            SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+            FROM orders GROUP BY 1
+        ),
+        cm AS (
+            SELECT o.o_custkey, date_trunc('month', o_orderdate) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders o GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT f.cohort, cm.m, cm.rev,
+                   (year(cm.m) - year(f.cohort)) * 12
+                     + (month(cm.m) - month(f.cohort)) AS month_index
+            FROM cm JOIN first f ON cm.o_custkey = f.o_custkey
+            WHERE (year(cm.m) - year(f.cohort)) * 12
+                    + (month(cm.m) - month(f.cohort)) <= 12
+        ),
+        cell AS (
+            SELECT cohort, month_index, COUNT(*) AS n_active,
+                   SUM(rev) AS rev
+            FROM idx GROUP BY 1, 2
+        )
+        SELECT strftime(cohort, '%Y-%m') AS cohort, month_index, n_active,
+               CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort
+                          ORDER BY month_index
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW), 2) AS DOUBLE)
+                 AS cum_revenue
+        FROM cell ORDER BY cohort, month_index
+    """,
     # q86b: the approx-profile gate — oracle recomputes n_rows/n_null
     # exactly and expects every HLL tolerance flag TRUE; the sketch
     # values themselves are engine-specific and never compared

@@ -3699,6 +3699,55 @@ def q129_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers bucketed by first-order
+    month, cumulative revenue per cohort over months-since-first-order
+    (0..12) — the acquisition-quality readout (complements q83's
+    retention counts with VALUE). Two fact-grain aggregates (first
+    order per customer; customer-month revenue); the cumulative
+    window runs on the cohort×month AGGREGATE (~dozens of rows per
+    cohort), never at fact grain. Month index is integer year/month
+    arithmetic (months_between's fractional months are not portable);
+    revenue sums are decimal-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    cm = (
+        orders.groupBy(
+            "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .join(first, "o_custkey")
+        .withColumn(
+            "month_index",
+            (F.year("m") - F.year("cohort")) * 12
+            + (F.month("m") - F.month("cohort")),
+        )
+        .filter(F.col("month_index") <= 12)
+    )
+    cell = cm.groupBy("cohort", "month_index").agg(
+        F.count("*").alias("n_active"), F.sum("rev").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.withColumn("cum_rev", F.sum("rev").over(w))
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "month_index",
+            "n_active",
+            F.round("cum_rev", 2).cast("double").alias("cum_revenue"),
+        )
+        .transform(_ordered, "cohort", "month_index")
+    )
+
+
 # Insertion order IS the driver-budget order: the round-4 gate walked
 # the first 50 keys in insertion order, so the head leads with (a) the
 # only never-driver-checked queries (q74-q78), (b) the new approx-
@@ -3720,6 +3769,7 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_approx_percentile_gate": q127_approx_percentile_gate,
     "q128_orders_merge": q128_orders_merge,
     "q129_rfm_segmentation": q129_rfm_segmentation,
+    "q130_cohort_ltv": q130_cohort_ltv,
     "q117_revenue_lorenz": q117_revenue_lorenz,
     "q99_revenue_gini": q99_revenue_gini,
     "q110_zipf_fit": q110_zipf_fit,
