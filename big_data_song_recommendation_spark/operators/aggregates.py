@@ -37,6 +37,40 @@ def top_k_per_group(
     )
 
 
+def top_k_per_group_salted(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    k: int,
+    *,
+    salt_col: Column,
+    salt_buckets: int = 64,
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Two-phase top-k per LOW-CARDINALITY group: a plain group-keyed
+    window funnels 1/|groups| of the table through one task each.
+    Phase 1 takes the top-k within each (group, salt) slice — the
+    exact top-k rows of a group are each top-k within their own slice,
+    so no qualifying row is lost; phase 2 re-ranks only the
+    |groups|·salt_buckets·k survivors. ``salt_col`` must be
+    DETERMINISTIC (hash a unique id — never rand()/partition id, which
+    break re-execution and oracle reproducibility).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(salt_col, F.lit(int(salt_buckets)))
+    )
+    w1 = Window.partitionBy(*group, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*group).orderBy(*order)
+    return survivors.withColumn(rank_name, F.row_number().over(w2)).filter(
+        F.col(rank_name) <= k
+    )
+
+
 def argmax_per_group(
     df: DataFrame, group: list[str], order_col: str, payload: list[str]
 ) -> DataFrame:

@@ -204,16 +204,24 @@ def q04_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q05_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 per group via window row_number (§2.5; replaces the
-    reference's Python sort+slice A7/A9). One shuffle on the partition
-    key; no global sort."""
+    """Top-3 per group (§2.5; replaces the reference's Python
+    sort+slice A7/A9) — via the SALTED two-phase form
+    (operators/aggregates.py top_k_per_group_salted): event_type is a
+    5-value key, so a plain type-keyed window would funnel 1/5 of the
+    fact table through one task each; the salted form takes per-slice
+    top-3s in parallel and re-ranks only the tiny survivor set. Salt
+    is a deterministic hash of the unique event id."""
+    from ..operators.aggregates import top_k_per_group_salted
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        ev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("event_type", "event_id", "user_id", "value", "rnk")
-        .transform(_ordered, "event_type", "rnk")
+    return top_k_per_group_salted(
+        ev,
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        3,
+        salt_col=F.xxhash64("event_id"),
+    ).select("event_type", "event_id", "user_id", "value", "rnk").transform(
+        _ordered, "event_type", "rnk"
     )
 
 
@@ -595,25 +603,33 @@ def q27_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete percentiles (median/p90) per event_type via window
-    rank — percentile_disc semantics return actual data values, which
-    are engine-portable (interpolated quantiles are not: engines
-    differ in formula ulp)."""
+    """Discrete percentiles (median/p90) per event_type —
+    percentile_disc semantics return actual data values, which are
+    engine-portable (interpolated quantiles are not: engines differ
+    in formula ulp). The per-type rank is the grouped TWO-PHASE form
+    (operators/ranks.py): event_type is a 5-value key, so a plain
+    type-keyed window would funnel 1/5 of the facts through one task
+    each; bucketed ranks keep every task at bucket grain."""
+    from ..operators.ranks import bucketed_rank, with_equi_width_bucket
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    cnt = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cnt).alias("n"),
+    ranked = bucketed_rank(
+        with_equi_width_bucket(ev, "value", group=["event_type"]),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        ["__vb"],
+        group=["event_type"],
+        out="rn",
     )
+    n_per = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
     def disc(q: float) -> F.Column:
         return F.min(
             F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value"))
         )
+
     return (
-        ranked.groupBy("event_type")
+        ranked.join(F.broadcast(n_per), "event_type")
+        .groupBy("event_type")
         .agg(
             disc(0.5).alias("median_value"),
             disc(0.9).alias("p90_value"),
@@ -839,13 +855,34 @@ def q50_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q48_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: ntile — customers quartiled by account balance within
-    market segment, with per-quartile stats."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
+    market segment, with per-quartile stats. mktsegment is a 5-value
+    key, so the quartile is the DISTRIBUTED ntile (grouped two-phase
+    rank on negated balance + closed-form reconstruction) — no task
+    ever sorts a whole segment."""
+    from ..operators.ranks import (
+        bucketed_rank,
+        ntile_from_rank,
+        with_equi_width_bucket,
     )
+
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = bucketed_rank(
+        with_equi_width_bucket(
+            cust.withColumn("__neg", -F.col("c_acctbal")),
+            "__neg",
+            group=["c_mktsegment"],
+        ).drop("__neg"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        ["__vb"],
+        group=["c_mktsegment"],
+        out="__rn",
+    )
+    n_seg = cust.groupBy("c_mktsegment").agg(F.count("*").alias("__n"))
     return (
-        cust.withColumn("quartile", F.ntile(4).over(w))
+        ranked.join(F.broadcast(n_seg), "c_mktsegment")
+        .withColumn(
+            "quartile", ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
+        )
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count("*").alias("n"),
@@ -1879,12 +1916,18 @@ def q77_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .transform(_ordered, "lang", "rnk")
-    )
+    # lang is a 5-value key over a vocabulary²-grain table: salted
+    # two-phase top-k (per-slice top-10s in parallel, re-rank the tiny
+    # survivor set) instead of a lang-partitioned window
+    from ..operators.aggregates import top_k_per_group_salted
+
+    return top_k_per_group_salted(
+        agg,
+        ["lang"],
+        [F.col("n").desc(), F.col("bigram").asc()],
+        10,
+        salt_col=F.xxhash64("bigram"),
+    ).transform(_ordered, "lang", "rnk")
 
 
 def q78_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

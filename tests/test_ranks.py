@@ -235,3 +235,51 @@ def test_q115_no_fact_grain_window(spark):
     )
     assert "row_number" not in plan
     assert not unpartitioned_rank_windows(plan)
+
+
+def test_top_k_per_group_salted_parity(spark):
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    df = _seeded(spark)
+    want = {
+        (r.g, r.k, r.rnk)
+        for r in top_k_per_group(
+            df, ["g"], [F.desc("v"), F.asc("k")], 5
+        ).collect()
+    }
+    got = {
+        (r.g, r.k, r.rnk)
+        for r in top_k_per_group_salted(
+            df,
+            ["g"],
+            [F.desc("v"), F.asc("k")],
+            5,
+            salt_col=F.xxhash64("k"),
+            salt_buckets=7,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_low_cardinality_rewrites_partition_on_salt_or_bucket(spark):
+    """q05/q77 (salted top-k) and q28/q48 (grouped bucketed rank): the
+    fact-grain window must be partitioned on more than the low-
+    cardinality group key alone."""
+    for q, marker in (
+        ("q05_top_events_per_type", "__salt"),
+        ("q77_corpus_bigrams", "__salt"),
+        ("q28_value_percentiles", "__rb0"),
+        ("q48_ntile_quartiles", "__rb0"),
+    ):
+        plan = (
+            QUERIES[q]
+            .__wrapped__(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert marker in plan, f"{q}: expected {marker} in plan"
+        assert not unpartitioned_rank_windows(plan), q
