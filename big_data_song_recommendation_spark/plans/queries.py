@@ -3813,6 +3813,9 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_orders_merge": q128_orders_merge,
     "q129_rfm_segmentation": q129_rfm_segmentation,
     "q130_cohort_ltv": q130_cohort_ltv,
+    "q05_top_events_per_type": q05_top_events_per_type,
+    "q28_value_percentiles": q28_value_percentiles,
+    "q48_ntile_quartiles": q48_ntile_quartiles,
     "q117_revenue_lorenz": q117_revenue_lorenz,
     "q99_revenue_gini": q99_revenue_gini,
     "q110_zipf_fit": q110_zipf_fit,
@@ -3881,7 +3884,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_region_revenue": q03_region_revenue,
     "q04_event_type_stats": q04_event_type_stats,
-    "q05_top_events_per_type": q05_top_events_per_type,
     "q06_orders_page": q06_orders_page,
     "q07_active_customers": q07_active_customers,
     "q08_inactive_customers": q08_inactive_customers,
@@ -3903,7 +3905,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_sessionization": q25_sessionization,
     "q26_rollup_revenue": q26_rollup_revenue,
     "q27_daily_event_pivot": q27_daily_event_pivot,
-    "q28_value_percentiles": q28_value_percentiles,
     "q29_asof_last_click": q29_asof_last_click,
     "q30_hash_attributes": q30_hash_attributes,
     "q31_duration_format": q31_duration_format,
@@ -3914,7 +3915,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_order_count_distribution": q37_order_count_distribution,
     "q38_small_quantity_revenue": q38_small_quantity_revenue,
     "q39_late_shipment_priorities": q39_late_shipment_priorities,
-    "q48_ntile_quartiles": q48_ntile_quartiles,
     "q49_first_last_gap": q49_first_last_gap,
     "q50_user_event_arrays": q50_user_event_arrays,
     "q51_forecast_revenue": q51_forecast_revenue,
