@@ -129,14 +129,25 @@ def negative_samples(
 
     The dense index is a total-order row_number over the distinct item
     catalog, delivered by the two-phase bucketed rank
-    (operators/ranks.py) — no single-partition sort even at extreme
-    catalog sizes (the idx broadcast below is the catalog-size bound
-    that matters first)."""
+    (operators/ranks.py): numeric item ids bucket by equi-width value
+    bin, string ids by a 2-char prefix (the value bin would cast them
+    to NULL — one bucket, one task; ranks.with_equi_width_bucket now
+    rejects that outright). Either way no single-partition sort even
+    at extreme catalog sizes (the idx broadcast below is the
+    catalog-size bound that matters first)."""
+    from pyspark.sql.types import NumericType
+
     from ..operators.ranks import bucketed_rank, with_equi_width_bucket
 
     items = positives.select(item_col).distinct()
+    if isinstance(items.schema[0].dataType, NumericType):
+        bucketed = with_equi_width_bucket(items, item_col)
+    else:
+        bucketed = items.withColumn(
+            "__vb", F.substring(F.col(item_col).cast("string"), 1, 2)
+        )
     idx = bucketed_rank(
-        with_equi_width_bucket(items, item_col),
+        bucketed,
         [F.col(item_col).asc()],
         ["__vb"],
         out="__idx",

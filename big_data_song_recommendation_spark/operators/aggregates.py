@@ -215,13 +215,19 @@ def gini_index(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
     division touches floats — bit-identical cross-engine.
 
     The ranking needs a TOTAL order, delivered distributed: the
-    two-phase :func:`~.ranks.bucketed_rank` (equi-width value buckets
-    → per-bucket counts → offset prefix-sum → partitioned local
-    ranks) — no single-partition window ever touches the entity rows,
-    so the shape survives any entity count.
+    two-phase :func:`~.ranks.bucketed_rank` over equi-DEPTH value
+    buckets (approx_percentile edges → per-bucket counts → offset
+    prefix-sum → partitioned local ranks) — no single-partition window
+    ever touches the entity rows, so the shape survives any entity
+    count. Equi-depth, not equi-width: the values a Gini is computed
+    ON are by definition heavy-tailed (that's what it measures), so
+    width-based bins would pile most entities into bin 0 while depth
+    bins hold ~n/bins rows each whatever the distribution (r5 ADVICE).
+    Bucket edges only shift BOUNDARIES, never rank values — the
+    result is bit-identical under either scheme.
     """
     from ..functions.scalars import stable_round
-    from .ranks import bucketed_rank, with_equi_width_bucket
+    from .ranks import bucketed_rank, with_equi_depth_bucket
 
     x = F.col(value_col).cast("decimal(18,2)")
     # entity table is consumed by the bucket-stats agg AND the bucket
@@ -229,7 +235,7 @@ def gini_index(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
     ent = df.select(F.col(value_col), F.col(id_col)).localCheckpoint(
         eager=False
     )
-    b = with_equi_width_bucket(ent, value_col)
+    b = with_equi_depth_bucket(ent, value_col)
     ranked = bucketed_rank(
         b,
         [F.col(value_col).asc(), F.col(id_col).asc()],

@@ -24,6 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Default production cap on per-user fan-out: a user contributes pairs
+# from at most this many (lowest-id) items, so the worst task emits
+# ≤ cap·(cap-1)/2 ≈ 20k pairs regardless of bot accounts / crawler
+# users with 10k+ items. 200 is far above organic catalogs-per-user
+# (p99 is 61 at every test SF; max 67) so it never binds on real
+# users, while turning the one unbounded quadratic in the roster into
+# a constant. Oracle twins mirror the same cap (row_number over
+# item_id ≤ cap), so parity holds at ANY scale factor, not just the
+# ones where the cap is slack.
+DEFAULT_MAX_ITEMS_PER_USER = 200
+
 
 def cooccurrence_pairs(
     user_items: DataFrame,

@@ -29,8 +29,31 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NullType, NumericType
 
-__all__ = ["with_equi_width_bucket", "bucketed_rank", "ntile_from_rank"]
+__all__ = [
+    "with_equi_width_bucket",
+    "with_equi_depth_bucket",
+    "bucketed_rank",
+    "ntile_from_rank",
+]
+
+
+def _require_numeric(df: DataFrame, value: Column | str, fn: str) -> Column:
+    """Both bucketing schemes bin via a cast to double, which is only
+    MONOTONE for numeric inputs — a string key would all land in the
+    NULL bin (one task again) or, for numeric-looking strings, bucket
+    non-monotonically vs string order. Fail loudly instead; string
+    keys need a prefix bucket (e.g. ``F.substring(key, 1, 1)``) passed
+    straight to :func:`bucketed_rank`."""
+    v = F.col(value) if isinstance(value, str) else value
+    dt = df.select(v).schema[0].dataType
+    if not isinstance(dt, (NumericType, NullType)):
+        raise TypeError(
+            f"{fn} requires a numeric sort key, got {dt.simpleString()}; "
+            "bucket string keys with a prefix expression instead"
+        )
+    return v.cast("double")
 
 
 def with_equi_width_bucket(
@@ -43,17 +66,18 @@ def with_equi_width_bucket(
 ) -> DataFrame:
     """Attach an equi-width bin of ``value`` (per ``group`` when given)
     as column ``out`` — the standard monotone bucket for numeric sort
-    keys. Min/max fold in as a tiny broadcast aggregate (never a
+    keys (non-numeric types raise: see :func:`_require_numeric`).
+    Min/max fold in as a tiny broadcast aggregate (never a
     driver action); the top edge closes into the last bin; a
     degenerate min==max group lands wholly in bin 0.
 
     Equi-width bins balance roughly-uniform values; heavily skewed
     value distributions concentrate buckets — acceptable for ranking
     (each bucket is still far below a global window) and refinable by
-    raising ``bins``.
+    raising ``bins`` or switching to :func:`with_equi_depth_bucket`.
     """
     g = list(group or [])
-    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    v = _require_numeric(df, value, "with_equi_width_bucket")
     b = int(bins)
     stats = (
         df.groupBy(*g).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
@@ -97,6 +121,66 @@ def with_equi_width_bucket(
     return joined.withColumn(out, bin_).drop("__lo", "__hi")
 
 
+def with_equi_depth_bucket(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    bins: int = 256,
+    group: list[str] | None = None,
+    out: str = "__vb",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Equi-DEPTH alternative to :func:`with_equi_width_bucket` for
+    heavy-tailed sort keys (revenue, spend, token counts): bucket
+    edges come from ``approx_percentile`` so each bucket holds roughly
+    ``1/bins`` of the rows however skewed the values — equi-width on a
+    Pareto-ish column concentrates nearly everything in bin 0 and the
+    "parallel" local rank degenerates back toward one task.
+
+    The bin is ``#(edges < v)`` over the broadcast edge array — a
+    monotone non-decreasing function of ``v`` (ties share a bin), so
+    it satisfies the :func:`bucketed_rank` bucket contract exactly;
+    approximation error in the percentiles only shifts bucket
+    BOUNDARIES (changing balance, never correctness). NULL values get
+    a NULL bin (sorts first, same asc-nulls-first contract as
+    equi-width). One pass over the data for the sketch (combinable
+    aggregate), then a tiny broadcast join.
+    """
+    g = list(group or [])
+    v = _require_numeric(df, value, "with_equi_depth_bucket")
+    b = int(bins)
+    pcts = [i / b for i in range(1, b)]
+    edges_agg = F.percentile_approx(
+        v, F.array(*[F.lit(p) for p in pcts]), F.lit(int(accuracy))
+    ).alias("__edges")
+    stats = df.groupBy(*g).agg(edges_agg) if g else df.agg(edges_agg)
+    if g:
+        st = stats.select(
+            *[F.col(c).alias(f"{c}__s") for c in g], "__edges"
+        )
+        cond = None
+        for c in g:
+            e = df[c].eqNullSafe(st[f"{c}__s"])
+            cond = e if cond is None else (cond & e)
+        joined = df.join(F.broadcast(st), cond).drop(
+            *[f"{c}__s" for c in g]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    bin_ = (
+        F.when(v.isNull(), F.lit(None))
+        .otherwise(
+            F.aggregate(
+                F.col("__edges"),
+                F.lit(0),
+                lambda acc, e: acc + F.when(e < v, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+    )
+    return joined.withColumn(out, bin_).drop("__edges")
+
+
 def bucketed_rank(
     df: DataFrame,
     order: list[Column],
@@ -105,6 +189,7 @@ def bucketed_rank(
     group: list[str] | None = None,
     out: str = "rank",
     method: str = "row_number",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Two-phase total-order rank: ``out`` = row_number() (or rank())
     over ``order`` within each ``group`` (global when no group),
@@ -112,10 +197,18 @@ def bucketed_rank(
 
     ``buckets`` must be monotone non-decreasing along ``order`` within
     each group and of bounded (metadata-scale) cardinality — e.g. the
-    :func:`with_equi_width_bucket` bin, the leading sort value itself,
-    or a string prefix of the leading sort column. For
+    :func:`with_equi_width_bucket` / :func:`with_equi_depth_bucket`
+    bin, the leading sort value itself, or a string prefix of the
+    leading sort column. For
     ``method="rank"`` ties must also never span buckets, which holds
     whenever the bucket is a function of a prefix of the order key.
+
+    NULL contract: a NULL bucket sorts FIRST in the offset prefix-sum,
+    so a nullable bucket column matches ``order`` only when the
+    leading sort key is ASCENDING nulls-first (Spark's asc default).
+    Ranking by a DESC leading key over a nullable bucket would rank
+    NULLs first, diverging from desc NULLS LAST — pass a non-null
+    bucket (or coalesce the key) for descending orders.
 
     Plan shape: one combinable groupBy on (group, buckets) for the
     counts; one prefix-sum window over that bucket-count table (the
@@ -123,6 +216,15 @@ def bucketed_rank(
     cardinality contract); one join of the offsets back (no forced
     broadcast — AQE promotes it while the table fits); one window
     partitioned on (group, buckets) for the local ranks.
+
+    ``checkpoint=True`` (default) cuts the upstream lineage with a
+    lazy ``localCheckpoint`` so the two consumers below don't both
+    recompute it. Tradeoff: the checkpointed blocks live on executor
+    block managers until the session ends (long sessions chaining many
+    ranks accumulate storage), and truncated lineage cannot recompute
+    on executor loss — callers with cheap upstreams (a bare scan) or
+    their own persist/checkpoint discipline should pass
+    ``checkpoint=False``.
     """
     g = list(group or [])
     bcols = [F.col(b) if isinstance(b, str) else b for b in buckets]
@@ -130,11 +232,13 @@ def bucketed_rank(
     work = df
     for name, col in zip(bnames, bcols):
         work = work.withColumn(name, col)
-    # two consumers (bucket counts + offset join) would otherwise both
-    # recompute the FULL upstream lineage — cut it once, lazily (the
-    # q66 connected-components discipline): nothing materializes until
-    # the query's action, then both branches read the same partitions
-    work = work.localCheckpoint(eager=False)
+    if checkpoint:
+        # two consumers (bucket counts + offset join) would otherwise
+        # both recompute the FULL upstream lineage — cut it once,
+        # lazily (the q66 connected-components discipline): nothing
+        # materializes until the query's action, then both branches
+        # read the same partitions
+        work = work.localCheckpoint(eager=False)
 
     cnts = work.groupBy(*g, *bnames).agg(F.count("*").alias("__bc"))
     woff = (
@@ -170,6 +274,7 @@ def bucketed_cumsum(
     *,
     group: list[str] | None = None,
     out: str = "cum",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Two-phase INCLUSIVE running sum of ``value`` along ``order``
     (per ``group``), same skeleton as :func:`bucketed_rank`: per-bucket
@@ -178,7 +283,8 @@ def bucketed_cumsum(
     budget-selection primitive (take rows in deterministic order until
     a cumulative quota is met) at any scale.
 
-    Same bucket contract as :func:`bucketed_rank`; exact only when
+    Same bucket / NULL-ordering / ``checkpoint`` contracts as
+    :func:`bucketed_rank`; exact only when
     ``value`` sums without rounding (integers / decimals — the long
     token counts this exists for)."""
     g = list(group or [])
@@ -188,7 +294,8 @@ def bucketed_cumsum(
     work = df.withColumn("__cv", v)
     for name, col in zip(bnames, bcols):
         work = work.withColumn(name, col)
-    work = work.localCheckpoint(eager=False)
+    if checkpoint:
+        work = work.localCheckpoint(eager=False)
 
     tots = work.groupBy(*g, *bnames).agg(F.sum("__cv").alias("__bt"))
     woff = (
@@ -252,22 +359,33 @@ def bucketed_avg_rank(
     ).drop("__rmin")
 
 
+def _floordiv(a: Column, b: Column) -> Column:
+    """Exact ``floor(a / b)`` for non-negative longs via Spark's
+    integer ``div`` operator — JVM long division, never the double
+    path (``(a / b).cast("long")`` is only an estimate: IEEE relative
+    error 2^-52 scales with the QUOTIENT, so a 2^60-row count div 7 is
+    off by ~36 — measured, and exactly the tile-boundary misplacement
+    ADVICE r5 called out)."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
 def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """SQL ``ntile(tiles)`` reconstructed from a 1-based total-order
     rank and the row count: the first ``n % tiles`` tiles hold
     ``n div tiles + 1`` rows, the rest ``n div tiles`` — the exact
     standard semantics, so a :func:`bucketed_rank` feeds distributed
-    ntile without the global window SQL ntile plans."""
+    ntile without the global window SQL ntile plans. All divisions go
+    through :func:`_floordiv` (long-exact), so tile boundaries stay
+    correct for any row count a long can hold — raw double division
+    would misplace boundary rows once counts pass ~2^52."""
     t = F.lit(int(tiles))
-    base = (n / t).cast("long")  # floor for non-negative n
+    base = _floordiv(n, t)
     rem = n % t
     big = rem * (base + 1)
     return (
-        F.when(rank <= big, ((rank - 1) / (base + 1)).cast("long") + 1)
+        F.when(rank <= big, _floordiv(rank - 1, base + 1) + 1)
         .otherwise(
-            rem
-            + ((rank - big - 1) / F.greatest(base, F.lit(1))).cast("long")
-            + 1
+            rem + _floordiv(rank - big - 1, F.greatest(base, F.lit(1))) + 1
         )
         .cast("int")
     )

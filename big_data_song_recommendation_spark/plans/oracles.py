@@ -569,11 +569,21 @@ ORACLES: dict[str, str] = {
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         ),
+        uic AS (
+            -- mirror of the Spark-side DEFAULT_MAX_ITEMS_PER_USER=200
+            -- fan-out cap: each user keeps its 200 lowest item ids
+            SELECT user_id, item_id FROM (
+                SELECT user_id, item_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY item_id) AS rn
+                FROM ui
+            ) WHERE rn <= 200
+        ),
         nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ui),
         item_n AS (SELECT item_id, COUNT(*) AS n FROM ui GROUP BY item_id),
         co AS (
             SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS n_co
-            FROM ui a JOIN ui b
+            FROM uic a JOIN uic b
               ON a.user_id = b.user_id AND a.item_id < b.item_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 3
@@ -1510,10 +1520,20 @@ ORACLES: dict[str, str] = {
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         ),
+        uic AS (
+            -- mirror of the Spark-side DEFAULT_MAX_ITEMS_PER_USER=200
+            -- fan-out cap: each user keeps its 200 lowest item ids
+            SELECT user_id, item_id FROM (
+                SELECT user_id, item_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY item_id) AS rn
+                FROM ui
+            ) WHERE rn <= 200
+        ),
         co AS (
             SELECT a.item_id AS item_a, b.item_id AS item_b,
                    COUNT(*) AS n_co
-            FROM ui a JOIN ui b
+            FROM uic a JOIN uic b
               ON a.user_id = b.user_id AND a.item_id < b.item_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 3
@@ -1772,9 +1792,19 @@ ORACLES: dict[str, str] = {
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         ),
+        uic AS (
+            -- mirror of the Spark-side DEFAULT_MAX_ITEMS_PER_USER=200
+            -- fan-out cap: each user keeps its 200 lowest item ids
+            SELECT user_id, item_id FROM (
+                SELECT user_id, item_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY item_id) AS rn
+                FROM ui
+            ) WHERE rn <= 200
+        ),
         co AS (
             SELECT a.item_id AS item_a, b.item_id AS item_b
-            FROM ui a JOIN ui b
+            FROM uic a JOIN uic b
               ON a.user_id = b.user_id AND a.item_id < b.item_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 3
@@ -2012,9 +2042,19 @@ ORACLES: dict[str, str] = {
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         ),
+        uic AS (
+            -- mirror of the Spark-side DEFAULT_MAX_ITEMS_PER_USER=200
+            -- fan-out cap: each user keeps its 200 lowest item ids
+            SELECT user_id, item_id FROM (
+                SELECT user_id, item_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY item_id) AS rn
+                FROM ui
+            ) WHERE rn <= 200
+        ),
         co AS (
             SELECT a.item_id AS u, b.item_id AS v
-            FROM ui a JOIN ui b
+            FROM uic a JOIN uic b
               ON a.user_id = b.user_id AND a.item_id < b.item_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 3
@@ -2294,9 +2334,19 @@ ORACLES: dict[str, str] = {
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
         ),
+        uic AS (
+            -- mirror of the Spark-side DEFAULT_MAX_ITEMS_PER_USER=200
+            -- fan-out cap: each user keeps its 200 lowest item ids
+            SELECT user_id, item_id FROM (
+                SELECT user_id, item_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY item_id) AS rn
+                FROM ui
+            ) WHERE rn <= 200
+        ),
         co AS (
             SELECT a.item_id AS item_a, b.item_id AS item_b
-            FROM ui a JOIN ui b
+            FROM uic a JOIN uic b
               ON a.user_id = b.user_id AND a.item_id < b.item_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 3

@@ -752,7 +752,10 @@ def q54_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()  # read by the pair join AND the lift popularity scan
     )
-    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    pairs = cooccur.cooccurrence_pairs(
+        ui, min_support=3,
+        max_items_per_user=cooccur.DEFAULT_MAX_ITEMS_PER_USER,
+    )
     return (
         cooccur.with_lift(pairs, ui)
         .orderBy(F.desc("n_co"), F.asc("item_a"), F.asc("item_b"))
@@ -2209,9 +2212,13 @@ def q86b_events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAIL — the sketch path is oracle-gated without demanding
     cross-engine sketch equality (DuckDB's HLL differs numerically).
     Spark's HLL is deterministic (xxhash-based), so the flag is
-    stable run-to-run."""
-    from functools import reduce
+    stable run-to-run.
 
+    The exact side is ONE multi-distinct aggregate (Spark's Expand
+    rewrite: a single event scan fanned 6× in-memory, map-side
+    partials per column) unpivoted from its 1-row result — not six
+    per-column aggregates, which re-scanned events six times (r5
+    verdict). Whole query: exactly 2 scans, approx + exact."""
     from ..operators.profile import profile_columns
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2219,14 +2226,24 @@ def q86b_events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = profile_columns(ev, cols, approximate=True).select(
         "col_name", "n_rows", "n_null", F.col("n_distinct").alias("nd_hll")
     )
-    exact = reduce(
-        DataFrame.unionAll,
-        [
-            ev.select(F.col(c))
-            .agg(F.countDistinct(F.col(c)).alias("nd_exact"))
-            .select(F.lit(c).alias("col_name"), "nd_exact")
-            for c in cols
-        ],
+    exact = (
+        ev.agg(
+            *[F.countDistinct(F.col(c)).alias(f"__nd_{c}") for c in cols]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(f"__nd_{c}").alias("nd_exact"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("__s")
+        )
+        .select("__s.col_name", "__s.nd_exact")
     )
     return (
         approx.join(F.broadcast(exact), "col_name")
@@ -2263,7 +2280,10 @@ def q87_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_id").isNotNull())
         .distinct()
     )
-    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    pairs = cooccur.cooccurrence_pairs(
+        ui, min_support=3,
+        max_items_per_user=cooccur.DEFAULT_MAX_ITEMS_PER_USER,
+    )
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).union(
@@ -2599,7 +2619,10 @@ def q100_item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_id").isNotNull())
         .distinct()
     )
-    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    pairs = cooccur.cooccurrence_pairs(
+        ui, min_support=3,
+        max_items_per_user=cooccur.DEFAULT_MAX_ITEMS_PER_USER,
+    )
     return triangle_count(
         pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
@@ -2747,7 +2770,10 @@ def q106_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_id").isNotNull())
         .distinct()
     )
-    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    pairs = cooccur.cooccurrence_pairs(
+        ui, min_support=3,
+        max_items_per_user=cooccur.DEFAULT_MAX_ITEMS_PER_USER,
+    )
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).union(
@@ -3110,7 +3136,10 @@ def q116_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_id").isNotNull())
         .distinct()
     )
-    pairs = cooccur.cooccurrence_pairs(ui, min_support=3)
+    pairs = cooccur.cooccurrence_pairs(
+        ui, min_support=3,
+        max_items_per_user=cooccur.DEFAULT_MAX_ITEMS_PER_USER,
+    )
     supp = ui.groupBy(F.col("item_id").alias("iid")).agg(
         F.count("*").alias("n")
     )
@@ -3169,14 +3198,17 @@ def q117_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import (
         bucketed_rank,
         ntile_from_rank,
-        with_equi_width_bucket,
+        with_equi_depth_bucket,
     )
 
     # three consumers (rank chain, total count, total revenue) — cut
     # the fact-join lineage once so it runs once
     per_cust = per_cust.localCheckpoint(eager=False)
+    # equi-DEPTH buckets: per-customer revenue is Pareto-shaped, so
+    # width bins concentrate; depth bins stay ~n/256 rows each and the
+    # rank (hence every output value) is identical under either scheme
     ranked = bucketed_rank(
-        with_equi_width_bucket(per_cust, "rev"),
+        with_equi_depth_bucket(per_cust, "rev"),
         [F.col("rev").asc(), F.col("o_custkey").asc()],
         ["__vb"],
         out="__rn",

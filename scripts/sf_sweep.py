@@ -5,7 +5,9 @@ rounding-boundary and ordering divergences the small gates cannot
 (this is how the q117 double-summation cent-divergence was found in
 round 5).
 
-Usage: python scripts/sf_sweep.py [/root/testdata/sf0.1]
+Usage: python scripts/sf_sweep.py [/root/testdata/sf0.1] [name_prefix ...]
+(extra args restrict the sweep to queries whose name starts with any
+given prefix — fast re-checks of just-touched queries)
 
 Needs the repo session (16g driver): a vanilla 1g-driver session OOMs
 on the winnowing/self-join queries at sf0.1.
@@ -51,9 +53,12 @@ def main() -> None:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     qs, oracles = entry.queries(), entry.oracle_sql()
+    prefixes = tuple(sys.argv[2:])
     fails, n_checked = [], 0
     for name, fn in sorted(qs.items()):
         if name not in oracles:
+            continue
+        if prefixes and not name.startswith(prefixes):
             continue
         n_checked += 1
         try:

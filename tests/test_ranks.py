@@ -283,3 +283,137 @@ def test_low_cardinality_rewrites_partition_on_salt_or_bucket(spark):
         )
         assert marker in plan, f"{q}: expected {marker} in plan"
         assert not unpartitioned_rank_windows(plan), q
+
+
+def test_equi_depth_bucket_rank_parity_on_skewed_values(spark):
+    """Round-6: equi-depth buckets (approx_percentile edges) must feed
+    bucketed_rank to the exact same global row_number as the window
+    form, on a Pareto-ish value column where equi-width would pile
+    ~everything into bin 0 — and the buckets must actually spread."""
+    from big_data_song_recommendation_spark.operators.ranks import (
+        with_equi_depth_bucket,
+    )
+
+    # heavy tail: v = 2^(i mod 20) with ties, plus a NULL row
+    rows = [Row(v=float(2 ** (i % 20)), k=i) for i in range(400)]
+    rows.append(Row(v=None, k=400))
+    df = spark.createDataFrame(rows)
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    bucketed = with_equi_depth_bucket(df, "v", bins=16)
+    got = bucketed_rank(
+        bucketed,
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        out="rn",
+    )
+    assert {(r.k, r.rn) for r in got.collect()} == want
+    n_buckets = bucketed.select("__vb").distinct().count()
+    assert n_buckets >= 8, f"equi-depth degenerated to {n_buckets} buckets"
+
+
+def test_equi_depth_bucket_grouped_parity(spark):
+    from big_data_song_recommendation_spark.operators.ranks import (
+        with_equi_depth_bucket,
+    )
+
+    df = _seeded(spark)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = bucketed_rank(
+        with_equi_depth_bucket(df, "v", bins=8, group=["g"]),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        group=["g"],
+        out="rn",
+    )
+    assert {(r.k, r.rn) for r in got.collect()} == want
+
+
+def test_bucket_helpers_reject_string_keys(spark):
+    """ADVICE r5: a string sort key casts to double as NULL — every
+    row in one NULL bucket, the single-task shape again. Both bucket
+    helpers must fail loudly instead."""
+    import pytest
+
+    from big_data_song_recommendation_spark.operators.ranks import (
+        with_equi_depth_bucket,
+    )
+
+    df = spark.createDataFrame([Row(s="ab", k=1), Row(s="cd", k=2)])
+    with pytest.raises(TypeError, match="numeric"):
+        with_equi_width_bucket(df, "s")
+    with pytest.raises(TypeError, match="numeric"):
+        with_equi_depth_bucket(df, "s")
+
+
+def test_ntile_boundaries_exact_beyond_double_precision(spark):
+    """ADVICE r5: counts past 2^53 misplace tile-boundary rows under
+    double division. _floordiv's long-exact correction must place the
+    exact boundary ranks of a 2^60-row table correctly."""
+    from big_data_song_recommendation_spark.operators.ranks import _floordiv
+
+    n = 1 << 60
+    tiles = 7
+    base, rem = n // tiles, n % tiles
+    # boundary ranks: last row of each of the first `rem` (big) tiles,
+    # first/last rows of a late small tile, and the very last rank
+    cases = []
+    for t in range(1, rem + 1):
+        last = t * (base + 1)
+        cases += [(last, t), (last + 1, t + 1)]
+    cases += [(n, tiles), (rem * (base + 1) + base, rem + 1)]
+    df = spark.createDataFrame(
+        [Row(rank=r, want=t) for r, t in cases]
+    )
+    got = df.select(
+        "want",
+        ntile_from_rank(
+            F.col("rank"), F.lit(n).cast("long"), tiles
+        ).alias("t"),
+    ).collect()
+    for r in got:
+        assert r.t == r.want, (r.want, r.t)
+    # _floordiv itself on quotients near the operand scale
+    probe = spark.createDataFrame(
+        [Row(a=(1 << 60) + 6, b=7), Row(a=(1 << 53) + 1, b=1), Row(a=0, b=5)]
+    )
+    vals = probe.select(
+        "a", "b", _floordiv(F.col("a"), F.col("b")).alias("q")
+    ).collect()
+    for r in vals:
+        assert r.q == r.a // r.b, (r.a, r.b, r.q)
+
+
+def test_bucketed_rank_checkpoint_optout_parity(spark):
+    """ADVICE r5: checkpoint=False must be a pure plan change — same
+    ranks, no RDD checkpoint blocks pinned by the primitive."""
+    df = _seeded(spark)
+    base = bucketed_rank(
+        with_equi_width_bucket(df, "v", bins=4),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        out="rn",
+        checkpoint=False,
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    want = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {(r.k, r.rn) for r in base.collect()} == want
+    cum = bucketed_cumsum(
+        with_equi_width_bucket(df, "v", bins=4),
+        [F.col("v").asc(), F.col("k").asc()],
+        ["__vb"],
+        F.lit(1),
+        out="c",
+        checkpoint=False,
+    )
+    assert cum.agg(F.max("c")).collect()[0][0] == df.count()
