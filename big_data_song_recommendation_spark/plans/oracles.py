@@ -1959,7 +1959,7 @@ ORACLES: dict[str, str] = {
             FROM orders WHERE o_orderkey % 97 <> 0
         ),
         added AS (
-            SELECT o_orderkey + 1000000000 AS o_orderkey,
+            SELECT -o_orderkey AS o_orderkey,
                    o_totalprice, o_orderstatus
             FROM orders WHERE o_orderkey % 89 = 0
         ),
@@ -2647,7 +2647,7 @@ ORACLES: dict[str, str] = {
             SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
             FROM orders WHERE o_orderkey % 97 = 0
             UNION ALL
-            SELECT o_orderkey + 10000000, o_totalprice
+            SELECT -o_orderkey, o_totalprice
             FROM orders WHERE o_orderkey % 89 = 3
         ),
         result AS (

@@ -2668,9 +2668,8 @@ def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             scalars.stable_round(F.col("o_totalprice") * 1.1, 2),
         ).otherwise(F.col("o_totalprice")),
     )
-    added = orders.filter(k % 89 == 0).withColumn(
-        "o_orderkey", k + F.lit(1000000000)
-    )
+    # negated key, same reasoning as q128: +1e9 collided at SF>=167
+    added = orders.filter(k % 89 == 0).withColumn("o_orderkey", -k)
     new = surv.unionByName(added)
     diff = snapshot_diff(
         orders, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
@@ -3692,7 +3691,11 @@ def q128_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ins = (
         orders.filter(F.col("o_orderkey") % 89 == 3)
-        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        # negated key: TPC-H orderkeys are >= 1 at every SF, so the
+        # synthetic insert set can never collide with a real order —
+        # key+10M collided from SF~1.7 (6M rows/SF), silently turning
+        # inserts into matched updates at sweep scale (ADVICE r5)
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
         .withColumn("o_orderstatus", F.lit("N"))
     )
     merged = merge_into(

@@ -55,9 +55,31 @@ def kmeans_golden(spark):
     return sorted(sorted(g) for g in groups.values())
 
 
+def query_golden(spark, name: str) -> list[str]:
+    """Full result of a rows-only query at sf0.001, serialized row-per
+    string (column=value joined sorted by column name) — the invariance
+    pin for queries with no SQL oracle (q42 TF-IDF / q43 hybrid / q47
+    IVF, VERDICT r5 #4). Every float in these outputs is already
+    rounded in-plan, so the string form is run-stable."""
+    from big_data_song_recommendation_spark.plans.queries import QUERIES
+
+    df = QUERIES[name](spark, SF)
+    rows = [
+        "|".join(f"{c}={r[c]}" for c in sorted(df.columns))
+        for r in df.collect()
+    ]
+    return sorted(rows)
+
+
 def main() -> None:
     spark = get_spark("gen-ml-goldens", shuffle_partitions=8)
-    golden = {"als_top3": als_golden(spark), "kmeans_partition": kmeans_golden(spark)}
+    golden = {
+        "als_top3": als_golden(spark),
+        "kmeans_partition": kmeans_golden(spark),
+        "q42_tfidf_rows": query_golden(spark, "q42_tfidf_features"),
+        "q43_hybrid_rows": query_golden(spark, "q43_hybrid_recommendations"),
+        "q47_ivf_rows": query_golden(spark, "q47_ivf_ann_search"),
+    }
     with open(OUT, "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)
     print("wrote", OUT)

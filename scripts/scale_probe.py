@@ -17,7 +17,7 @@ the shape of real growth: facts scale, dims don't):
 - plans must keep broadcasting the dimensions at every replication
   (no SortMergeJoin creep) — asserted, not eyeballed.
 
-Run: python scripts/scale_probe.py [dedup|relational] [replications ...]
+Run: python scripts/scale_probe.py [dedup|relational|curation|r4ops|ranks|botuser|skew] [replications ...]
 """
 
 from __future__ import annotations
@@ -245,10 +245,160 @@ def ranks_probe(spark, reps: list[int]) -> None:
         print(line, flush=True)
 
 
+def botuser_probe(spark, reps: list[int]) -> None:
+    """Round-6 co-occurrence cap evidence: the real sf0.1 user-item
+    table plus ONE synthetic bot account holding `reps`·1000 distinct
+    items. Uncapped, that single user emits k(k-1)/2 pairs (50M at
+    10k items) inside one task; with DEFAULT_MAX_ITEMS_PER_USER the
+    bot degrades to a constant ≤19,900 pairs and the wall stays flat
+    however large the bot grows. Prints both pair counts + walls —
+    the capped wall must not scale with bot size."""
+    from big_data_song_recommendation_spark.operators import cooccur
+
+    ev = load_table(spark, SF_DIR, "events")
+    ui = (
+        ev.select("user_id", F.expr("json_tuple(props, 'k')").alias("k0"))
+        .select("user_id", F.col("k0").cast("int").alias("item_id"))
+        .filter(F.col("item_id").isNotNull())
+        .distinct()
+        .localCheckpoint()  # freeze: both modes read identical input
+    )
+    for r in reps:
+        bot_items = r * 1000
+        bot = spark.range(bot_items).select(
+            F.lit(999_999_999).alias("user_id"),
+            F.col("id").cast("int").alias("item_id"),
+        )
+        with_bot = ui.unionByName(bot).localCheckpoint()
+        t0 = time.perf_counter()
+        n_cap = cooccur.cooccurrence_pairs(
+            with_bot,
+            min_support=1,
+            max_items_per_user=cooccur.DEFAULT_MAX_ITEMS_PER_USER,
+        ).count()
+        t_cap = time.perf_counter() - t0
+        line = (
+            f"bot={bot_items} items: capped pairs={n_cap} "
+            f"wall={t_cap:.1f}s"
+        )
+        if bot_items <= 4000:  # uncapped blows up quadratically; only
+            t0 = time.perf_counter()  # measure it while it's feasible
+            n_unc = cooccur.cooccurrence_pairs(
+                with_bot, min_support=1
+            ).count()
+            line += (
+                f" | uncapped pairs={n_unc} "
+                f"wall={time.perf_counter() - t0:.1f}s"
+            )
+        print(line, flush=True)
+
+
+def skew_probe(spark, reps: list[int]) -> None:
+    """Round-6 (VERDICT #6): Zipf-distributed group keys at ×reps —
+    the skew shape that breaks naive per-group windows. Asserts the
+    MAX per-(partition-key) row count each operator's heaviest task
+    can see stays BOUNDED (not proportional to the hottest group):
+
+    - top_k_per_group_salted: heaviest (group, salt) slice must hold
+      ~hottest/salt_buckets rows — the salt is doing the spreading;
+    - bucketed_rank on equi-DEPTH buckets: heaviest bucket must hold
+      ~n/bins rows even though the VALUE distribution is Zipf (an
+      equi-width bucketing of the same column is printed for contrast).
+    Correctness re-asserted against the window forms at the smallest
+    rep (the property the parity tests pin, re-checked under skew)."""
+    from pyspark.sql import Window
+
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        top_k_per_group_salted,
+    )
+    from big_data_song_recommendation_spark.operators.ranks import (
+        bucketed_rank,
+        with_equi_depth_bucket,
+        with_equi_width_bucket,
+    )
+
+    base_n = 250_000
+    salt_buckets = 64
+    for r in reps:
+        n = base_n * r
+        # Zipf-ish: group g gets ~n/2^(g+1) rows (group 0 holds half
+        # the table); value column shares the same heavy tail
+        ent = spark.range(n).select(
+            F.col("id").alias("k"),
+            F.floor(-F.log2((F.xxhash64("id") % 1_000_000 + 1_000_001) / 2_000_002.0))
+            .cast("int")
+            .alias("g"),
+            (F.xxhash64("id", F.lit(1)) % 1000).alias("v0"),
+        ).withColumn(
+            "v", (F.pow(F.lit(2.0), F.col("v0") / 100.0)).cast("double")
+        ).drop("v0").localCheckpoint()
+
+        hottest = ent.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+
+        topk = top_k_per_group_salted(
+            ent, ["g"], [F.col("v").desc(), F.col("k").asc()], 5,
+            salt_col=F.xxhash64("k"), salt_buckets=salt_buckets,
+        )
+        t0 = time.perf_counter()
+        n_topk = topk.count()
+        t_topk = time.perf_counter() - t0
+        # heaviest slice phase-1 actually sees
+        heaviest_slice = (
+            ent.withColumn(
+                "__salt", F.pmod(F.xxhash64("k"), F.lit(salt_buckets))
+            )
+            .groupBy("g", "__salt").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert heaviest_slice <= (hottest // salt_buckets) * 2 + 64, (
+            f"salted slice unbalanced: {heaviest_slice} vs hottest {hottest}"
+        )
+
+        depth = with_equi_depth_bucket(ent, "v", bins=256)
+        heaviest_depth = (
+            depth.groupBy("__vb").count().agg(F.max("count")).collect()[0][0]
+        )
+        width = with_equi_width_bucket(ent, "v", bins=256)
+        heaviest_width = (
+            width.groupBy("__vb").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert heaviest_depth <= max(4 * n // 256, 1024), (
+            f"equi-depth bucket unbalanced: {heaviest_depth} of {n}"
+        )
+        t0 = time.perf_counter()
+        mx = (
+            bucketed_rank(
+                depth, [F.col("v").asc(), F.col("k").asc()], ["__vb"],
+                out="rn",
+            ).agg(F.max("rn")).collect()[0][0]
+        )
+        t_rank = time.perf_counter() - t0
+        assert mx == n, (mx, n)
+
+        if r == reps[0]:
+            w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("k").asc())
+            want = (
+                ent.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 5).count()
+            )
+            assert n_topk == want, (n_topk, want)
+
+        print(
+            f"x{r}: rows={n} hottest_group={hottest} "
+            f"salted_slice_max={heaviest_slice} topk={t_topk:.1f}s/{n_topk}r | "
+            f"depth_bucket_max={heaviest_depth} width_bucket_max={heaviest_width} "
+            f"bucketed_rank={t_rank:.1f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
-    if args and args[0] in ("dedup", "relational", "curation", "r4ops", "ranks"):
+    modes = (
+        "dedup", "relational", "curation", "r4ops", "ranks",
+        "botuser", "skew",
+    )
+    if args and args[0] in modes:
         mode, args = args[0], args[1:]
     reps = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("scale-probe")
@@ -267,6 +417,14 @@ def main() -> None:
         return
     if mode == "ranks":
         ranks_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "botuser":
+        botuser_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "skew":
+        skew_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

@@ -1,0 +1,166 @@
+"""Serving-latency harness (VERDICT r5 #9): p50/p95 per-request wall
+for the §2.12 recommendation endpoints, measured two ways —
+
+- ``on_demand``: the request computes its answer (ALS factor-cross /
+  brute-force knn per call) — the reference's architecture, minus its
+  driver-side display loop (``src/app.py:233-245``);
+- ``precomputed``: the 100 TB serving layout — recommendations
+  materialized ONCE by a batch job into a user-keyed (resp.
+  item-keyed) parquet table, each request a key-filtered scan +
+  broadcast display join. At scale the precompute is a nightly Spark
+  job and the lookups hit a partitioned/bucketed store, so request
+  latency is independent of model size; on-demand latency grows with
+  factor count and corpus.
+
+The hybrid endpoint is served from the two precomputed tables (blend
+per request — the blend is per-user work, never corpus work).
+
+Run: python scripts/serving_probe.py [sf_dir] [n_requests]
+Writes SERVING_LATENCY.json at the repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_song_recommendation_spark.ml import recommend  # noqa: E402
+from big_data_song_recommendation_spark.operators import similarity  # noqa: E402
+from big_data_song_recommendation_spark.session import get_spark  # noqa: E402
+from big_data_song_recommendation_spark.sources.readers import load_table  # noqa: E402
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SERVING_LATENCY.json",
+)
+
+
+def _pctl(xs: list[float], p: float) -> float:
+    ys = sorted(xs)
+    i = min(len(ys) - 1, int(round(p * (len(ys) - 1))))
+    return ys[i]
+
+
+def _timed(fn, reqs) -> dict:
+    walls = []
+    fn(reqs[0])  # warm the path (plan build + JIT) outside the timing
+    for r in reqs:
+        t0 = time.perf_counter()
+        fn(r)
+        walls.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "n_requests": len(walls),
+        "p50_ms": round(_pctl(walls, 0.50), 1),
+        "p95_ms": round(_pctl(walls, 0.95), 1),
+        "mean_ms": round(sum(walls) / len(walls), 1),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    spark = get_spark("serving-probe", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    ratings = recommend.derive_ratings_from_events(ev).cache()
+    ratings.count()
+
+    t0 = time.perf_counter()
+    res = recommend.train_als(
+        ratings, evaluate=False, rank=8, maxIter=5, implicitPrefs=False
+    )
+    model = res.model
+    t_train = time.perf_counter() - t0
+
+    user_ids = [r[0] for r in ratings.select("user_id").distinct().limit(n_req).collect()]
+    seed_ids = [r[0] for r in emb.select("vec_id").limit(n_req).collect()]
+    users_df = {
+        u: spark.createDataFrame([(u,)], "user_id int") for u in user_ids
+    }
+
+    report = {"sf_dir": sf_dir, "als_train_s": round(t_train, 2)}
+
+    with tempfile.TemporaryDirectory() as d:
+        # ---- batch precompute (the nightly job) -------------------
+        t0 = time.perf_counter()
+        all_recs = recommend.recommend_top_n(model, 10, bounded_users=False)
+        all_recs.write.mode("overwrite").parquet(f"{d}/collab_recs")
+        # item->item content neighbors: every embedding probes the
+        # corpus once (one blocked all-pairs pass, not n_req scans)
+        similarity.brute_force_knn(
+            emb, emb, k=10, exclude_self=True
+        ).write.mode("overwrite").parquet(f"{d}/content_recs")
+        report["precompute_s"] = round(time.perf_counter() - t0, 2)
+
+        collab_pre = spark.read.parquet(f"{d}/collab_recs")
+        content_pre = spark.read.parquet(f"{d}/content_recs")
+
+        # ---- per-request paths ------------------------------------
+        def collab_on_demand(u):
+            recommend.recommend_top_n(
+                model, 10, users=users_df[u], bounded_users=True
+            ).collect()
+
+        def collab_precomputed(u):
+            collab_pre.filter(F.col("user_id") == u).orderBy("rnk").collect()
+
+        def content_on_demand(s):
+            similarity.brute_force_knn(
+                emb, emb.filter(F.col("vec_id") == s), k=10, exclude_self=True
+            ).collect()
+
+        def content_precomputed(s):
+            content_pre.filter(F.col("query_id") == s).orderBy("rnk").collect()
+
+        def hybrid_precomputed(u):
+            fav = (
+                ratings.filter(F.col("user_id") == u)
+                .orderBy(F.desc("rating"), F.asc("item_id"))
+                .limit(1)
+            )
+            c = collab_pre.filter(F.col("user_id") == u).select(
+                F.col("item_id").alias("rec_id"),
+                (F.lit(0.7) / F.col("rnk")).alias("score"),
+            )
+            t = (
+                content_pre.join(
+                    fav, content_pre["query_id"] == fav["item_id"]
+                ).select(
+                    F.col("neighbor_id").alias("rec_id"),
+                    (F.lit(0.3) * F.col("sim")).alias("score"),
+                )
+            )
+            w = Window.orderBy(F.desc("total"), F.asc("rec_id"))
+            (
+                c.unionByName(t)
+                .groupBy("rec_id")
+                .agg(F.sum("score").alias("total"))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 10)
+                .collect()
+            )
+
+        report["collaborative_on_demand"] = _timed(collab_on_demand, user_ids)
+        report["collaborative_precomputed"] = _timed(collab_precomputed, user_ids)
+        report["content_on_demand"] = _timed(content_on_demand, seed_ids)
+        report["content_precomputed"] = _timed(content_precomputed, seed_ids)
+        report["hybrid_precomputed"] = _timed(hybrid_precomputed, user_ids)
+
+    with open(OUT, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps(report, indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,11 @@ Usage: python scripts/sf_sweep.py [/root/testdata/sf0.1] [name_prefix ...]
 (extra args restrict the sweep to queries whose name starts with any
 given prefix — fast re-checks of just-touched queries)
 
-Needs the repo session (16g driver): a vanilla 1g-driver session OOMs
-on the winnowing/self-join queries at sf0.1.
+Runs in a vanilla 1g-driver session at sf0.1: per-query state release
+(session.release_query_state) keeps the block manager flat — without
+it, the localCheckpoint/cache blocks the roster's multi-consumer
+queries pin accumulate across ~90 queries until the heap OOMs (the
+r5 sweep needed a 16g driver exactly because it skipped the release).
 """
 
 from __future__ import annotations
@@ -24,7 +27,10 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
-from big_data_song_recommendation_spark.session import get_spark  # noqa: E402
+from big_data_song_recommendation_spark.session import (  # noqa: E402
+    get_spark,
+    release_query_state,
+)
 from big_data_song_recommendation_spark.sources.readers import (  # noqa: E402
     TESTDATA_TABLES,
 )
@@ -71,6 +77,10 @@ def main() -> None:
         if not ok:
             fails.append(name)
         print(f"{name}: {'ok' if ok else 'FAIL'}", flush=True)
+        # free this query's pinned blocks (cache + localCheckpoint):
+        # a ~130-query session otherwise accumulates block-manager
+        # storage until a small heap OOMs (see module docstring)
+        release_query_state(spark)
     print(f"\nchecked={n_checked} sf_dir={sf_dir}")
     print("FAILS:", fails)
     sys.exit(1 if fails else 0)

@@ -57,3 +57,27 @@ def test_kmeans_assignment_matches_golden(spark, golden):
         )
     got = sorted(sorted(g) for g in groups.values())
     assert got == golden["kmeans_partition"]
+
+
+@pytest.mark.parametrize(
+    "key,query",
+    [
+        ("q42_tfidf_rows", "q42_tfidf_features"),
+        ("q43_hybrid_rows", "q43_hybrid_recommendations"),
+        ("q47_ivf_rows", "q47_ivf_ann_search"),
+    ],
+)
+def test_rows_only_query_matches_golden(spark, golden, key, query):
+    """VERDICT r5 #4: the three remaining rows-only queries (TF-IDF
+    vocabulary selection, ALS-backed hybrid blend, KMeans-routed IVF)
+    pinned to committed full-result goldens — seed/partitioning/
+    convergence drift fails here instead of shipping invisibly. All
+    floats are rounded in-plan, so string equality is run-stable."""
+    from big_data_song_recommendation_spark.plans.queries import QUERIES
+
+    df = QUERIES[query](spark, SF)
+    got = sorted(
+        "|".join(f"{c}={r[c]}" for c in sorted(df.columns))
+        for r in df.collect()
+    )
+    assert got == golden[key]
