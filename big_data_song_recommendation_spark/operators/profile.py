@@ -8,24 +8,35 @@ one scan (per-column expressions in a single ``agg``, unfolded into
 per-column rows with an ``explode`` of literal-keyed structs). EXACT
 distinct counts deliberately do NOT ride that aggregate: N
 ``countDistinct`` columns in one agg make Catalyst plan an Expand —
-N+1× the scan rows pushed through every other aggregate's update path
+N+1× the scan rows pushed through every OTHER aggregate's update path
 (measured at sf0.1: 3.3 s vs 0.5 s for the 6-column events profile).
-Instead each exact cardinality is its own two-phase partial-distinct
-branch over a SINGLE pruned column (parquet reads the same bytes in
-total), unioned and joined back onto the stats rows — partial
-aggregation collapses each branch map-side, so at 100 TB the shuffled
-state is one count per distinct value, never an expanded fact row.
+They ride a second, PURE multi-distinct aggregate instead (2 scans
+total): there the Expand is harmless — each expanded row feeds only
+its own column's distinct partial, which collapses map-side to one
+row per (column, value), so at 100 TB the shuffled state is one count
+per distinct value, never an expanded fact row through the stats
+path. (Round 5 shipped N per-column branch scans here; the split
+two-aggregate form keeps the same shuffle volume at 2 scans.)
 
 ``approximate=True`` folds HLL ``approx_count_distinct`` back into the
-single-pass aggregate (sketches don't need Expand) — the 100 TB mode.
+single-pass aggregate (sketches don't need Expand) and swaps the exact
+median for a ``percentile_approx`` sketch — the 100 TB mode: every
+aggregate in that pass holds bounded state. (Exact mode's
+``F.percentile`` buffers the column's values per aggregate — correct
+and oracle-matched, but the buffering is why it is NOT the mode to
+point at a 100 TB fact table.)
+
+Measured at sf0.1 (bench protocol, noop write, warm): the exact
+6-column events profile is ~0.7 s and the split buys scan COUNT
+(7 scans → 2), not toy-scale wall — the cost is the distinct/sketch
+aggregates themselves (multi-distinct ~0.4 s, HLL pass ~0.4 s), which
+scans-share can't reduce. At 100 TB the scan count is what matters.
 No reference twin — the reference never profiles its CSVs (it trusts
 pandas dtypes, ref src/train_models.py:21-38); first-class addition
 per the brief.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,7 +83,17 @@ def profile_columns(
             d = col.cast("double")
             aggs.append(F.min(d).alias(f"__min_{c}"))
             aggs.append(F.max(d).alias(f"__max_{c}"))
-            aggs.append(F.percentile(d, F.lit(0.5)).alias(f"__med_{c}"))
+            med = (
+                # sketch median in approximate mode: percentile_approx
+                # holds a bounded GK summary per column where exact
+                # F.percentile buffers every value — the difference
+                # between a profile you can run on a 100 TB fact table
+                # and one you can't
+                F.percentile_approx(d, F.lit(0.5), F.lit(10000))
+                if approximate
+                else F.percentile(d, F.lit(0.5))
+            )
+            aggs.append(med.alias(f"__med_{c}"))
         elif isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             aggs.append(F.date_format(F.min(col), _TS_FMT).alias(f"__smin_{c}"))
             aggs.append(F.date_format(F.max(col), _TS_FMT).alias(f"__smax_{c}"))
@@ -119,14 +140,35 @@ def profile_columns(
             "min_num", "max_num", "median", "min_str", "max_str",
         )
 
-    # exact mode: Expand-free per-column two-phase distinct branches
-    branches = [
-        df.select(F.col(c)).agg(
-            F.countDistinct(F.col(c)).alias("n_distinct")
-        ).select(F.lit(c).alias("col_name"), "n_distinct")
-        for c in cols
-    ]
-    dist = reduce(DataFrame.unionAll, branches)
+    # exact mode: ONE pure multi-countDistinct aggregate (its own
+    # scan, separate from the stats agg). Catalyst's multi-distinct
+    # rewrite Expands this scan N×, but with no other aggregate riding
+    # along the expanded rows feed only the distinct partials, which
+    # collapse map-side to one row per (column, value) — the same
+    # shuffled state as N per-column branches, minus N-1 scans (the
+    # 3.3 s Expand number in the module docstring was the COMBINED agg,
+    # where min/max/percentile paid the expansion too; split like
+    # this the Expand costs what the N branches cost — ~0.4 s at
+    # sf0.1 — on ONE scan instead of N).
+    dist = (
+        df.agg(
+            *[F.countDistinct(F.col(c)).alias(f"__nd_{c}") for c in cols]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(f"__nd_{c}").alias("n_distinct"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("__d")
+        )
+        .select("__d.col_name", "__d.n_distinct")
+    )
     return stats.join(F.broadcast(dist), "col_name").select(
         "col_name", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "median", "min_str", "max_str",

@@ -3827,44 +3827,51 @@ def q130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Insertion order IS the driver-budget order: the round-4 gate walked
-# the first 50 keys in insertion order, so the head leads with (a) the
-# only never-driver-checked queries (q74-q78), (b) the new approx-
-# profile gate q86b, and (c) every query whose plan changed in round 5
-# (two-phase ranks, de-hinted broadcasts, NULL-contract operators) -
-# re-proving each change at the driver. Key names unchanged.
+# the first 50 keys in insertion order, so the head leads with every
+# query whose plan or oracle changed in round 6: the five co-occurrence
+# queries (per-user fan-out cap, mirrored in their oracle CTEs), the
+# split-aggregate profiles q86/q86b, the negated synthetic merge keys
+# (q128/q102), and the whole ranks.py family (equi-depth buckets,
+# long-exact ntile division, bucket-type guards) — re-proving each
+# change at the driver. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q54_item_cooccurrence": q54_item_cooccurrence,
+    "q87_item_pagerank": q87_item_pagerank,
+    "q100_item_graph_triangles": q100_item_graph_triangles,
+    "q106_personalized_pagerank": q106_personalized_pagerank,
+    "q116_association_rules": q116_association_rules,
+    "q86_events_profile": q86_events_profile,
+    "q86b_events_profile_approx": q86b_events_profile_approx,
+    "q128_orders_merge": q128_orders_merge,
+    "q102_snapshot_diff": q102_snapshot_diff,
+    "q117_revenue_lorenz": q117_revenue_lorenz,
+    "q99_revenue_gini": q99_revenue_gini,
+    "q129_rfm_segmentation": q129_rfm_segmentation,
+    "q48_ntile_quartiles": q48_ntile_quartiles,
+    "q28_value_percentiles": q28_value_percentiles,
+    "q108_value_percent_rank": q108_value_percent_rank,
+    "q110_zipf_fit": q110_zipf_fit,
+    "q125_spearman_spend_balance": q125_spearman_spend_balance,
+    "q126_mann_whitney": q126_mann_whitney,
+    "q124_corpus_mixture": q124_corpus_mixture,
+    "q05_top_events_per_type": q05_top_events_per_type,
+    "q77_corpus_bigrams": q77_corpus_bigrams,
     "q74_winnow_fingerprint_pairs": q74_winnow_fingerprint_pairs,
     "q75_srp_lsh_ann": q75_srp_lsh_ann,
     "q76_salted_distinct_users": q76_salted_distinct_users,
-    "q77_corpus_bigrams": q77_corpus_bigrams,
     "q78_pii_redaction": q78_pii_redaction,
-    "q86b_events_profile_approx": q86b_events_profile_approx,
     "q122_doc_chunks": q122_doc_chunks,
     "q123_quantized_recall": q123_quantized_recall,
-    "q124_corpus_mixture": q124_corpus_mixture,
-    "q125_spearman_spend_balance": q125_spearman_spend_balance,
-    "q126_mann_whitney": q126_mann_whitney,
     "q127_approx_percentile_gate": q127_approx_percentile_gate,
-    "q128_orders_merge": q128_orders_merge,
-    "q129_rfm_segmentation": q129_rfm_segmentation,
     "q130_cohort_ltv": q130_cohort_ltv,
-    "q05_top_events_per_type": q05_top_events_per_type,
-    "q28_value_percentiles": q28_value_percentiles,
-    "q48_ntile_quartiles": q48_ntile_quartiles,
-    "q117_revenue_lorenz": q117_revenue_lorenz,
-    "q99_revenue_gini": q99_revenue_gini,
-    "q110_zipf_fit": q110_zipf_fit,
-    "q108_value_percent_rank": q108_value_percent_rank,
     "q115_fulfillment_latency": q115_fulfillment_latency,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
     "q12_part_type_revenue": q12_part_type_revenue,
     "q36_supplier_diversity": q36_supplier_diversity,
-    "q116_association_rules": q116_association_rules,
     "q121_nation_revenue_momentum": q121_nation_revenue_momentum,
     "q95_incremental_dedup": q95_incremental_dedup,
     "q92_priority_status_chi2": q92_priority_status_chi2,
     "q112_type_hour_mutual_info": q112_type_hour_mutual_info,
-    "q86_events_profile": q86_events_profile,
     "q120_activity_heatmap": q120_activity_heatmap,
     "q119_ann_recall_eval": q119_ann_recall_eval,
     "q118_benford_audit": q118_benford_audit,
@@ -3873,13 +3880,10 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_daily_event_trend": q111_daily_event_trend,
     "q109_label_scatter": q109_label_scatter,
     "q107_ab_test_ztest": q107_ab_test_ztest,
-    "q106_personalized_pagerank": q106_personalized_pagerank,
     "q105_session_transitions": q105_session_transitions,
     "q104_referential_integrity": q104_referential_integrity,
     "q103_containment_pairs": q103_containment_pairs,
-    "q102_snapshot_diff": q102_snapshot_diff,
     "q101_daily_value_ohlc": q101_daily_value_ohlc,
-    "q100_item_graph_triangles": q100_item_graph_triangles,
     "q98_price_histogram": q98_price_histogram,
     "q97_lexical_diversity": q97_lexical_diversity,
     "q96_leakage_free_split": q96_leakage_free_split,
@@ -3889,7 +3893,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_user_key_skew": q90_user_key_skew,
     "q89_weighted_corpus_sample": q89_weighted_corpus_sample,
     "q88_value_outliers": q88_value_outliers,
-    "q87_item_pagerank": q87_item_pagerank,
     "q85_bigram_lm_quality": q85_bigram_lm_quality,
     "q84_chunk_dedup": q84_chunk_dedup,
     "q83_cohort_retention": q83_cohort_retention,
@@ -3955,7 +3958,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_forecast_revenue": q51_forecast_revenue,
     "q52_unpivot_event_stats": q52_unpivot_event_stats,
     "q53_click_attribution": q53_click_attribution,
-    "q54_item_cooccurrence": q54_item_cooccurrence,
     "q44_multimodal_decode": q44_multimodal_decode,
     "q45_video_frame_sample": q45_video_frame_sample,
     "q46_image_resize_plan": q46_image_resize_plan,
