@@ -3781,16 +3781,18 @@ def q130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: customers bucketed by first-order
     month, cumulative revenue per cohort over months-since-first-order
     (0..12) — the acquisition-quality readout (complements q83's
-    retention counts with VALUE). Two fact-grain aggregates (first
-    order per customer; customer-month revenue); the cumulative
-    window runs on the cohort×month AGGREGATE (~dozens of rows per
-    cohort), never at fact grain. Month index is integer year/month
+    retention counts with VALUE). One fact-grain aggregate
+    (customer-month revenue); the cumulative window runs on the
+    cohort×month AGGREGATE (~dozens of rows per cohort), never at
+    fact grain. Month index is integer year/month
     arithmetic (months_between's fractional months are not portable);
-    revenue sums are decimal-exact."""
+    revenue sums are decimal-exact.
+
+    One orders scan: the cohort month is min(m) over a custkey window
+    ON the customer-month aggregate (high-cardinality partition key —
+    distributed), not a second fact scan + groupBy + equi-join back
+    (the r6 rewrite: 2 scans/3 shuffles → 1 scan/2 shuffles)."""
     orders = load_table(spark, sf_dir, "orders")
-    first = orders.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
-    )
     cm = (
         orders.groupBy(
             "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
@@ -3798,7 +3800,9 @@ def q130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
-        .join(first, "o_custkey")
+        .withColumn(
+            "cohort", F.min("m").over(Window.partitionBy("o_custkey"))
+        )
         .withColumn(
             "month_index",
             (F.year("m") - F.year("cohort")) * 12

@@ -30,7 +30,10 @@ def audit(plan: str) -> dict:
         "single_part": plan.count("Exchange SinglePartition"),
         "broadcasts": plan.count("BroadcastExchange"),
         "sorts": len(re.findall(r"\bSort \[", plan)),
-        "wscg": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "wscg": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+                    # executedPlan().toString() renders codegen spans as
+                    # "*(N) Operator" prefixes, not WholeStageCodegen nodes
+                    | set(re.findall(r"\*\((\d+)\) ", plan))),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": plan.count("CartesianProduct"),
         "smj": plan.count("SortMergeJoin"),

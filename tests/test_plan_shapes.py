@@ -254,3 +254,30 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_profile_medians_are_sketches(spark):
+    """approximate=True is the declared 100 TB mode: every aggregate in
+    its single pass must hold bounded state. Exact F.percentile buffers
+    the whole column per aggregate, so the approx plan must carry the
+    GK percentile_approx sketch instead (r6 fix)."""
+    from big_data_song_recommendation_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.range(100).selectExpr("id AS a", "CAST(id AS DOUBLE) AS v")
+    approx = _plan(profile_columns(df, approximate=True))
+    assert "approx_percentile" in approx or "percentile_approx" in approx
+    # the exact-median aggregate must NOT appear in the approx pass
+    assert "percentile(" not in approx.replace("approx_percentile(", "")
+    exact = _plan(profile_columns(df))
+    assert "percentile(" in exact.replace("approx_percentile(", "")
+
+
+def test_q130_single_orders_scan(spark):
+    """Cohort LTV derives the cohort month from a custkey window ON the
+    customer-month aggregate — one orders scan, not a second
+    scan+groupBy+join (r6 rewrite). The cohort window partitions on the
+    high-cardinality custkey, so no single-task funnel either."""
+    plan = _plan(_fresh(spark, "q130_cohort_ltv"))
+    assert plan.count("FileScan parquet") == 1
