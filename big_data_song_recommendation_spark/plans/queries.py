@@ -2488,9 +2488,24 @@ def q96_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     tagged = group_split(ev, "user_id")
+    # ONE fact pass: pre-aggregate to (user, split) grain — the split
+    # tag adds no shuffle, so this is the query's only fact-grain
+    # exchange — then both outputs (straddle audit, per-split stats)
+    # roll up from the pre-aggregate. (user, split) rows are unique,
+    # so count(*) per split ≡ countDistinct(user) and per-user split
+    # counts ≡ countDistinct(split); decimal sums re-associate
+    # exactly. Lazy localCheckpoint: two consumers, one execution.
+    pre = (
+        tagged.groupBy("user_id", "split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
     leaked = (
-        tagged.groupBy("user_id")
-        .agg(F.countDistinct("split").alias("ns"))
+        pre.groupBy("user_id")
+        .agg(F.count("*").alias("ns"))
         .agg(
             F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias(
                 "leaked_groups"
@@ -2498,13 +2513,13 @@ def q96_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tagged.groupBy("split")
+        pre.groupBy("split")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("value_total"),
+            # count(user_id): non-null users only, preserving the old
+            # countDistinct semantics for inputs with NULL group keys
+            F.count("user_id").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("value_total"),
         )
         .crossJoin(F.broadcast(leaked))
         .transform(_ordered, "split")
@@ -2515,35 +2530,38 @@ def q97_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus lexical-diversity metrics per lang: type-token ratio
     and distinct-bigram ratio — the self-BLEU-adjacent diversity
     check run before training on generated/augmented text (low
-    diversity = mode-collapsed or boilerplate-heavy slices). One
-    tokens explode + one bigram window pass, both lang-rollups."""
-    from ..operators.dedup import shingle_rows
+    diversity = mode-collapsed or boilerplate-heavy slices).
 
+    ONE corpus pass (r6 rewrite; was two scans + a shingle-grain
+    join): posexplode tokens once, lead() over the doc-keyed window
+    builds each bigram in codegen (shingle_rows' own O(n)-per-doc
+    discipline), and a single multi-distinct aggregate rolls up all
+    four metrics. The multi-distinct Expand here is the harmless kind
+    (q86's lesson): 3x token rows through map-side partials that
+    collapse to DISTINCT (lang, value) pairs - vocabulary-bounded
+    shuffle state, vs. the old plan shuffling every shingle row
+    through the lang join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "lang", F.explode(text.tokens("text")).alias("tok")
-        )
-        .filter(F.col("tok") != "")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("tok").alias("n_types"),
-        )
-    )
-    bigr = (
-        shingle_rows(docs, "doc_id", "text", 2)
-        .join(
-            docs.select("doc_id", "lang"), F.col("sid") == F.col("doc_id")
-        )
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.countDistinct("sh").alias("n_distinct_bigrams"),
-        )
+    toks = docs.select(
+        "lang",
+        F.col("doc_id"),
+        F.posexplode(text.tokens("text")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    paired = toks.withColumn("nxt", F.lead("tok").over(w))
+    agg = paired.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.count("nxt").alias("n_bigrams"),
+        F.countDistinct(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.concat_ws(" ", F.col("tok"), F.col("nxt")),
+            )
+        ).alias("n_distinct_bigrams"),
     )
     return (
-        toks.join(bigr, "lang")
+        agg
         .select(
             "lang",
             "n_tokens",
@@ -3868,6 +3886,8 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_quantized_recall": q123_quantized_recall,
     "q127_approx_percentile_gate": q127_approx_percentile_gate,
     "q130_cohort_ltv": q130_cohort_ltv,
+    "q96_leakage_free_split": q96_leakage_free_split,
+    "q97_lexical_diversity": q97_lexical_diversity,
     "q115_fulfillment_latency": q115_fulfillment_latency,
     "q02_top_orders_by_revenue": q02_top_orders_by_revenue,
     "q12_part_type_revenue": q12_part_type_revenue,
@@ -3889,8 +3909,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_containment_pairs": q103_containment_pairs,
     "q101_daily_value_ohlc": q101_daily_value_ohlc,
     "q98_price_histogram": q98_price_histogram,
-    "q97_lexical_diversity": q97_lexical_diversity,
-    "q96_leakage_free_split": q96_leakage_free_split,
     "q94_canonical_selection": q94_canonical_selection,
     "q93_sequence_packing": q93_sequence_packing,
     "q91_rolling_user_spend": q91_rolling_user_spend,
