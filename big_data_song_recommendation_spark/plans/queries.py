@@ -568,13 +568,24 @@ def q26_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # aggregate push-below-join (q61/q121's reducer): lineitem first
+    # collapses to (orderkey, rev, cnt) — map-side-combinable, the
+    # only full-fact shuffle — so the orders join moves order-grain
+    # rows, not lineitem-grain. Revenue is decimal-exact per product
+    # (price and discount are 2-decimal, so the product is an exact
+    # 4-decimal value) and re-associates losslessly through the
+    # re-aggregation.
+    lia = li.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.sum(_revenue().cast("decimal(18,4)")).alias("rev"),
+        F.count("*").alias("cnt"),
+    )
     pre = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        lia.join(orders, F.col("lk") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.sum(_revenue()).alias("rev"), F.count("*").alias("cnt"))
+        .agg(F.sum("rev").alias("rev"), F.sum("cnt").alias("cnt"))
     )
     return (
         pre.rollup("r_name", "n_name")
