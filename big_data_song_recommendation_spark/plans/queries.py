@@ -590,7 +590,7 @@ def q26_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pre.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
             F.sum("cnt").alias("n_items"),
             F.grouping_id().alias("grp_id"),
         )
@@ -3868,6 +3868,7 @@ def q130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # long-exact ntile division, bucket-type guards) — re-proving each
 # change at the driver. Key names unchanged.
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q26_rollup_revenue": q26_rollup_revenue,
     "q54_item_cooccurrence": q54_item_cooccurrence,
     "q87_item_pagerank": q87_item_pagerank,
     "q100_item_graph_triangles": q100_item_graph_triangles,
@@ -3974,7 +3975,6 @@ _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_lang_confusion": q23_lang_confusion,
     "q24_user_running_totals": q24_user_running_totals,
     "q25_sessionization": q25_sessionization,
-    "q26_rollup_revenue": q26_rollup_revenue,
     "q27_daily_event_pivot": q27_daily_event_pivot,
     "q29_asof_last_click": q29_asof_last_click,
     "q30_hash_attributes": q30_hash_attributes,
