@@ -4042,6 +4042,30 @@ def _prepared(
     return run
 
 
+def _registry_order() -> list[str]:
+    """Round-changed queries first (the external correctness gate only
+    checks the first ~50 registry entries in insertion order).
+
+    ``registry_head.txt`` is generated by ``scripts/registry_head.py``
+    from the git diff vs the previous round's artifact commit, so a
+    changed plan can no longer hide past the gate window the way the
+    round-6 q26 rewrite did.  Unknown/stale names are ignored.
+    """
+    head_path = os.path.join(os.path.dirname(__file__), "registry_head.txt")
+    head: list[str] = []
+    try:
+        with open(head_path) as fh:
+            head = [
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+    except OSError:
+        pass
+    head = [n for n in head if n in _QUERY_FNS]
+    return head + [n for n in _QUERY_FNS if n not in head]
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _prepared(name, fn) for name, fn in _QUERY_FNS.items()
+    name: _prepared(name, _QUERY_FNS[name]) for name in _registry_order()
 }
