@@ -4066,6 +4066,22 @@ def _registry_order() -> list[str]:
     return head + [n for n in _QUERY_FNS if n not in head]
 
 
+def evict_plan_cache(spark: SparkSession, names: set[str] | None = None) -> int:
+    """Drop this session's prepared-plan cache entries (all, or only
+    the named queries).  Public twin of the internal ``_PLAN_CACHE`` so
+    callers (``session.release_query_state``) never reach into module
+    privates.  Returns the number of entries evicted."""
+    sid = id(spark)
+    victims = [
+        k
+        for k in _PLAN_CACHE
+        if k[0] == sid and (names is None or k[2] in names)
+    ]
+    for k in victims:
+        del _PLAN_CACHE[k]
+    return len(victims)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _prepared(name, _QUERY_FNS[name]) for name in _registry_order()
 }

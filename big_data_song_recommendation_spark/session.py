@@ -18,7 +18,9 @@ Defaults are tuned for correctness-comparable, scale-ready plans:
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -63,8 +65,52 @@ def get_spark(
     return spark
 
 
-def release_query_state(spark: SparkSession) -> int:
-    """Free every block the last query pinned on the executors —
+# concurrency guard for release_query_state: queries pin blocks lazily
+# (localCheckpoint at action time), so a release racing an in-flight
+# query can free blocks the snapshot never saw — the job then dies on
+# "block not found". Queries in a multi-tenant session run inside
+# query_batch(); a release with wait_for_idle=True parks until no
+# batch is active. Zero overhead for the serial (sweep/bench) path,
+# which never touches either.
+_BATCH_CV = threading.Condition()
+_BATCHES_IN_FLIGHT = 0
+
+
+@contextlib.contextmanager
+def query_batch():
+    """Mark a query batch as in flight (multi-tenant sessions only).
+
+    ``release_query_state(..., wait_for_idle=True)`` defers until every
+    open ``query_batch()`` scope has exited, so it can never unpersist
+    a sibling query's freshly-pinned lineage blocks mid-execution.
+    Do NOT call a waiting release from inside your own open batch —
+    that is a deadlock by construction (documented, not detected)."""
+    global _BATCHES_IN_FLIGHT
+    with _BATCH_CV:
+        _BATCHES_IN_FLIGHT += 1
+    try:
+        yield
+    finally:
+        with _BATCH_CV:
+            _BATCHES_IN_FLIGHT -= 1
+            _BATCH_CV.notify_all()
+
+
+def snapshot_persistent_rdds(spark: SparkSession) -> set[int]:
+    """Ids of the RDDs currently persisted in this session — take one
+    BEFORE running a query batch, hand it to ``release_query_state`` as
+    ``keep`` so a service's own long-lived caches survive the release."""
+    return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+
+
+def release_query_state(
+    spark: SparkSession,
+    *,
+    keep: set[int] | None = None,
+    wait_for_idle: bool = False,
+    timeout: float = 60.0,
+) -> int:
+    """Free the blocks query execution pinned on the executors —
     ``.cache()`` / ``persist()`` entries AND ``localCheckpoint``
     blocks — plus the prepared-plan cache entries that reference them.
 
@@ -79,24 +125,59 @@ def release_query_state(spark: SparkSession) -> int:
     should call this at query-batch boundaries; per-query for strict
     footprint, per-N-queries to amortize.
 
+    Scope (ADVICE r6): with ``keep=None`` this is SESSION-GLOBAL — it
+    unpersists every persistent RDD and clears the whole SQL cache,
+    which is right for a serial sweep but evicts blocks a concurrent
+    query or a service's own long-lived dimension cache still wants.
+    A multi-tenant caller should snapshot before the batch and release
+    only the delta::
+
+        baseline = snapshot_persistent_rdds(spark)
+        ...run queries...
+        release_query_state(spark, keep=baseline)
+
+    In ``keep`` mode the catalog-level ``clearCache()`` is skipped
+    (it cannot be scoped); the kept DataFrames' cache entries AND
+    blocks both survive, while everything persisted since the snapshot
+    is freed.  Blocks of catalog-cached DataFrames created during the
+    batch are still released via their RDD ids; their stale cache
+    entries rebuild on next use.
+
     The plan cache MUST be dropped with the blocks: a cached plan that
     already executed holds truncated-lineage RDDs whose blocks this
     just freed — re-serving it would fail on the missing blocks, so
     those plans rebuild (cheap, driver-side) on next request.
 
-    Returns the number of RDDs unpersisted (telemetry)."""
-    from .plans import queries as _queries
+    Concurrency: a snapshot can't see blocks a sibling query pins
+    AFTER it — releasing mid-flight frees those and kills the sibling
+    on "block not found".  Multi-tenant callers run queries inside
+    ``query_batch()`` and release with ``wait_for_idle=True``, which
+    parks until no batch is open.  The serial path (sweeps, bench)
+    needs neither.
 
-    persistent = spark.sparkContext._jsc.getPersistentRDDs()
-    n = 0
-    for rdd in list(persistent.values()):  # py4j JavaMap → dict view
-        rdd.unpersist(False)
-        n += 1
-    spark.catalog.clearCache()
-    sid = id(spark)
-    for key in [k for k in _queries._PLAN_CACHE if k[0] == sid]:
-        del _queries._PLAN_CACHE[key]
-    return int(n)
+    Returns the number of RDDs unpersisted (telemetry)."""
+    from .plans.queries import evict_plan_cache
+
+    def _release() -> int:
+        persistent = spark.sparkContext._jsc.getPersistentRDDs()
+        n = 0
+        for rdd_id, rdd in list(persistent.items()):  # py4j JavaMap view
+            if keep is not None and int(rdd_id) in keep:
+                continue
+            rdd.unpersist(False)
+            n += 1
+        if keep is None:
+            spark.catalog.clearCache()
+        evict_plan_cache(spark)
+        return n
+
+    if wait_for_idle:
+        # hold the condition through the release so a batch opening
+        # between "idle observed" and "blocks freed" can't race it
+        with _BATCH_CV:
+            _BATCH_CV.wait_for(lambda: _BATCHES_IN_FLIGHT == 0, timeout=timeout)
+            return _release()
+    return _release()
 
 
 # ---------------------------------------------------------------------------
