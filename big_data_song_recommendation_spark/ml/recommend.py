@@ -130,22 +130,25 @@ def negative_samples(
     The dense index is a total-order row_number over the distinct item
     catalog, delivered by the two-phase bucketed rank
     (operators/ranks.py): numeric item ids bucket by equi-width value
-    bin, string ids by a 2-char prefix (the value bin would cast them
-    to NULL — one bucket, one task; ranks.with_equi_width_bucket now
-    rejects that outright). Either way no single-partition sort even
-    at extreme catalog sizes (the idx broadcast below is the
+    bin, string ids by the 2 characters AFTER the catalog's longest
+    common prefix (a fixed 2-char prefix degenerates to one bucket —
+    one task — for 'item_000001'-style catalogs; ADVICE r6, fixed via
+    ranks.with_string_prefix_bucket). Either way no single-partition
+    sort even at extreme catalog sizes (the idx broadcast below is the
     catalog-size bound that matters first)."""
     from pyspark.sql.types import NumericType
 
-    from ..operators.ranks import bucketed_rank, with_equi_width_bucket
+    from ..operators.ranks import (
+        bucketed_rank,
+        with_equi_width_bucket,
+        with_string_prefix_bucket,
+    )
 
     items = positives.select(item_col).distinct()
     if isinstance(items.schema[0].dataType, NumericType):
         bucketed = with_equi_width_bucket(items, item_col)
     else:
-        bucketed = items.withColumn(
-            "__vb", F.substring(F.col(item_col).cast("string"), 1, 2)
-        )
+        bucketed = with_string_prefix_bucket(items, item_col)
     idx = bucketed_rank(
         bucketed,
         [F.col(item_col).asc()],

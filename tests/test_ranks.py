@@ -417,3 +417,55 @@ def test_bucketed_rank_checkpoint_optout_parity(spark):
         checkpoint=False,
     )
     assert cum.agg(F.max("c")).collect()[0][0] == df.count()
+
+
+def test_string_prefix_bucket_skips_common_prefix(spark):
+    """ADVICE r6: 'item_000001'-style catalogs share a long common
+    prefix, so a fixed 2-char bucket degenerates to ONE bucket (one
+    rank task).  with_string_prefix_bucket skips the LCP in-plan and
+    must (a) spread buckets, (b) stay monotone: bucketed_rank equals
+    the global string-order row_number."""
+    from big_data_song_recommendation_spark.operators.ranks import (
+        with_string_prefix_bucket,
+    )
+
+    ids = [f"item_{i:06d}" for i in range(0, 500, 7)]
+    df = spark.createDataFrame([Row(item_id=s) for s in ids])
+    bucketed = with_string_prefix_bucket(df, "item_id")
+    n_buckets = bucketed.select("__vb").distinct().count()
+    assert n_buckets > 1, "LCP skip failed: still one bucket"
+
+    w = Window.orderBy(F.col("item_id").asc())
+    want = {
+        (r.item_id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = bucketed_rank(
+        bucketed, [F.col("item_id").asc()], ["__vb"], out="rn"
+    )
+    assert {(r.item_id, r.rn) for r in got.collect()} == want
+
+
+def test_string_prefix_bucket_null_and_varied_keys(spark):
+    from big_data_song_recommendation_spark.operators.ranks import (
+        with_string_prefix_bucket,
+    )
+
+    # no common prefix at all + a NULL + one id that IS the LCP
+    ids = ["alpha", "beta", "gamma", "a", None, "alphabet"]
+    df = spark.createDataFrame([Row(item_id=s) for s in ids])
+    bucketed = with_string_prefix_bucket(df, "item_id")
+    rows = {r["item_id"]: r["__vb"] for r in bucketed.collect()}
+    assert rows[None] is None, "NULL key must get the NULL bucket"
+    w = Window.orderBy(F.col("item_id").asc_nulls_first())
+    want = {
+        (r.item_id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = bucketed_rank(
+        bucketed,
+        [F.col("item_id").asc_nulls_first()],
+        ["__vb"],
+        out="rn",
+    )
+    assert {(r.item_id, r.rn) for r in got.collect()} == want
