@@ -64,11 +64,13 @@ def _timed(fn, reqs) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    spark = get_spark("serving-probe", shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
+def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
+    """Measure the serving endpoints; importable so the latency pins in
+    tests/test_serving_latency.py exercise the exact probe the
+    SERVING_LATENCY.json artifact was recorded with."""
+    if spark is None:
+        spark = get_spark("serving-probe", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
 
     ev = load_table(spark, sf_dir, "events")
     emb = load_table(spark, sf_dir, "embeddings").cache()
@@ -156,10 +158,18 @@ def main() -> None:
         report["content_precomputed"] = _timed(content_precomputed, seed_ids)
         report["hybrid_precomputed"] = _timed(hybrid_precomputed, user_ids)
 
+    ratings.unpersist()
+    emb.unpersist()
+    return report
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    report = run_probe(sf_dir, n_req)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
     print(json.dumps(report, indent=1, sort_keys=True))
-    spark.stop()
 
 
 if __name__ == "__main__":

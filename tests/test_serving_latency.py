@@ -1,0 +1,53 @@
+"""Serving-latency regression pins (VERDICT r6 #6).
+
+SERVING_LATENCY.json was measured once (r6) and showed the precomputed
+layout ~6× faster than on-demand at sf0.1 (p50 129 ms vs 775 ms).  A
+probe measured once can silently regress; these pins run the SAME
+probe (scripts/serving_probe.run_probe) and fail loudly if a serving
+path drifts past ~2× the recorded numbers.
+
+Thresholds are deliberately generous (the host is shared; bench walls
+swing ±30% ambient): a pass does not certify speed, a FAIL certifies a
+real regression.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SERVING_SF_DIR", "/root/testdata/sf0.1")
+
+# measured r6 p50 (ms) → pinned at ~2× headroom
+PINS_P50_MS = {
+    "collaborative_precomputed": 300.0,  # measured 129
+    "content_precomputed": 350.0,  # measured 151
+    "hybrid_precomputed": 800.0,  # measured 364
+}
+
+
+@pytest.mark.slow
+def test_precomputed_serving_latency_pins(spark):
+    from serving_probe import run_probe
+
+    report = run_probe(SF_DIR, n_req=10, spark=spark)
+    failures = {
+        k: (report[k]["p50_ms"], pin)
+        for k, pin in PINS_P50_MS.items()
+        if report[k]["p50_ms"] > pin
+    }
+    assert not failures, (
+        f"serving p50 regression (got_ms, pin_ms): {failures}; "
+        f"full report: { {k: report[k] for k in PINS_P50_MS} }"
+    )
+    # the layout claim itself: precomputed must beat on-demand clearly
+    assert (
+        report["collaborative_precomputed"]["p50_ms"]
+        < report["collaborative_on_demand"]["p50_ms"]
+    ), report
