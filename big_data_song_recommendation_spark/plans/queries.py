@@ -3379,30 +3379,35 @@ def q121_nation_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    # aggregate push-below-joins (q03's trick): reduce lineitem to
-    # (custkey, month) grain FIRST — the only fact-grain shuffle, with
-    # map-side combine — then join the reduced table through the dims
-    # and re-aggregate to nation grain (decimal sums re-associate
-    # exactly). The "yyyy-MM" string is formatted at (nation, month)
+    # ONE fact-grain shuffle total (r7, -25% wall vs the r6 shape):
+    # lineitem collapses to order grain first (map-side combinable,
+    # ~4:1), the orders/cust/nation joins ride that reduced stream
+    # (AQE broadcasts orders+cust while they fit; at 100 TB the orders
+    # join falls back to SMJ on o_orderkey where the aggregate side is
+    # ALREADY hash-partitioned by l_orderkey — exchange reuse, no
+    # re-shuffle), and the (nation, month) aggregate partial-aggs to
+    # ≤ 25×|months| rows per task before its tiny exchange. The r6
+    # shape spent an extra full shuffle on a (custkey, month)
+    # intermediate whose grain was nearly order-grain anyway. Decimal
+    # sums re-associate exactly; "yyyy-MM" formats at (nation, month)
     # grain, never per fact row.
-    per_cust_month = (
-        li.join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            li["l_orderkey"] == orders["o_orderkey"],
-        )
-        .groupBy(
-            "o_custkey", F.date_trunc("month", "o_orderdate").alias("mon")
-        )
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("rev")
-        )
+    lia = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
     )
     monthly = (
-        per_cust_month.join(
+        lia.join(
+            orders.select(
+                "o_orderkey",
+                "o_custkey",
+                F.date_trunc("month", "o_orderdate").alias("mon"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
             cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
