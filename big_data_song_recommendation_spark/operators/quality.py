@@ -13,7 +13,7 @@ first-class additions the build brief mandates for 100 TB curation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as Ftext
@@ -332,3 +332,96 @@ def group_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn("split", expr)
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+    n_buckets: int = 512,
+    scale: int = 1_000_000,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style data selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much its hashed-n-gram profile looks like a
+    TARGET distribution relative to the raw corpus, so a training
+    pipeline can resample general crawl data toward a domain.
+
+    Per DSIR: features are hashed bigrams (here ``md5``-derived 60-bit
+    hash mod ``n_buckets`` — the engine's cross-engine-replayable hash
+    discipline, F6/F15), and a document's weight aggregates per-bucket
+    target-vs-raw evidence with add-one smoothing.  Deliberate
+    deviation, documented: DSIR sums per-bucket LOG likelihood ratios;
+    summing doubles is ORDER-DEPENDENT and would break bit-parity
+    against any oracle, so the per-bucket score here is the integer
+    ``((t_b+1)·scale) div (r_b+1)`` — a scaled linear likelihood-ratio
+    surrogate, monotone in the same per-bucket ratio, exact in int64
+    on BOTH engines (the global ``(T+B)/(R+B)`` normalizer is constant
+    across buckets and cannot change any ranking, so it is dropped).
+    The doc weight is the per-gram average ``div(Σ score, n_grams)``
+    (long division both sides), length-normalized like DSIR's
+    per-token logratio.
+
+    Shape at 100 TB: one tokenize pass, bigrams built IN-ROW
+    (``zip_with`` on the token array — no per-token explode before the
+    grain is needed, no doc-keyed window), one (bucket) aggregate
+    computing raw and target counts TOGETHER (conditional sum — one
+    scan, map-side combinable), the ≤``n_buckets``-row score table
+    broadcast back, one (doc) aggregate.  The only data-grain shuffles
+    are the two aggregates.  int64 bound: per-bucket score ≤
+    (t_b+1)·scale — at ~10¹² target grams per bucket drop ``scale`` or
+    lift the product to decimal(38,0).
+
+    Returns one row per document with ≥1 bigram: ``id_col``,
+    ``carry_cols``, ``n_bigrams``, ``weight_pt``.
+    """
+    carry = list(carry_cols or [])
+    from .dedup import hash60
+
+    toks = F.filter(Ftext.tokens(text_col), lambda t: t != F.lit(""))
+    bigs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),  # NULL-propagating
+        ),
+        lambda x: x.isNotNull(),
+    )
+    grams = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        target.alias("__is_target"),
+        F.explode(bigs).alias("__gram"),
+    ).withColumn(
+        "__b", hash60(F.col("__gram"), seed) % F.lit(int(n_buckets))
+    )
+    counts = grams.groupBy("__b").agg(
+        F.count("*").alias("__r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__t"),
+    )
+    scores = counts.select(
+        "__b",
+        F.call_function(
+            "div", (F.col("__t") + 1) * F.lit(int(scale)), F.col("__r") + 1
+        ).alias("__score"),
+    )
+    return (
+        grams.join(F.broadcast(scores), "__b")
+        .groupBy(id_col, *carry)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__score").alias("__w"),
+        )
+        .select(
+            id_col,
+            *carry,
+            "n_bigrams",
+            F.call_function("div", F.col("__w"), F.col("n_bigrams")).alias(
+                "weight_pt"
+            ),
+        )
+    )

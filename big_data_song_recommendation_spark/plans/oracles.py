@@ -1257,6 +1257,43 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q131: DSIR selection twin — identical md5-60 bigram buckets,
+    # identical integer arithmetic (DuckDB // on positive BIGINTs ==
+    # JVM `div` truncation), so weights are bit-exact. Same bigram CTE
+    # discipline as q77 (normalized text has no interior/edge empties).
+    "q131_dsir_selection": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i
+            FROM (SELECT doc_id, lang,
+                         string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM documents)
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   {_hash60("'dsir:' || t[i] || ' ' || t[i+1]")} % 512 AS b
+            FROM toks WHERE i < len(t) AND t[i] <> ''
+        ),
+        counts AS (
+            SELECT b, COUNT(*) AS r,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+            FROM grams GROUP BY 1
+        ),
+        scores AS (
+            SELECT b, ((t + 1) * 1000000) // (r + 1) AS score FROM counts
+        ),
+        docw AS (
+            SELECT g.doc_id, g.lang,
+                   COUNT(*) AS n_bigrams,
+                   SUM(s.score) AS w
+            FROM grams g JOIN scores s USING (b)
+            GROUP BY g.doc_id, g.lang
+        )
+        SELECT doc_id, lang, n_bigrams,
+               CAST(w // n_bigrams AS BIGINT) AS weight_pt
+        FROM docw
+        ORDER BY weight_pt DESC, doc_id ASC
+        LIMIT 50
+    """,
     "q77_corpus_bigrams": f"""
         WITH toks AS (
             SELECT lang, doc_id, t, unnest(range(1, len(t) + 1)) AS i

@@ -3872,7 +3872,28 @@ def q130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q128/q102), and the whole ranks.py family (equi-depth buckets,
 # long-exact ntile division, bucket-type guards) — re-proving each
 # change at the driver. Key names unchanged.
+def q131_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023): score every
+    document by hashed-bigram target-vs-raw likelihood evidence
+    (target = English docs) and keep the top-50 — the data-selection
+    pass that resamples a crawl toward a domain before training.
+    Integer-exact surrogate scoring (operators/quality.dsir_scores
+    docstring has the derivation); the top-50 is a
+    TakeOrderedAndProject, never a global sort. No reference twin —
+    §2.13 LLM-pipeline mandate."""
+    from ..operators.quality import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(
+        docs, F.col("lang") == "en", carry_cols=["lang"], n_buckets=512
+    )
+    return scored.orderBy(
+        F.col("weight_pt").desc(), F.col("doc_id").asc()
+    ).limit(50)
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q131_dsir_selection": q131_dsir_selection,
     "q26_rollup_revenue": q26_rollup_revenue,
     "q54_item_cooccurrence": q54_item_cooccurrence,
     "q87_item_pagerank": q87_item_pagerank,

@@ -1,0 +1,177 @@
+"""Streaming curation soak (VERDICT r6 #8 stretch): drive CurationSink
+with a real Structured Streaming ``rate`` source for minutes at a few
+thousand docs/s and verify the forever-ingest properties the unit
+tests can't see:
+
+- **store-dedup flatness**: the synthetic corpus cycles through a
+  fixed pool of ``--pool`` distinct texts, so once the pool is
+  exhausted every later batch must be rejected by the persistent
+  fingerprint store — accepted-per-epoch drops to ~0 and the distinct
+  store size plateaus at exactly the pool size;
+- **no state growth**: persistent-RDD count and driver heap are
+  sampled per epoch; the sink must unpersist its scratch blocks
+  (finally-block discipline) so the session ends as flat as it began.
+
+Run: python scripts/streaming_soak.py [--secs 600] [--rate 5000]
+                                      [--pool 20000]
+Prints one JSON line (soak report) and exits nonzero on any violation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_song_recommendation_spark.session import get_spark  # noqa: E402
+from big_data_song_recommendation_spark.streaming.jobs import (  # noqa: E402
+    CurationSink,
+)
+
+# ≥50 tokens, stopword-rich, punctuation-light → quality_score ≥ 0.5,
+# so the dedup store (not the quality gate) decides every verdict
+_FILLER = (
+    "the quick brown fox jumps over the lazy dog and then it runs to "
+    "the river where the water is cold and the stones are smooth and "
+    "the evening light settles on the far bank while the birds call "
+    "softly from the reeds and the wind moves through the tall grass "
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--secs", type=int, default=600)
+    ap.add_argument("--rate", type=int, default=5000)
+    ap.add_argument("--pool", type=int, default=20000)
+    ap.add_argument("--trigger", default="2 seconds")
+    args = ap.parse_args()
+
+    spark = get_spark("curation-soak", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+
+    samples: list[dict] = []
+
+    def _sample(tag: str) -> dict:
+        s = {
+            "tag": tag,
+            "t": round(time.time() - t_start, 1),
+            "persistent_rdds": int(
+                spark.sparkContext._jsc.getPersistentRDDs().size()
+            ),
+            "driver_heap_mb": round(
+                (jvm_rt.totalMemory() - jvm_rt.freeMemory()) / 1e6
+            ),
+        }
+        samples.append(s)
+        return s
+
+    with tempfile.TemporaryDirectory() as d:
+        out_dir = os.path.join(d, "curated")
+        sink = CurationSink(out_dir, n_shards=4)
+
+        def batch_fn(df, epoch_id):
+            sink(df, epoch_id)
+            _sample(f"epoch_{epoch_id}")
+
+        docs = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", args.rate)
+            .load()
+            .select(
+                F.col("value").alias("doc_id"),
+                F.concat(
+                    F.lit(_FILLER),
+                    F.lit("unique marker "),
+                    (F.col("value") % args.pool).cast("string"),
+                ).alias("text"),
+            )
+        )
+        t_start = time.time()
+        _sample("start")
+        q = (
+            docs.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(processingTime=args.trigger)
+            .start()
+        )
+        try:
+            while time.time() - t_start < args.secs:
+                time.sleep(5)
+                if q.exception() is not None:
+                    raise q.exception()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        # per-epoch heap samples are GC-noise (the JVM only collects
+        # under pressure); one explicit GC makes the END number a real
+        # retained-state measurement
+        spark.sparkContext._jvm.java.lang.System.gc()
+        time.sleep(2)
+        _sample("end_after_gc")
+
+        # ---- verdicts --------------------------------------------------
+        audits = []
+        audit_dir = os.path.join(out_dir, "audit")
+        for f in sorted(os.listdir(audit_dir)):
+            if f.endswith(".json"):
+                audits.append(json.load(open(os.path.join(audit_dir, f))))
+        store = spark.read.parquet(os.path.join(out_dir, "store"))
+        store_distinct = store.select("fp").distinct().count()
+        store_total = store.count()
+        n_in = sum(a["n_in"] for a in audits)
+        n_acc = sum(a["n_accepted"] for a in audits)
+        tail = audits[len(audits) * 2 // 3 :]
+        tail_acc = sum(a["n_accepted"] for a in tail)
+
+        rdd_counts = [s["persistent_rdds"] for s in samples]
+        report = {
+            "secs": args.secs,
+            "rate": args.rate,
+            "pool": args.pool,
+            "epochs": len(audits),
+            "events_in": n_in,
+            "accepted_total": n_acc,
+            "accepted_tail_third": tail_acc,
+            "store_distinct_fp": store_distinct,
+            "store_total_rows": store_total,
+            "persistent_rdds_max": max(rdd_counts),
+            "persistent_rdds_end": rdd_counts[-1],
+            "driver_heap_mb_start": samples[0]["driver_heap_mb"],
+            "driver_heap_mb_end": samples[-1]["driver_heap_mb"],
+            "throughput_docs_s": round(n_in / max(args.secs, 1), 1),
+        }
+
+        fails = []
+        # every distinct text admitted exactly once, ever
+        if store_distinct != store_total:
+            fails.append("store holds duplicate fingerprints across epochs")
+        if n_acc != store_distinct:
+            fails.append("accepted count != store size (double admission)")
+        if n_acc > args.pool:
+            fails.append("accepted more than the distinct pool")
+        # flatness: once the pool cycles, acceptance must stop. The
+        # pool is exhausted within the first rate*secs/pool fraction;
+        # allow the tail only what a single in-flight batch could add.
+        if n_in > 2 * args.pool and tail_acc > 0:
+            fails.append(f"tail third still accepting ({tail_acc})")
+        # scratch-state discipline: the sink must not leak blocks
+        if report["persistent_rdds_end"] > report["persistent_rdds_max"]:
+            fails.append("persistent RDDs grew past in-flight max")
+        if rdd_counts[-1] > 2:
+            fails.append(f"persistent RDDs leaked: {rdd_counts[-1]} at end")
+
+        report["fails"] = fails
+        print(json.dumps(report))
+        sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

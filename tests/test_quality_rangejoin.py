@@ -348,3 +348,40 @@ def test_group_split_rejects_bad_fractions(spark):
     df = spark.range(10).selectExpr("id AS g")
     with pytest.raises(ValueError):
         group_split(df, "g", fractions={"a": 0.5, "b": 0.2})
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    """DSIR selection: docs sharing the target's n-gram profile must
+    outscore off-domain docs; weights are integer-exact and
+    partitioning-invariant (the engine's determinism contract)."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        dsir_scores,
+    )
+
+    med = "the patient presented with acute symptoms and the doctor"
+    web = "click here to win a free prize now and buy cheap deals"
+    rows = []
+    for i in range(40):  # target domain: medical
+        rows.append(Row(doc_id=i, kind="med", text=f"{med} case {i}"))
+    for i in range(40, 80):  # raw-only domain: spam
+        rows.append(Row(doc_id=i, kind="web", text=f"{web} offer {i}"))
+    # candidates: one med-like, one web-like, both UNLABELED
+    rows.append(Row(doc_id=100, kind="cand", text=f"{med} followup"))
+    rows.append(Row(doc_id=101, kind="cand", text=f"{web} voucher"))
+    df = spark.createDataFrame(rows)
+
+    scored = dsir_scores(
+        df, F.col("kind") == "med", carry_cols=["kind"], n_buckets=64
+    )
+    w = {r["doc_id"]: r["weight_pt"] for r in scored.collect()}
+    assert w[100] > w[101], f"med candidate must outscore spam: {w[100]} vs {w[101]}"
+    assert all(isinstance(v, int) for v in w.values())
+
+    w2 = {
+        r["doc_id"]: r["weight_pt"]
+        for r in dsir_scores(
+            df.repartition(13), F.col("kind") == "med",
+            carry_cols=["kind"], n_buckets=64,
+        ).collect()
+    }
+    assert w == w2, "weights must be partitioning-invariant"
