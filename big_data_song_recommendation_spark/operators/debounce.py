@@ -1,0 +1,114 @@
+"""Event debouncing — telemetry repeat-suppression before a stream
+feeds training (double-clicks, retry storms, scroll spam).
+
+Two semantics, deliberately both:
+
+- :func:`debounce_gap` — keep an event iff the gap from the PREVIOUS
+  EVENT in its key is ≥ the cooldown (the first event always keeps).
+  This is "session-head" selection (q25's gap sessionization, keeping
+  heads): pure Catalyst lag window, oracle-expressible, and the right
+  tool when bursts are short relative to the cooldown.
+- :func:`debounce_stateful` — keep an event iff the gap from the LAST
+  KEPT event is ≥ the cooldown.  Under a sustained sub-cooldown stream
+  (1 Hz events, 5 s cooldown) gap-debounce keeps only the first event
+  ever, while stateful debounce correctly emits one event per
+  cooldown.  The "last kept" chain is data-dependent recursion no
+  window can express, so this is the brief's tier-(b) custom operator:
+  ``applyInPandas`` over the key groups — Arrow-batched, one Python
+  pass per key, parallel across the (high-cardinality) key space.
+
+100 TB shape: both shuffle once on the debounce key.  Key cardinality
+is users×types, so the window/apply parallelism scales with the user
+base; per-key state is one timestamp.  The streaming twin of the
+stateful form is ``applyInPandasWithState``
+(streaming/jobs.count_based_batches shows the harness pattern).
+
+No reference twin (the reference ingests raw play events unfiltered,
+ref ``src/streaming/kafka_consumer.py``); §2.15 pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import epoch_seconds
+
+__all__ = ["debounce_gap", "debounce_stateful"]
+
+
+def debounce_gap(
+    events: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    cooldown_s: float = 600.0,
+) -> DataFrame:
+    """Keep rows whose gap from the previous event in their key is
+    ≥ ``cooldown_s`` (first row per key always kept).  Adds nothing,
+    drops rows; one window on the key — the only exchange."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, tie_col)
+    ts_s = epoch_seconds(ts_col)
+    gap = ts_s - F.lag(ts_s).over(w)
+    return (
+        events.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= float(cooldown_s)))
+        .drop("__gap")
+    )
+
+
+def debounce_stateful(
+    events: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    cooldown_s: float = 600.0,
+) -> DataFrame:
+    """Keep rows ≥ ``cooldown_s`` after the LAST KEPT row of their key.
+
+    The kept-set is defined by a left-to-right recursion (keep(i)
+    depends on which earlier rows were kept), so it is not a window
+    function — this is the documented ``applyInPandas`` escape hatch:
+    sort each key group once, walk it with a single O(n) loop, emit
+    the survivors.  Schema is preserved exactly."""
+    cd = float(cooldown_s)
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tie_col], kind="mergesort")
+        # pin the unit before the int view — pandas/Arrow may deliver
+        # datetime64[us] depending on version
+        ts = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
+            / 1e9
+        )
+        keep = []
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= cd:
+                keep.append(i)
+                last = t
+        return pdf.iloc[keep]
+
+    return events.groupBy(*keys).applyInPandas(_walk, schema=events.schema)
+
+
+def debounce_py_reference(
+    rows: Iterable[tuple], cooldown_s: float
+) -> list[tuple]:
+    """Driver-side oracle for tests: rows = (key, ts_seconds, tie),
+    returns kept rows under last-KEPT semantics. O(n log n), tiny
+    inputs only."""
+    kept: list[tuple] = []
+    last: dict = {}
+    for row in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        k, t = row[0], row[1]
+        if k not in last or t - last[k] >= cooldown_s:
+            kept.append(row)
+            last[k] = t
+    return kept

@@ -1257,6 +1257,26 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q132: gap-debounce twin — identical lag-window gap arithmetic to
+    # q25 (epoch() doubles are exact for sub-2^53 seconds); kept = gap
+    # NULL or >= 600
+    "q132_event_debounce": """
+        WITH g AS (
+            SELECT user_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR (epoch(ts) - epoch(lag(ts) OVER w)) >= 600.0
+                        THEN 1 ELSE 0 END AS kept
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+        FROM g GROUP BY 1, 2
+        ORDER BY user_id, event_type
+    """,
     # q131: DSIR selection twin — identical md5-60 bigram buckets,
     # identical integer arithmetic (DuckDB // on positive BIGINTs ==
     # JVM `div` truncation), so weights are bit-exact. Same bigram CTE

@@ -3892,7 +3892,41 @@ def q131_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+def q132_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce audit: per (user, event_type), how many
+    events survive a 10-minute gap-debounce (operators/debounce.py —
+    repeat-suppression before events feed training). Gap semantics
+    (vs previous event) so the whole operator is one lag window on the
+    high-cardinality key; the stateful vs-last-KEPT variant is the
+    applyInPandas op unit-tested in tests/test_debounce.py. No
+    reference twin; §2.15 pipeline mandate."""
+    from ..operators.debounce import debounce_gap
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = debounce_gap(
+        ev, keys=["user_id", "event_type"], cooldown_s=600.0
+    )
+    totals = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    kept_n = kept.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        totals.join(kept_n, ["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            "n_kept",
+            (F.col("n_events") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .transform(_ordered, "user_id", "event_type")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q132_event_debounce": q132_event_debounce,
     "q131_dsir_selection": q131_dsir_selection,
     "q26_rollup_revenue": q26_rollup_revenue,
     "q54_item_cooccurrence": q54_item_cooccurrence,
