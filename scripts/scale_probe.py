@@ -391,12 +391,85 @@ def skew_probe(spark, reps: list[int]) -> None:
         )
 
 
+def r7ops_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the round-7 operators: DSIR selection (two
+    data-grain aggregates + broadcast score join) and both debounce
+    forms (one key-partitioned window / applyInPandas pass). Walls
+    should track input volume ~linearly; superlinear growth means a
+    shuffle started spilling or the Python path stopped batching."""
+    import time
+
+    from big_data_song_recommendation_spark.operators.debounce import (
+        debounce_gap,
+        debounce_stateful,
+    )
+    from big_data_song_recommendation_spark.operators.quality import (
+        dsir_scores,
+    )
+
+    docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
+    ev0 = load_table(spark, "/root/testdata/sf0.1", "events")
+    for r in reps:
+        docs = (
+            replicate(docs0, r, "doc_id") if r > 1 else docs0
+        ).localCheckpoint()
+        ev = (
+            replicate(ev0, r, "event_id").withColumn(
+                "user_id", F.col("user_id") * r + F.col("event_id") % r
+            )
+            if r > 1
+            else ev0
+        ).localCheckpoint()
+        n_docs, n_ev = docs.count(), ev.count()
+
+        t0 = time.perf_counter()
+        n_sel = (
+            dsir_scores(docs, F.col("lang") == "en", n_buckets=512)
+            .orderBy(F.col("weight_pt").desc(), F.col("doc_id").asc())
+            .limit(50)
+            .count()
+        )
+        t_dsir = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_gap = debounce_gap(
+            ev, keys=["user_id", "event_type"], cooldown_s=600.0
+        ).count()
+        t_gap = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_st = debounce_stateful(
+            ev, keys=["user_id", "event_type"], cooldown_s=600.0
+        ).count()
+        t_st = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_pd = debounce_stateful(
+            ev, keys=["user_id", "event_type"], cooldown_s=600.0,
+            impl="pandas",
+        ).count()
+        t_pd = time.perf_counter() - t0
+
+        print(
+            f"x{r}: docs={n_docs} dsir_top={n_sel} dsir={t_dsir:.1f}s | "
+            f"events={n_ev} gap_kept={n_gap} gap={t_gap:.1f}s "
+            f"fold_kept={n_st} fold={t_st:.1f}s "
+            f"pandas_kept={n_pd} pandas={t_pd:.1f}s",
+            flush=True,
+        )
+        from big_data_song_recommendation_spark.session import (
+            release_query_state,
+        )
+
+        release_query_state(spark)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
-        "botuser", "skew",
+        "botuser", "skew", "r7ops",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -425,6 +498,10 @@ def main() -> None:
         return
     if mode == "skew":
         skew_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r7ops":
+        r7ops_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

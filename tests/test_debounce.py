@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 
 from big_data_song_recommendation_spark.operators.debounce import (
@@ -46,7 +47,8 @@ def test_stateful_emits_one_per_cooldown_under_sustained_stream(spark):
     assert got_stateful == [0, 5, 10, 15]
 
 
-def test_stateful_matches_python_reference_on_irregular_stream(spark):
+@pytest.mark.parametrize("impl", ["fold", "pandas"])
+def test_stateful_matches_python_reference_on_irregular_stream(spark, impl):
     secs = [0, 1, 2, 9, 9.5, 10, 30, 31, 200, 201, 205, 206, 400]
     rows = [_ev(u, s + u * 0.37, i * 10 + u) for u in (1, 2, 3)
             for i, s in enumerate(secs)]
@@ -55,7 +57,7 @@ def test_stateful_matches_python_reference_on_irregular_stream(spark):
     got = sorted(
         (r.user_id, r.event_id)
         for r in debounce_stateful(
-            df, keys=["user_id"], cooldown_s=8.0
+            df, keys=["user_id"], cooldown_s=8.0, impl=impl
         ).collect()
     )
     ref_rows = [
@@ -66,6 +68,34 @@ def test_stateful_matches_python_reference_on_irregular_stream(spark):
         (k, tie) for k, _, tie in debounce_py_reference(ref_rows, 8.0)
     )
     assert got == want
+
+
+def test_fold_and_pandas_agree_on_random_streams(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 0.0
+        for _ in range(rng.randint(1, 60)):
+            t += rng.choice([0.5, 1.0, 3.0, 7.9, 8.0, 8.1, 30.0])
+            rows.append(_ev(u, t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    a = sorted(
+        (r.user_id, r.event_id)
+        for r in debounce_stateful(
+            df, keys=["user_id"], cooldown_s=8.0, impl="fold"
+        ).collect()
+    )
+    b = sorted(
+        (r.user_id, r.event_id)
+        for r in debounce_stateful(
+            df, keys=["user_id"], cooldown_s=8.0, impl="pandas"
+        ).collect()
+    )
+    assert a == b
 
 
 def test_gap_debounce_keeps_schema_and_first_rows(spark):
