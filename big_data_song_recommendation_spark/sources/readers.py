@@ -303,3 +303,39 @@ def read_orc(
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    *paths: str,
+    required: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read parquet shards whose schemas EVOLVED across writes — the
+    forever-ingest reality (a column added in epoch N must not break
+    reads of epochs < N).
+
+    ``mergeSchema=true`` unions the footer schemas (off by default in
+    Spark because it costs one footer read per file — which is exactly
+    the right trade on an evolving lake); rows from shards missing a
+    column read as NULL.  ``required`` maps column → type and raises
+    if the merged schema still lacks one (catching a *renamed* column
+    early, instead of silently training on an all-NULL feature).
+
+    Scale note: schema merge reads footers only (driver-side listing +
+    parallel footer fetch), never data; pushdown and pruning are
+    unaffected.  Columns DROPPED by a new writer stay readable for old
+    shards the same way — NULL where absent.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if required:
+        have = {f.name: f.dataType.simpleString() for f in df.schema}
+        missing = {
+            c: t for c, t in required.items()
+            if have.get(c) != t
+        }
+        if missing:
+            raise ValueError(
+                f"evolving read at {paths}: required columns absent or "
+                f"mistyped: {missing}; merged schema has {have}"
+            )
+    return df
