@@ -365,3 +365,83 @@ def test_bucketed_cumsum_and_avg_rank_equal_window_forms(spark, rows, bins):
         with_equi_width_bucket(df, "v", bins=bins), "v", ["__vb"], out="ar"
     )
     assert {(r.k, r.ar) for r in got_ar.collect()} == want_ar
+
+
+# ---- round-7 operators ----------------------------------------------------
+
+_gap_lists = st.lists(
+    st.floats(min_value=0.01, max_value=30.0, allow_nan=False),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(**SETTINGS)
+@given(gaps=_gap_lists, cd=st.floats(min_value=0.5, max_value=20.0))
+def test_debounce_fold_matches_python_reference(spark, gaps, cd):
+    """The Catalyst run-fold must implement vs-last-KEPT debounce for
+    ANY gap structure — boundary gaps equal to the cooldown, long
+    runs, single events."""
+    import datetime as dt
+
+    from big_data_song_recommendation_spark.operators.debounce import (
+        debounce_py_reference,
+        debounce_stateful,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    t, rows, secs = 0.0, [], []
+    for i, g in enumerate(gaps):
+        t += g
+        rows.append((1, base + dt.timedelta(seconds=t), i))
+        secs.append((1, t, i))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = sorted(
+        r.event_id
+        for r in debounce_stateful(
+            df, keys=["user_id"], cooldown_s=cd, impl="fold"
+        ).collect()
+    )
+    want = sorted(tie for _, _, tie in debounce_py_reference(secs, cd))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            st.sampled_from("abcd efgh "), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_dsir_weights_deterministic_and_bounded(spark, texts):
+    """DSIR scores: integer weights, invariant under repartitioning,
+    and bounded by the max per-bucket score (scale·(t_max+1))."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from big_data_song_recommendation_spark.operators.quality import (
+        dsir_scores,
+    )
+
+    rows = [(i, s, "en" if i % 2 == 0 else "de") for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    a = {
+        r.doc_id: r.weight_pt
+        for r in dsir_scores(df, F.col("lang") == "en", n_buckets=32).collect()
+    }
+    b = {
+        r.doc_id: r.weight_pt
+        for r in dsir_scores(
+            df.repartition(5), F.col("lang") == "en", n_buckets=32
+        ).collect()
+    }
+    assert a == b
+    n_grams_total = sum(
+        max(len([w for w in s.split() if w]) - 1, 0) for s in texts
+    )
+    assert all(
+        isinstance(v, int) and 0 <= v <= 1_000_000 * (n_grams_total + 1)
+        for v in a.values()
+    )
