@@ -425,3 +425,46 @@ def dsir_scores(
             ),
         )
     )
+
+
+def srp_balanced_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 5,
+    per_bucket: int = 8,
+    seed: str = "smp",
+) -> DataFrame:
+    """Semantically balanced corpus sampling (the SemDeDup / cluster-
+    balanced-selection pattern): partition the embedding space into
+    2^planes SRP hyperplane buckets (deterministic — the same
+    hash-derived hyperplanes as operators/similarity.srp_signatures,
+    reproducible in any engine), then keep at most ``per_bucket`` rows
+    per bucket by a deterministic md5-uniform order. Uniform sampling
+    over-represents dense regions of embedding space; capping per
+    semantic bucket flattens that, which is the point of
+    cluster-balanced data selection for training corpora.
+
+    Returns ``(id_col, bucket, smp_rank)`` for the kept rows only.
+
+    100 TB shape: signatures are a bucketed GEMM keyed on the vector
+    id (see srp_signatures); the per-bucket top-``per_bucket`` is one
+    window over the bucket key — 2^planes partitions, each processed
+    independently. Bucket sizes follow data density; if one bucket
+    dominates, raise ``planes`` (finer cells) rather than salting —
+    the cap bounds the *output*, and rank-only windows stream in one
+    pass over each sorted partition.
+    """
+    from .dedup import hash60
+    from .similarity import srp_signatures
+
+    sigs = srp_signatures(df, id_col=id_col, vec_col=vec_col, planes=planes)
+    w = Window.partitionBy("bucket").orderBy(
+        hash60(F.col(id_col).cast("string"), seed), F.col(id_col)
+    )
+    return (
+        sigs.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= int(per_bucket))
+        .select(id_col, "bucket", "smp_rank")
+    )

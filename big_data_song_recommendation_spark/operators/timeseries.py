@@ -176,3 +176,61 @@ def resample_ohlc(
         ),
         F.count("*").alias("n"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average of an irregular series (the TWAP / kdb
+    ``wavg``-over-durations rollup): each observation holds its value
+    until the NEXT observation in the same key partition, so its
+    weight is that holding duration; the last observation of a
+    partition has no duration and drops out.
+
+    Returns ``keys…, n_intervals, twav``.
+
+    Exactness contract: durations are integer microseconds
+    (``unix_micros`` deltas) and the value is summed as
+    ``decimal(18,6)·µs`` — order-independent exact accumulation for
+    fixed-point inputs; only the final ratio goes through doubles
+    (floored to 6 dp). The weight window and the rollup share the SAME
+    partitioning keys, so Catalyst plans ONE exchange: the groupBy
+    reuses the window's hash partitioning. Pick keys with enough
+    cardinality to spread (e.g. (series, day) — a bare 5-value type
+    key would funnel 1/5 of the facts through one task; the day
+    component is also what bounds per-partition sort memory at 100 TB).
+    """
+    from ..functions.scalars import stable_round
+
+    order: list[Column] = [F.col(ts_col)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # NTZ-tolerant: the repo pins session tz to UTC (load_table), so
+    # the NTZ→LTZ cast is value-preserving
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    timed = df.withColumn("__dur_us", F.lead(us).over(w) - us).filter(
+        F.col("__dur_us").isNotNull()
+    )
+    wv = F.col(value_col).cast("decimal(18,6)") * F.col("__dur_us")
+    return (
+        timed.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(wv).alias("__swv"),
+            F.sum("__dur_us").alias("__sw"),
+        )
+        .select(
+            *keys,
+            "n_intervals",
+            stable_round(
+                F.col("__swv").cast("double") / F.col("__sw").cast("double"),
+                6,
+            ).alias("twav"),
+        )
+    )

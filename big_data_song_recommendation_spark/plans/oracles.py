@@ -1257,6 +1257,171 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q133: gaps-and-islands twin — the first-row OR state-change flag
+    # mirrors operators/scd.collapse_runs (lag-of-constant first-row
+    # detection + null-safe state compare); half-open intervals via
+    # lead(valid_from)
+    "q133_status_intervals": """
+        WITH e AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM events WHERE user_id < 40
+        ),
+        l AS (
+            SELECT *,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR lag(event_type) OVER w
+                                IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        r AS (
+            SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS version
+            FROM l
+        ),
+        i AS (
+            SELECT user_id, version,
+                   any_value(event_type) AS state,
+                   MIN(ts) AS vf,
+                   COUNT(*) AS n_obs
+            FROM r GROUP BY 1, 2
+        )
+        SELECT user_id, version, state,
+               strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(lead(vf) OVER wv,
+                        '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               n_obs,
+               (lead(vf) OVER wv IS NULL) AS is_current
+        FROM i
+        WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        ORDER BY user_id, version
+    """,
+    # q134: TWAP twin — identical integer-µs durations and
+    # decimal(18,6)·µs exact accumulation; only the final ratio is a
+    # double (stable_round floor semantics)
+    "q134_time_weighted_value": """
+        WITH e AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   ts, event_id, value
+            FROM events
+        ),
+        d AS (
+            SELECT event_type, day,
+                   epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM e
+            WINDOW w AS (PARTITION BY event_type, day
+                         ORDER BY ts, event_id)
+        )
+        SELECT event_type, day,
+               COUNT(*) AS n_intervals,
+               floor(CAST(SUM(v * dur) AS DOUBLE)
+                     / CAST(SUM(dur) AS DOUBLE) * 1000000) / 1000000
+                   AS twav
+        FROM d WHERE dur IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY event_type, day
+    """,
+    # q135: cluster-balanced sample twin — the q75 SRP bucket CTE at
+    # planes=5, then a per-bucket md5-uniform row_number cap
+    "q135_semantic_balanced_sample": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM vecs
+        ),
+        elx AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM el
+        ),
+        planes AS (SELECT unnest(range(0, 5)) AS p),
+        proj AS (
+            SELECT vec_id, p,
+                   SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS proj
+            FROM elx CROSS JOIN planes
+            GROUP BY 1, 2
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN proj >= 0
+                                 THEN (CAST(1 AS BIGINT) << p)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY 1
+        )
+        SELECT vec_id, bucket, smp_rank FROM (
+            SELECT vec_id, bucket,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY {_hash60("'smp:' || vec_id")}, vec_id
+                   ) AS smp_rank
+            FROM bucket
+        ) WHERE smp_rank <= 8
+        ORDER BY bucket, smp_rank
+    """,
+    # q136: last-touch attribution twin — latest strictly-prior touch
+    # within 3 days; tie at equal ts broken by highest event_id
+    # (operators/asof.py frame order: ts asc, event_id asc, last wins)
+    "q136_purchase_attribution": """
+        SELECT COALESCE(attr, 'unattributed') AS channel,
+               COUNT(*) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM (
+            SELECT p.value, (
+                SELECT c.event_type FROM events c
+                WHERE c.user_id = p.user_id
+                  AND c.event_type IN ('click', 'view')
+                  AND c.ts < p.ts
+                  AND c.ts >= p.ts - INTERVAL 3 DAY
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) AS attr
+            FROM events p WHERE p.event_type = 'purchase'
+        )
+        GROUP BY 1
+        ORDER BY channel
+    """,
+    # q137: expectation-suite twin — one aggregate CTE, one metric per
+    # check, unioned to labeled rows (operators/expectations.py)
+    "q137_expectation_audit": """
+        WITH m AS (
+            SELECT COUNT(*) AS m0,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS m1,
+                   COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS m2,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS m3,
+                   SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                 AND o_orderstatus NOT IN ('F','O','P')
+                            THEN 1 ELSE 0 END) AS m4,
+                   SUM(CASE WHEN o_totalprice < 0.0
+                                 OR o_totalprice > 1000000.0
+                            THEN 1 ELSE 0 END) AS m5,
+                   SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS m6
+            FROM orders
+        ),
+        rows_out AS (
+                      SELECT 'min_rows' AS check_kind, '*' AS column_name,
+                             CAST(m0 AS BIGINT) AS metric,
+                             m0 >= 1000 AS passed FROM m
+            UNION ALL SELECT 'not_null', 'o_orderkey',
+                             CAST(m1 AS BIGINT), m1 = 0 FROM m
+            UNION ALL SELECT 'unique', 'o_orderkey',
+                             CAST(m2 AS BIGINT), m2 = 0 FROM m
+            UNION ALL SELECT 'not_null', 'o_custkey',
+                             CAST(m3 AS BIGINT), m3 = 0 FROM m
+            UNION ALL SELECT 'accepted', 'o_orderstatus',
+                             CAST(m4 AS BIGINT), m4 = 0 FROM m
+            UNION ALL SELECT 'range', 'o_totalprice',
+                             CAST(m5 AS BIGINT), m5 = 0 FROM m
+            UNION ALL SELECT 'not_null', 'o_orderdate',
+                             CAST(m6 AS BIGINT), m6 = 0 FROM m
+        )
+        SELECT * FROM rows_out ORDER BY check_kind, column_name
+    """,
     # q132: gap-debounce twin — identical lag-window gap arithmetic to
     # q25 (epoch() doubles are exact for sub-2^53 seconds); kept = gap
     # NULL or >= 600

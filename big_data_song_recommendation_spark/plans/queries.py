@@ -3925,7 +3925,144 @@ def q132_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval build (gaps-and-islands): collapse each
+    user's time-ordered event_type observations into validity
+    intervals [valid_from, valid_to) with a per-user version counter
+    and an is_current flag (operators/scd.py — the dimension-history
+    operator the reference's static CSV dims never needed,
+    src/spark/training.py:113-150). Audited for a bounded user slice;
+    the operator itself is one keyed shuffle + an island-grain window
+    at any scale."""
+    from ..operators.scd import collapse_runs
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    runs = collapse_runs(
+        ev, keys=["user_id"], state_col="event_type", tiebreak="event_id"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "n_obs",
+        "is_current",
+    ).transform(_ordered, "user_id", "version")
+
+
+def q134_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average value per event type (TWAP — the
+    irregular-series rollup OHLC can't give you: each observation is
+    weighted by how long it HELD before the next one;
+    operators/timeseries.time_weighted_avg). Partition key is
+    (event_type, day) — the day component is what spreads a 5-value
+    type key across the cluster and bounds per-partition sort state;
+    window and rollup share one exchange. Integer-µs × decimal
+    accumulation keeps the sums order-independent cross-engine."""
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return time_weighted_avg(
+        ev, keys=["event_type", "day"], tiebreak="event_id"
+    ).transform(_ordered, "event_type", "day")
+
+
+def q135_semantic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling (SemDeDup-style selection):
+    deterministic SRP hyperplane buckets partition the embedding space
+    into 2^5 semantic cells, then at most 8 rows survive per cell
+    under an md5-uniform order (operators/quality.srp_balanced_sample)
+    — density-flattened data selection, fully reproducible in any
+    engine. §2.13 pipeline mandate; no reference twin."""
+    from ..operators.quality import srp_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_balanced_sample(
+        emb, planes=5, per_bucket=8
+    ).transform(_ordered, "bucket", "smp_rank")
+
+
+def q136_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is attributed
+    to the user's most recent strictly-prior click or view within a
+    3-day lookback (operators/asof.py with payload + tolerance — the
+    q29 as-of operator exercised with its tolerance contract), then
+    rolled up per channel. Tie at identical (ts): highest event_id
+    wins (the operator's documented tiebreak), mirrored in the oracle.
+    Single keyed shuffle for the as-of union-window; the rollup is a
+    3-row aggregate."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    attributed = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        tiebreak="event_id",
+        strict=True,
+        tolerance="3 DAYS",
+        right_payload=["event_type"],
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("asof_event_type"), F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            # decimal-in/double-out: value is 2dp-exact, so the decimal
+            # sum is order-independent across engines (q02/q117 pattern)
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .transform(_ordered, "channel")
+    )
+
+
+def q137_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over orders
+    (operators/expectations.py — the deequ pattern: every check
+    compiles into ONE aggregate pass; adding a check adds an
+    expression, never a scan). Replaces the reference's imperative
+    per-column try/except validation (src/spark/training.py:61-95)
+    with a single-scan audit artifact."""
+    from ..operators.expectations import expectation_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    audit = expectation_audit(
+        orders,
+        [
+            ("min_rows", None, 1000),
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("not_null", "o_custkey"),
+            ("accepted", "o_orderstatus", ["F", "O", "P"]),
+            ("range", "o_totalprice", 0.0, 1_000_000.0),
+            ("not_null", "o_orderdate"),
+        ],
+    )
+    return audit.select(
+        F.col("check").alias("check_kind"),
+        F.col("column").alias("column_name"),
+        "metric",
+        "passed",
+    ).transform(_ordered, "check_kind", "column_name")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q133_status_intervals": q133_status_intervals,
+    "q134_time_weighted_value": q134_time_weighted_value,
+    "q135_semantic_balanced_sample": q135_semantic_balanced_sample,
+    "q136_purchase_attribution": q136_purchase_attribution,
+    "q137_expectation_audit": q137_expectation_audit,
     "q132_event_debounce": q132_event_debounce,
     "q131_dsir_selection": q131_dsir_selection,
     "q26_rollup_revenue": q26_rollup_revenue,

@@ -1,0 +1,95 @@
+"""Interval coalescing / SCD2 (operators/scd.py): island boundaries,
+null-safe state compare, tiebreak order, half-open interval chain."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from big_data_song_recommendation_spark.operators.scd import collapse_runs
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _at(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, seq int, ts timestamp, state string")
+
+
+def test_runs_collapse_and_versions(spark):
+    rows = [
+        (1, 1, _at(0), "a"),
+        (1, 2, _at(1), "a"),
+        (1, 3, _at(2), "b"),
+        (1, 4, _at(3), "a"),
+        (2, 5, _at(0), "x"),
+    ]
+    out = collapse_runs(
+        _df(spark, rows), keys=["k"], state_col="state", tiebreak="seq"
+    )
+    got = {
+        (r.k, r.version): (r.state, r.n_obs, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("a", 2, False),
+        (1, 2): ("b", 1, False),
+        (1, 3): ("a", 1, True),
+        (2, 1): ("x", 1, True),
+    }
+
+
+def test_half_open_interval_chain(spark):
+    rows = [(1, 1, _at(0), "a"), (1, 2, _at(5), "b"), (1, 3, _at(9), "c")]
+    out = (
+        collapse_runs(_df(spark, rows), keys=["k"], state_col="state")
+        .orderBy("version")
+        .collect()
+    )
+    # valid_to of version N == valid_from of version N+1; last is open
+    assert [r.valid_from for r in out] == [_at(0), _at(5), _at(9)]
+    assert [r.valid_to for r in out] == [_at(5), _at(9), None]
+    assert [r.is_current for r in out] == [False, False, True]
+
+
+def test_null_states_form_islands(spark):
+    # a NULL run is ONE island (null-safe equality), and NULL→value is
+    # a change; a leading NULL state still starts version 1
+    rows = [
+        (1, 1, _at(0), None),
+        (1, 2, _at(1), None),
+        (1, 3, _at(2), "a"),
+        (1, 4, _at(3), None),
+    ]
+    out = (
+        collapse_runs(_df(spark, rows), keys=["k"], state_col="state")
+        .orderBy("version")
+        .collect()
+    )
+    assert [(r.version, r.state, r.n_obs) for r in out] == [
+        (1, None, 2),
+        (2, "a", 1),
+        (3, None, 1),
+    ]
+
+
+def test_tiebreak_orders_equal_timestamps(spark):
+    # same ts: seq decides run membership deterministically
+    rows = [
+        (1, 2, _at(0), "b"),
+        (1, 1, _at(0), "a"),
+        (1, 3, _at(1), "b"),
+    ]
+    out = (
+        collapse_runs(
+            _df(spark, rows), keys=["k"], state_col="state", tiebreak="seq"
+        )
+        .orderBy("version")
+        .collect()
+    )
+    assert [(r.version, r.state, r.n_obs) for r in out] == [
+        (1, "a", 1),
+        (2, "b", 2),
+    ]

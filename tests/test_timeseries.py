@@ -123,3 +123,56 @@ def test_resample_ohlc_first_last_by_ts_then_id(spark):
     )
     day2 = out[t0 + dt.timedelta(days=1)]
     assert (day2["open"], day2["close"], day2["n"]) == (2.0, 2.0, 1)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg (TWAP)
+# ---------------------------------------------------------------------------
+
+
+def _twap_events(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: 10.0 held 60 s, 20.0 held 180 s, 40.0 open-ended
+        (1, base, 10.0),
+        (1, base + dt.timedelta(seconds=60), 20.0),
+        (1, base + dt.timedelta(seconds=240), 40.0),
+        # key 2: single observation → no interval, no output row
+        (2, base, 99.0),
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, value double")
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    out = timeseries.time_weighted_avg(
+        _twap_events(spark), keys=["k"]
+    ).collect()
+    rows = {r.k: (r.n_intervals, r.twav) for r in out}
+    # (10*60 + 20*180) / 240 = 17.5 ; key 2 drops (no duration)
+    assert rows == {1: (2, 17.5)}
+
+
+def test_time_weighted_avg_keys_isolate(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(seconds=10), 0.0),
+        (2, base + dt.timedelta(seconds=5), 50.0),
+        (2, base + dt.timedelta(seconds=15), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, value double")
+    out = {r.k: r.twav for r in timeseries.time_weighted_avg(df, keys=["k"]).collect()}
+    # durations never cross keys: both series hold one 10 s interval
+    assert out == {1: 10.0, 2: 50.0}
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """Window and rollup share the partition keys → ONE Exchange."""
+    df = _twap_events(spark)
+    plan = (
+        timeseries.time_weighted_avg(df, keys=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
