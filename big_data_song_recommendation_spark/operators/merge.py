@@ -157,23 +157,33 @@ def scd2_compact(
     is incremental SCD2.
 
     ``tie_breaks``: extra ordering columns for non-unique timestamps —
-    without a total order per key the compaction is nondeterministic."""
-    order = [ts_col, *(tie_breaks or [])]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    changed = (
-        changes.withColumn("__prev", F.lag(tracked).over(w))
-        .filter(
-            F.col("__prev").isNull()
-            | ~F.col(tracked).eqNullSafe(F.col("__prev"))
-        )
-        .drop("__prev")
+    without a total order per key the compaction is nondeterministic.
+
+    Delegates to :func:`operators.scd.collapse_runs` — the single
+    gaps-and-islands implementation in the repo (q133 exposes the
+    versioned superset view). The delegation also fixes a NULL-run
+    defect of the original filter form here: ``lag(tracked) IS NULL``
+    conflated "first row of the key" with "previous state was NULL",
+    so a run of NULL states emitted one interval per observation;
+    collapse_runs detects the first row with a lagged constant and
+    keeps a NULL run as ONE interval. Payload columns other than
+    ``keys``/``tracked`` are not carried through (select them off the
+    interval table by joining back on (keys, valid_from) if needed)."""
+    from .scd import collapse_runs
+
+    runs = collapse_runs(
+        changes,
+        keys=keys,
+        state_col=tracked,
+        ts_col=ts_col,
+        tiebreak=tie_breaks,
     )
-    w2 = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        changed.withColumn("valid_from", F.col(ts_col))
-        .withColumn("valid_to", F.lead("valid_from").over(w2))
-        .withColumn("is_current", F.col("valid_to").isNull())
-        .drop(ts_col)
+    return runs.select(
+        *keys,
+        F.col("state").alias(tracked),
+        "valid_from",
+        "valid_to",
+        "is_current",
     )
 
 

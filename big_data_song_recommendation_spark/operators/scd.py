@@ -29,7 +29,7 @@ def collapse_runs(
     keys: list[str],
     state_col: str,
     ts_col: str = "ts",
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Collapse consecutive rows with an equal ``state_col`` (per
     ``keys``, ordered by ``(ts_col, tiebreak)``) into one interval row:
@@ -40,38 +40,46 @@ def collapse_runs(
     next interval's ``valid_from`` (half-open convention) and NULL on
     the current (last) interval. State equality is null-safe: a run of
     NULL states is one island, and a NULL→value change closes it.
+
+    Plan shape: every window below partitions on ``keys`` only, so the
+    whole build is ONE exchange — no island-grain re-shuffle. Run
+    starts carry their fact-grain row_number; the island size is pure
+    rank arithmetic (``lead(rn) - rn``, with the per-key total closing
+    the last island), never a groupBy.
     """
-    order: list[Column] = [F.col(ts_col)]
-    if tiebreak is not None:
-        order.append(F.col(tiebreak))
+    ties = (
+        [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    )
+    order: list[Column] = [F.col(ts_col), *(F.col(t) for t in ties)]
     w = Window.partitionBy(*keys).orderBy(*order)
+    wk = Window.partitionBy(*keys)
 
     # First row per key is detected with lag over a constant (a NULL
     # lagged *state* would be ambiguous with a genuine NULL state).
     prev_state = F.lag(state_col).over(w)
     is_first = F.lag(F.lit(1)).over(w).isNull()
     changed = is_first | ~F.col(state_col).eqNullSafe(prev_state)
-    run = df.withColumn(
-        "__version",
-        F.sum(changed.cast("long")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-
-    island = run.groupBy(*keys, "__version").agg(
-        # any_value is safe: the state is constant within an island by
-        # construction
-        F.any_value(state_col).alias("state"),
-        F.min(ts_col).alias("valid_from"),
-        F.count("*").alias("n_obs"),
-    )
-    wv = Window.partitionBy(*keys).orderBy("__version")
-    return island.select(
+    starts = df.select(
         *keys,
-        F.col("__version").alias("version"),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__total"),
+        changed.alias("__chg"),
+    ).filter("__chg")
+
+    # the filtered run-start rows keep their (ts, tiebreak) order, so
+    # the same keys-partitioned window serves version / n_obs / lead
+    ws = Window.partitionBy(*keys).orderBy("__rn")
+    nxt_rn = F.lead("__rn").over(ws)
+    return starts.select(
+        *keys,
+        F.row_number().over(ws).alias("version"),
         "state",
         "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        "n_obs",
-        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        F.lead("valid_from").over(ws).alias("valid_to"),
+        (F.coalesce(nxt_rn, F.col("__total") + 1) - F.col("__rn")).alias(
+            "n_obs"
+        ),
+        nxt_rn.isNull().alias("is_current"),
     )

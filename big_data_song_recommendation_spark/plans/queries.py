@@ -3929,11 +3929,13 @@ def q133_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 interval build (gaps-and-islands): collapse each
     user's time-ordered event_type observations into validity
     intervals [valid_from, valid_to) with a per-user version counter
-    and an is_current flag (operators/scd.py — the dimension-history
-    operator the reference's static CSV dims never needed,
-    src/spark/training.py:113-150). Audited for a bounded user slice;
-    the operator itself is one keyed shuffle + an island-grain window
-    at any scale."""
+    and an is_current flag (operators/scd.py collapse_runs — the ONE
+    gaps-and-islands implementation in the repo: q79's scd2_compact
+    delegates to it; this query audits the versioned superset view —
+    version numbers, per-island n_obs, µs-precision bounds — that the
+    compaction view drops). Audited for a bounded user slice; the
+    operator itself is one keyed shuffle + an island-grain window at
+    any scale."""
     from ..operators.scd import collapse_runs
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)

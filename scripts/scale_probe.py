@@ -464,12 +464,111 @@ def r7ops_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def r7b_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the round-7 batch-B operators: SCD2 run collapse
+    (one keyed window + island agg), TWAP (one shared exchange),
+    as-of attribution (union-window), expectation audit (one scan),
+    and SRP balanced sampling (bucketed GEMM + bucket window). All
+    should track input volume ~linearly; the audit should stay
+    scan-bound (flat per-row cost) and the sample output stays capped
+    at 2^planes × per_bucket rows regardless of r."""
+    import time
+
+    from big_data_song_recommendation_spark.operators.asof import asof_join
+    from big_data_song_recommendation_spark.operators.expectations import (
+        expectation_audit,
+    )
+    from big_data_song_recommendation_spark.operators.quality import (
+        srp_balanced_sample,
+    )
+    from big_data_song_recommendation_spark.operators.scd import collapse_runs
+    from big_data_song_recommendation_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev0 = load_table(spark, "/root/testdata/sf0.1", "events")
+    ord0 = load_table(spark, "/root/testdata/sf0.1", "orders")
+    emb0 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    for r in reps:
+        # user space grows with r so per-key run length stays constant
+        ev = (
+            replicate(ev0, r, "event_id").withColumn(
+                "user_id", F.col("user_id") * r + F.col("event_id") % r
+            )
+            if r > 1
+            else ev0
+        ).localCheckpoint()
+        orders = (
+            replicate(ord0, r, "o_orderkey") if r > 1 else ord0
+        ).localCheckpoint()
+        emb = (
+            replicate(emb0, r, "vec_id") if r > 1 else emb0
+        ).localCheckpoint()
+        n_ev, n_ord, n_emb = ev.count(), orders.count(), emb.count()
+
+        t0 = time.perf_counter()
+        n_runs = collapse_runs(
+            ev, keys=["user_id"], state_col="event_type", tiebreak="event_id"
+        ).count()
+        t_scd = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_twap = time_weighted_avg(
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")),
+            keys=["event_type", "day"],
+            tiebreak="event_id",
+        ).count()
+        t_twap = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_attr = asof_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type").isin("click", "view")),
+            on="user_id",
+            tiebreak="event_id",
+            strict=True,
+            tolerance="3 DAYS",
+            right_payload=["event_type"],
+        ).groupBy("asof_event_type").count().count()
+        t_attr = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_checks = expectation_audit(
+            orders,
+            [
+                ("min_rows", None, 1000),
+                ("not_null", "o_orderkey"),
+                ("unique", "o_orderkey"),
+                ("accepted", "o_orderstatus", ["F", "O", "P"]),
+                ("range", "o_totalprice", 0.0, 1e6),
+            ],
+        ).count()
+        t_audit = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_smp = srp_balanced_sample(emb, planes=5, per_bucket=8).count()
+        t_smp = time.perf_counter() - t0
+
+        print(
+            f"x{r}: events={n_ev} runs={n_runs} scd={t_scd:.1f}s "
+            f"twap_rows={n_twap} twap={t_twap:.1f}s attr={t_attr:.1f}s | "
+            f"orders={n_ord} checks={n_checks} audit={t_audit:.1f}s | "
+            f"emb={n_emb} sampled={n_smp} smp={t_smp:.1f}s",
+            flush=True,
+        )
+        from big_data_song_recommendation_spark.session import (
+            release_query_state,
+        )
+
+        release_query_state(spark)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
-        "botuser", "skew", "r7ops",
+        "botuser", "skew", "r7ops", "r7b",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -502,6 +601,10 @@ def main() -> None:
         return
     if mode == "r7ops":
         r7ops_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r7b":
+        r7b_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

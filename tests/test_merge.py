@@ -138,3 +138,22 @@ def test_snapshot_diff_verdicts_and_null_safety(spark):
     assert out[3]["verdict"] == "changed" and out[3]["n_changed_cols"] == 1
     assert out[4]["verdict"] == "removed"
     assert out[5]["verdict"] == "added"
+
+
+def test_scd2_compact_null_run_is_one_interval(spark):
+    """A run of NULL tracked states is ONE interval (the pre-delegation
+    filter form emitted one interval per NULL observation because
+    lag IS NULL conflated 'first row' with 'previous state NULL')."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0, 1),
+        (1, None, t0 + dt.timedelta(minutes=1), 2),
+        (1, None, t0 + dt.timedelta(minutes=2), 3),
+        (1, "b", t0 + dt.timedelta(minutes=3), 4),
+    ]
+    df = spark.createDataFrame(rows, "uid int, state string, ts timestamp, eid int")
+    hist = merge.scd2_compact(df, ["uid"], "state", ts_col="ts", tie_breaks=["eid"]).collect()
+    got = [(r.state, r.is_current) for r in sorted(hist, key=lambda r: r.valid_from)]
+    assert got == [("a", False), (None, False), ("b", True)]

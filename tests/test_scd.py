@@ -93,3 +93,18 @@ def test_tiebreak_orders_equal_timestamps(spark):
         (1, "a", 1),
         (2, "b", 2),
     ]
+
+
+def test_single_exchange_plan(spark):
+    """The whole islands build partitions on the keys only → ONE
+    Exchange (no island-grain re-shuffle; n_obs is rank arithmetic)."""
+    rows = [(1, 1, _at(0), "a"), (1, 2, _at(1), "b")]
+    plan = (
+        collapse_runs(
+            _df(spark, rows), keys=["k"], state_col="state", tiebreak="seq"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
