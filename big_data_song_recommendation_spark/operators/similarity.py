@@ -370,3 +370,64 @@ def srp_knn(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+
+def srp_hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    planes: int = 6,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    probe (anchor), the top-``k`` most-cosine-similar corpus vectors
+    with a DIFFERENT label — the near-but-wrong examples that carry
+    the training signal (random negatives are trivially far).
+
+    Same candidate machinery as :func:`srp_knn` (deterministic SRP
+    bucket equi-join, exact cosine re-rank) plus the label-mismatch
+    predicate applied BEFORE the rank window, so a bucket dominated by
+    the anchor's own class still yields its hardest negatives from the
+    rest. At scale the signatures are the same on-disk LSH index
+    srp_knn uses — mining negatives and serving ANN share one layout.
+    """
+    sigs = srp_signatures(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes
+    ).cache()
+    dim = vectors.infer_dim(corpus, vec_col)
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v"), F.col(label_col).alias("lbl")
+    ).withColumn("n", F.sqrt(vectors.sq_norm_expanded("v", dim)))
+    with_sig = base.join(sigs, id_col)
+    p = with_sig.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        F.col("lbl").alias("anchor_label"),
+        "bucket",
+    ).join(probes.select(F.col(id_col).alias("anchor_id")), "anchor_id", "left_semi")
+    c = with_sig.select(
+        F.col(id_col).alias("negative_id"),
+        F.col("v").alias("nv"),
+        F.col("n").alias("nn"),
+        F.col("lbl").alias("negative_label"),
+        "bucket",
+    )
+    sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("negative_id")
+    )
+    return (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label",
+            "sim", "rnk",
+        )
+    )

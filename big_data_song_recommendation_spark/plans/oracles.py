@@ -1257,6 +1257,57 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q138: hard-negative twin — the q75 SRP bucket CTE (planes=6)
+    # with the label-mismatch predicate before the rank window (self
+    # is excluded by its own label; no separate id filter, mirroring
+    # the Spark side)
+    "q138_hard_negative_mining": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM vecs
+        ),
+        elx AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM el
+        ),
+        planes AS (SELECT unnest(range(0, 6)) AS p),
+        proj AS (
+            SELECT vec_id, p,
+                   SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS proj
+            FROM elx CROSS JOIN planes
+            GROUP BY 1, 2
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        ),
+        cand AS (
+            SELECT p.vec_id AS anchor_id, pv.label AS anchor_label,
+                   c.vec_id AS negative_id, cv.label AS negative_label,
+                   ROUND(list_cosine_similarity(pv.v, cv.v), 6) AS sim
+            FROM bucket p
+            JOIN bucket c ON p.bucket = c.bucket
+            JOIN vecs pv ON pv.vec_id = p.vec_id
+            JOIN vecs cv ON cv.vec_id = c.vec_id
+            WHERE p.vec_id < 8 AND cv.label <> pv.label
+        )
+        SELECT anchor_id, anchor_label, negative_id, negative_label,
+               sim, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY sim DESC, negative_id ASC) AS rnk
+            FROM cand
+        ) WHERE rnk <= 3
+        ORDER BY anchor_id, rnk
+    """,
     # q133: gaps-and-islands twin — the first-row OR state-change flag
     # mirrors operators/scd.collapse_runs (lag-of-constant first-row
     # detection + null-safe state compare); half-open intervals via

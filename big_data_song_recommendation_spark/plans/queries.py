@@ -4059,7 +4059,44 @@ def q137_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "check_kind", "column_name")
 
 
+def q138_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's
+    top-3 most-similar DIFFERENT-label vectors, candidates from the
+    same deterministic SRP bucket index q75 serves ANN from
+    (operators/similarity.srp_hard_negatives — mining and serving
+    share one LSH layout). §2.13 pipeline mandate; no reference
+    twin."""
+    from ..operators.similarity import srp_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.select("vec_id").filter(F.col("vec_id") < 8)
+    return srp_hard_negatives(
+        emb, probes, planes=6, k=3
+    ).transform(_ordered, "anchor_id", "rnk")
+
+
+def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the
+    first 8 merge rules learned from the documents corpus, with their
+    weighted pair counts. Rows-only at the driver (an oracle would
+    need 8 unrolled recursive list-rebuild CTEs); pinned against a
+    pure-Python reference trainer in tests/test_bpe.py — the q40-q43
+    golden precedent. §2.13 pipeline mandate; no reference twin."""
+    from ..operators.bpe import bpe_train, word_frequency_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_frequency_table(docs), n_merges=8)
+    rows = [
+        (i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, merged string, pair_count long"
+    ).transform(_ordered, "step")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q139_bpe_merges": q139_bpe_merges,
+    "q138_hard_negative_mining": q138_hard_negative_mining,
     "q133_status_intervals": q133_status_intervals,
     "q134_time_weighted_value": q134_time_weighted_value,
     "q135_semantic_balanced_sample": q135_semantic_balanced_sample,
