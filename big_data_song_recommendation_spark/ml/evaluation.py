@@ -95,3 +95,98 @@ def passes_quality_gate(
             f"recall@{metrics.k} {metrics.recall_at_k:.4f} < {t['min_recall_at_k']}"
         )
     return (not reasons, reasons)
+
+
+DCG_SCALE = 10**9
+
+
+def dcg_weights(k: int) -> list[int]:
+    """Integer-surrogate DCG position weights:
+    ``round(1e9 / log2(rank+1))``. Scaling to int64 makes the per-user
+    DCG sum ORDER-INDEPENDENT and exact (sums of doubles are not) —
+    the q131 integer-surrogate discipline applied to ranking eval;
+    only the final NDCG ratio divides two exact integers."""
+    import math
+
+    return [round(DCG_SCALE / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def graded_ranking_metrics(
+    candidates: DataFrame,
+    relevance: DataFrame,
+    *,
+    k: int = 10,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    rank_col: str = "rnk",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Graded ranking metrics per user — NDCG@k, MRR@k, hits@k — for a
+    shared candidate ranking (e.g. a popularity or co-occurrence
+    recommender's top-k) against per-user graded relevance. The
+    reference evaluates RMSE only (src/spark/training.py M8); ranking
+    quality is what a recommender actually ships on.
+
+    ``candidates``: (item, rank) with rank 1..k — small, broadcast.
+    ``relevance``: (user, item, rel) graded gains (e.g. interaction
+    counts). Users absent from ``relevance`` are out of scope (no
+    signal to grade against); candidate items a user never touched
+    contribute rel=0.
+
+    NDCG uses the retrieved-set convention (IDCG re-orders the SAME k
+    candidate gains, so NDCG=1 iff the ranking sorts the user's own
+    gains perfectly). DCG/IDCG are exact int64 sums of
+    ``rel × dcg_weights[r]``; IDCG's descending re-order happens
+    in-row (sort_array + zip_with fold), so every term and both sums
+    are bit-identical across engines — only the final ratio and the
+    1/first-hit-rank MRR divide doubles.
+
+    100 TB shape: the candidate list broadcasts; the only data-grain
+    shuffles are the relevance aggregate and the (user,item) join; the
+    per-user state is exactly k rows."""
+    from ..functions.scalars import stable_round
+
+    W = dcg_weights(k)
+    w_arr = F.array(*[F.lit(w).cast("long") for w in W])
+    cand = candidates.filter(F.col(rank_col) <= k).select(
+        F.col(item_col), F.col(rank_col).cast("int").alias("__r")
+    )
+    rel = relevance.select(
+        F.col(user_col), F.col(item_col), F.col(rel_col).cast("long").alias("__g")
+    )
+    grid = (
+        rel.select(user_col)
+        .distinct()
+        .crossJoin(F.broadcast(cand))
+        .join(rel, [user_col, item_col], "left")
+        .na.fill({"__g": 0})
+    )
+    per_user = grid.groupBy(user_col).agg(
+        F.sum(F.col("__g") * F.element_at(w_arr, F.col("__r"))).alias("__dcg"),
+        F.sum((F.col("__g") > 0).cast("long")).alias("hits"),
+        F.min(F.when(F.col("__g") > 0, F.col("__r"))).alias("__fh"),
+        F.sort_array(F.collect_list("__g"), asc=False).alias("__gains"),
+    )
+    ideal = F.aggregate(
+        F.zip_with("__gains", w_arr, lambda g, w: g * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per_user.select(
+        user_col,
+        F.when(
+            ideal > 0,
+            stable_round(
+                F.col("__dcg").cast("double") / ideal.cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        F.when(
+            F.col("__fh").isNotNull(),
+            stable_round(F.lit(1.0) / F.col("__fh"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        "hits",
+    )

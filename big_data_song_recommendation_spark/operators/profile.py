@@ -173,3 +173,117 @@ def profile_columns(
         "col_name", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "median", "min_str", "max_str",
     )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index drift report between a reference and
+    a current population of ``value_col`` — the standard
+    model-monitoring drift gate (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted).
+
+    Canonical PSI buckets: equi-depth edges from the REFERENCE
+    population, computed as exact discrete percentiles (actual data
+    values — engine-portable, the q28 two-phase-rank method; never an
+    interpolated quantile). Every row of both populations is then
+    binned by ``#(edges < v)`` against the broadcast 9-edge array, and
+    shares are Laplace-smoothed ((c+1)/(n+bins)) so an empty current
+    bin stays finite. The per-bin PSI term is also emitted as exact
+    floor-scaled integer micro-units whose SUM is order-independent —
+    ``psi_total`` is that integer sum rescaled, so the headline number
+    is bit-stable even though ln() runs in doubles (the q118 ln-parity
+    precedent).
+
+    100 TB shape: one two-phase rank over the reference (the edges),
+    one map-side bin + one 2×bins-cell aggregate over everything else.
+    """
+    from .ranks import bucketed_rank, with_equi_width_bucket
+
+    v = F.col(value_col)
+    ranked = bucketed_rank(
+        with_equi_width_bucket(ref, value_col),
+        [v.asc(), F.col(tiebreak).asc()],
+        ["__vb"],
+        out="__rn",
+    )
+    n_ref_agg = ref.agg(F.count("*").alias("__n"))
+    # edge rank = ceil(i·n/bins) in INTEGER arithmetic (i·n+bins-1 div
+    # bins): float q·n puts 0.1·n a few ulps ABOVE the exact product,
+    # so ceil() skips a rank whenever i·n divides evenly — the same
+    # class of bug the ranks.py ntile `div` fix closed
+    edge_picks = [
+        F.min(
+            F.when(
+                F.col("__rn")
+                == F.call_function(
+                    "div",
+                    F.lit(i) * F.col("__n") + F.lit(bins - 1),
+                    F.lit(bins),
+                ),
+                v,
+            )
+        ).alias(f"__e{i}")
+        for i in range(1, bins)
+    ]
+    edges = (
+        ranked.crossJoin(F.broadcast(n_ref_agg))
+        .agg(*edge_picks)
+        .select(
+            F.array(*[F.col(f"__e{i}") for i in range(1, bins)]).alias(
+                "__edges"
+            )
+        )
+    )
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        b = F.aggregate(
+            F.col("__edges"),
+            F.lit(0),
+            lambda acc, e: acc + (e < v).cast("int"),
+        )
+        return df.crossJoin(F.broadcast(edges)).select(
+            b.alias("bin"), F.lit(tag).alias("__p")
+        )
+
+    counts = (
+        binned(ref, "ref")
+        .unionByName(binned(cur, "cur"))
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("__p") == "ref").cast("long")).alias("n_ref"),
+            F.sum((F.col("__p") == "cur").cast("long")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    rs = (F.col("n_ref") + 1) / (F.col("__tr") + bins)
+    cs = (F.col("n_cur") + 1) / (F.col("__tc") + bins)
+    term = (cs - rs) * F.log(cs / rs)
+    micro = F.floor(term * F.lit(1_000_000.0)).cast("long")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            stable_round(rs, 6).alias("ref_share"),
+            stable_round(cs, 6).alias("cur_share"),
+            stable_round(term, 6).alias("psi_term"),
+            micro.alias("__micro"),
+        )
+        .withColumn(
+            "psi_total",
+            (F.sum("__micro").over(w_all).cast("double") / 1_000_000.0),
+        )
+        .drop("__micro")
+    )

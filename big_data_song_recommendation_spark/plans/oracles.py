@@ -1257,6 +1257,154 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q141: PSI twin — identical integer epoch-µs midpoint split,
+    # integer edge ranks ((i·n+9)//10 — float q·n skips ranks), same
+    # Laplace smoothing; psi_total sums floor-scaled integer
+    # micro-units so the ln() doubles never accumulate cross-engine
+    "q141_drift_psi": """
+        WITH rng AS (
+            SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+            FROM events
+        ),
+        ref AS (
+            SELECT value, event_id FROM events, rng
+            WHERE epoch_us(ts) < mid
+        ),
+        cur AS (
+            SELECT value FROM events, rng WHERE epoch_us(ts) >= mid
+        ),
+        ranked AS (
+            SELECT value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM ref
+        ),
+        edges AS (
+            SELECT list(e ORDER BY e) AS l FROM (
+                SELECT i,
+                       MIN(CASE WHEN rn = (i * n + 9) // 10
+                           THEN value END) AS e
+                FROM ranked
+                CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
+                GROUP BY i
+            )
+        ),
+        binned AS (
+            SELECT len(list_filter(l, x -> x < value)) AS bin,
+                   'ref' AS p
+            FROM ref, edges
+            UNION ALL
+            SELECT len(list_filter(l, x -> x < value)), 'cur'
+            FROM cur, edges
+        ),
+        counts AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN p = 'ref' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN p = 'cur' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cur
+            FROM binned GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts
+        ),
+        terms AS (
+            SELECT bin, n_ref, n_cur,
+                   (n_ref + 1) / CAST(tr + 10 AS DOUBLE) AS rs,
+                   (n_cur + 1) / CAST(tc + 10 AS DOUBLE) AS cs
+            FROM counts CROSS JOIN tot
+        ),
+        m AS (
+            SELECT *,
+                   CAST(floor((cs - rs) * ln(cs / rs) * 1000000.0)
+                        AS BIGINT) AS micro
+            FROM terms
+        )
+        SELECT bin, n_ref, n_cur,
+               floor(rs * 1000000.0) / 1000000.0 AS ref_share,
+               floor(cs * 1000000.0) / 1000000.0 AS cur_share,
+               floor((cs - rs) * ln(cs / rs) * 1000000.0) / 1000000.0
+                   AS psi_term,
+               CAST(SUM(micro) OVER () AS DOUBLE) / 1000000.0
+                   AS psi_total
+        FROM m
+        ORDER BY bin
+    """,
+    # q140: graded ranking-eval twin — identical integer-surrogate DCG
+    # weights (round(1e9/log2(r+1)), embedded as literals both sides),
+    # exact int64 DCG/IDCG sums, doubles only in the final ratios
+    "q140_ranking_ndcg": """
+        WITH W AS (
+            SELECT * FROM (VALUES
+                (1, 1000000000), (2, 630929754), (3, 500000000),
+                (4, 430676558), (5, 386852807), (6, 356207187),
+                (7, 333333333), (8, 315464877), (9, 301029996),
+                (10, 289064826)) AS t(rnk, wt)
+        ),
+        pop AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item,
+                   COUNT(*) AS n
+            FROM events
+            WHERE event_type = 'purchase'
+              AND json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        ),
+        cand AS (
+            SELECT item, rnk FROM (
+                SELECT item,
+                       row_number() OVER (ORDER BY n DESC, item ASC)
+                           AS rnk
+                FROM pop
+            ) WHERE rnk <= 10
+        ),
+        rel AS (
+            SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item,
+                   COUNT(*) AS rel
+            FROM events
+            WHERE event_type = 'click' AND user_id < 30
+              AND json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT u.user_id, c.item, c.rnk,
+                   COALESCE(r.rel, 0) AS g
+            FROM (SELECT DISTINCT user_id FROM rel) u
+            CROSS JOIN cand c
+            LEFT JOIN rel r
+              ON r.user_id = u.user_id AND r.item = c.item
+        ),
+        agg AS (
+            SELECT g.user_id,
+                   SUM(g.g * w.wt) AS dcg,
+                   CAST(SUM(CASE WHEN g.g > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                   MIN(CASE WHEN g.g > 0 THEN g.rnk END) AS fh,
+                   list(g.g ORDER BY g.g DESC) AS gains
+            FROM grid g JOIN W w ON w.rnk = g.rnk
+            GROUP BY 1
+        ),
+        ideal AS (
+            SELECT a.user_id,
+                   SUM(a.gains[w.rnk] * w.wt) AS idcg
+            FROM agg a CROSS JOIN W w
+            GROUP BY 1
+        )
+        SELECT a.user_id,
+               CASE WHEN i.idcg > 0
+                    THEN floor(CAST(a.dcg AS DOUBLE)
+                               / CAST(i.idcg AS DOUBLE) * 1000000)
+                         / 1000000
+                    ELSE 0.0 END AS ndcg,
+               CASE WHEN a.fh IS NOT NULL
+                    THEN floor(1.0 / a.fh * 1000000) / 1000000
+                    ELSE 0.0 END AS mrr,
+               a.hits
+        FROM agg a JOIN ideal i USING (user_id)
+        ORDER BY a.user_id
+    """,
     # q138: hard-negative twin — the q75 SRP bucket CTE (planes=6)
     # with the label-mismatch predicate before the rank window (self
     # is excluded by its own label; no separate id filter, mirroring

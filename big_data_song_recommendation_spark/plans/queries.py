@@ -4094,7 +4094,72 @@ def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "step")
 
 
+def q140_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking evaluation (NDCG@10 / MRR / hits) of the
+    popularity recommender: items ranked by purchase count, graded
+    against each user's own click counts (ml/evaluation.
+    graded_ranking_metrics — the ranking-quality eval the reference's
+    RMSE-only M8 never computes). DCG terms are integer surrogates
+    (rel × round(1e9/log2(r+1))), so the sums are exact and
+    order-independent cross-engine; only the final ratios divide.
+    Bounded user slice for the audit; the operator is
+    broadcast-candidates + one (user,item) join at any scale."""
+    from ..ml.evaluation import graded_ranking_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        item.alias("item")
+    )
+    pop = (
+        purchases.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("item").asc())
+    cand = pop.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    rel = (
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") < 30)
+        )
+        .select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count("*").alias("rel"))
+    )
+    return graded_ranking_metrics(cand, rel, k=10).transform(
+        _ordered, "user_id"
+    )
+
+
+def q141_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: PSI of the event value distribution,
+    second half of the stream vs the first (operators/profile.
+    psi_report — reference-decile bins from exact discrete
+    percentiles, Laplace-smoothed shares, integer-micro-unit total).
+    The time split is the integer epoch-µs midpoint, so the report is
+    fully deterministic. The drift gate a 100 TB feature pipeline runs
+    before every retrain; no reference twin (§2.13 mandate)."""
+    from ..operators.profile import psi_report
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    rng = ev.agg(F.min(us).alias("__mn"), F.max(us).alias("__mx")).select(
+        F.call_function(
+            "div", F.col("__mn") + F.col("__mx"), F.lit(2)
+        ).alias("__mid")
+    )
+    tagged = ev.withColumn("__us", us).crossJoin(F.broadcast(rng))
+    ref = tagged.filter(F.col("__us") < F.col("__mid"))
+    cur = tagged.filter(F.col("__us") >= F.col("__mid"))
+    return psi_report(ref, cur).transform(_ordered, "bin")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q141_drift_psi": q141_drift_psi,
+    "q140_ranking_ndcg": q140_ranking_ndcg,
     "q139_bpe_merges": q139_bpe_merges,
     "q138_hard_negative_mining": q138_hard_negative_mining,
     "q133_status_intervals": q133_status_intervals,
