@@ -129,9 +129,10 @@ def graded_ranking_metrics(
 
     ``candidates``: (item, rank) with rank 1..k — small, broadcast.
     ``relevance``: (user, item, rel) graded gains (e.g. interaction
-    counts). Users absent from ``relevance`` are out of scope (no
-    signal to grade against); candidate items a user never touched
-    contribute rel=0.
+    counts), ONE row per (user, item) — pre-aggregate first; duplicate
+    pairs would fan out the candidate grid. Users absent from
+    ``relevance`` are out of scope (no signal to grade against);
+    candidate items a user never touched contribute rel=0.
 
     NDCG uses the retrieved-set convention (IDCG re-orders the SAME k
     candidate gains, so NDCG=1 iff the ranking sorts the user's own

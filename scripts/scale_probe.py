@@ -549,11 +549,79 @@ def r7b_probe(spark, reps: list[int]) -> None:
         n_smp = srp_balanced_sample(emb, planes=5, per_bucket=8).count()
         t_smp = time.perf_counter() - t0
 
+        from big_data_song_recommendation_spark.ml.evaluation import (
+            graded_ranking_metrics,
+        )
+        from big_data_song_recommendation_spark.operators.bpe import (
+            bpe_train,
+            word_frequency_table,
+        )
+        from big_data_song_recommendation_spark.operators.profile import (
+            psi_report,
+        )
+
+        # NDCG eval: popularity candidates + per-user click grades
+        t0 = time.perf_counter()
+        item = F.get_json_object("props", "$.k").cast("long")
+        pop = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(item.alias("item"))
+            .filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count("*").alias("n"))
+        )
+        from pyspark.sql import Window as _W
+
+        cand = pop.withColumn(
+            "rnk",
+            F.row_number().over(_W.orderBy(F.desc("n"), F.asc("item"))),
+        ).filter(F.col("rnk") <= 10)
+        rel = (
+            ev.filter(F.col("event_type") == "click")
+            .select("user_id", item.alias("item"))
+            .filter(F.col("item").isNotNull())
+            .groupBy("user_id", "item")
+            .agg(F.count("*").alias("rel"))
+        )
+        n_ndcg = graded_ranking_metrics(cand, rel, k=10).count()
+        t_ndcg = time.perf_counter() - t0
+
+        # PSI drift: epoch-midpoint split of the replicated stream
+        t0 = time.perf_counter()
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        rng = ev.agg(
+            F.min(us).alias("__mn"), F.max(us).alias("__mx")
+        ).select(
+            F.call_function(
+                "div", F.col("__mn") + F.col("__mx"), F.lit(2)
+            ).alias("__mid")
+        )
+        tagged = ev.withColumn("__us", us).crossJoin(F.broadcast(rng))
+        n_psi = psi_report(
+            tagged.filter(F.col("__us") < F.col("__mid")),
+            tagged.filter(F.col("__us") >= F.col("__mid")),
+        ).count()
+        t_psi = time.perf_counter() - t0
+
+        # BPE: corpus-grain word count scales with r; the merge rounds
+        # are vocabulary-grain (invariant under replication — the real
+        # scale axis is DISTINCT words, bounded by Heaps' law)
+        t0 = time.perf_counter()
+        docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+        docs_r = (
+            replicate(docs, r, "doc_id") if r > 1 else docs
+        )
+        n_bpe = len(bpe_train(word_frequency_table(docs_r), n_merges=4)[0])
+        t_bpe = time.perf_counter() - t0
+
         print(
             f"x{r}: events={n_ev} runs={n_runs} scd={t_scd:.1f}s "
             f"twap_rows={n_twap} twap={t_twap:.1f}s attr={t_attr:.1f}s | "
             f"orders={n_ord} checks={n_checks} audit={t_audit:.1f}s | "
-            f"emb={n_emb} sampled={n_smp} smp={t_smp:.1f}s",
+            f"emb={n_emb} sampled={n_smp} smp={t_smp:.1f}s | "
+            f"ndcg_users={n_ndcg} ndcg={t_ndcg:.1f}s "
+            f"psi_bins={n_psi} psi={t_psi:.1f}s "
+            f"bpe_rules={n_bpe} bpe={t_bpe:.1f}s",
             flush=True,
         )
         from big_data_song_recommendation_spark.session import (

@@ -29,6 +29,10 @@ def test_every_query_has_oracle_or_is_declared():
         "q43_hybrid_recommendations",
         # KMeans-routed ANN — seeded but data-order dependent
         "q47_ivf_ann_search",
+        # iterative BPE trainer — an oracle would need n_merges
+        # unrolled recursive list-rebuild CTEs; pinned against a
+        # pure-Python reference trainer instead (tests/test_bpe.py)
+        "q139_bpe_merges",
     }
     missing = set(QUERIES) - set(ORACLES) - rows_only_allowed
     assert not missing, f"queries missing oracles: {missing}"

@@ -393,8 +393,14 @@ def test_debounce_fold_matches_python_reference(spark, gaps, cd):
     t, rows, secs = 0.0, [], []
     for i, g in enumerate(gaps):
         t += g
-        rows.append((1, base + dt.timedelta(seconds=t), i))
-        secs.append((1, t, i))
+        # quantize to whole µs BEFORE both paths: timestamps store µs,
+        # and timedelta's half-µs rounding would otherwise hand the
+        # reference a gap a half-µs larger than the fold sees — a
+        # false mismatch exactly at gap == cooldown (hypothesis found
+        # gaps=[1.015625, 0.5234375], cd=0.5234375)
+        t_us = round(t * 1e6)
+        rows.append((1, base + dt.timedelta(microseconds=t_us), i))
+        secs.append((1, t_us / 1e6, i))
     df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
     got = sorted(
         r.event_id

@@ -108,3 +108,64 @@ def test_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_incremental_apply_equals_full_rebuild(spark):
+    """The documented incremental recipe (union the CURRENT open
+    intervals' observations with the new batch, re-collapse) yields
+    the same dimension as a full-history rebuild."""
+    rows_old = [
+        (1, 1, _at(0), "a"),
+        (1, 2, _at(5), "b"),
+        (2, 3, _at(0), "x"),
+    ]
+    rows_new = [
+        (1, 4, _at(10), "b"),   # no change for key 1 → still one 'b' run
+        (1, 5, _at(12), "c"),   # change
+        (2, 6, _at(11), "y"),   # change
+        (3, 7, _at(1), "q"),    # brand-new key
+    ]
+    full = collapse_runs(
+        _df(spark, rows_old + rows_new),
+        keys=["k"], state_col="state", tiebreak="seq",
+    )
+
+    # incremental: keep closed intervals, re-collapse open ones + new
+    hist = collapse_runs(
+        _df(spark, rows_old), keys=["k"], state_col="state", tiebreak="seq"
+    )
+    closed = hist.filter(~hist.is_current)
+    # reconstruct each open interval's defining observation (its
+    # start), union the new batch, re-collapse the tail
+    open_obs = (
+        hist.filter(hist.is_current)
+        .selectExpr(
+            "k", "CAST(NULL AS int) AS seq", "valid_from AS ts", "state"
+        )
+    )
+    tail = collapse_runs(
+        open_obs.unionByName(_df(spark, rows_new)),
+        keys=["k"], state_col="state", tiebreak="seq",
+    )
+    # stitch: closed intervals keep their versions; tail versions are
+    # offset by the closed count per key
+    from pyspark.sql import functions as F
+
+    offs = closed.groupBy("k").agg(F.count("*").alias("off"))
+    stitched = (
+        tail.join(offs, "k", "left")
+        .na.fill({"off": 0})
+        .withColumn("version", F.col("version") + F.col("off"))
+        .drop("off")
+        .unionByName(closed)
+    )
+
+    def key(df):
+        return {
+            (r.k, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        }
+
+    # n_obs differs on the resumed run (the open interval collapses to
+    # one synthetic observation) — the interval CHAIN must match
+    assert key(stitched) == key(full)
