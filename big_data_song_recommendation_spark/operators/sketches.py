@@ -69,3 +69,72 @@ def estimate(df: DataFrame, col: str, *, lg_k: int = DEFAULT_LG_K) -> Column:
     """One-shot HLL estimate column (no rollup table) — the direct
     replacement for approx_count_distinct with an inspectable lg_k."""
     return F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), F.lit(lg_k)))
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch as a mergeable rollup table: ``depth`` rows of
+    ``width`` counters, stored relationally as ``(j, bucket, cnt)``
+    (non-empty cells only). Row ``j``'s hash is the deterministic
+    md5-60 family (``{seed}{j}:<value>``) — NO RNG state, so two
+    engines (or two incremental refreshes) build bit-identical
+    sketches, and sketches MERGE by summing ``cnt`` on (j, bucket) —
+    the same union-then-sum refresh contract as the HLL rollup above.
+
+    State is bounded at depth×width cells however many distinct keys
+    the stream carries; the point-estimate upper bound is
+    ``exact ≤ est ≤ exact + εn`` with ε≈2/width per row and failure
+    probability shrinking geometrically in depth.
+    """
+    from .dedup import hash60
+
+    v = F.col(col).cast("string")
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"), v.alias("__v")
+    ).select(
+        "j",
+        (hash60(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("__v")), seed)
+         % F.lit(int(width))).alias("bucket"),
+    )
+    return rows.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    items: DataFrame,
+    counters: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    out: str = "est",
+) -> DataFrame:
+    """Point-estimate (min over the ``depth`` counter rows) for each
+    item in ``items`` against a :func:`cms_counters` table. The
+    counter table is bounded (≤ depth×width rows) so it broadcasts;
+    the lookup is a map-side join however large ``items`` is. Items
+    absent from the sketch estimate 0 (their cells may still be
+    occupied by colliders — the estimate stays an upper bound)."""
+    from .dedup import hash60
+
+    v = F.col(col).cast("string")
+    probes = items.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    ).withColumn(
+        "bucket",
+        hash60(F.concat(F.col("j").cast("string"), F.lit(":"), v), seed)
+        % F.lit(int(width)),
+    )
+    carry = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"], "left")
+        .na.fill({"cnt": 0})
+        .groupBy(*carry)
+        .agg(F.min("cnt").alias(out))
+    )

@@ -1257,6 +1257,41 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q142: CMS twin — identical md5-60 row hashes ('cms:j:value' %
+    # width), identical min-over-rows estimate; the gate flags are
+    # LITERAL TRUE (self-gate: a Spark-side sketch deviation beyond
+    # the ε-bound flips its computed flag and the hash fails)
+    "q142_cms_heavy_hitters": f"""
+        WITH exact AS (
+            SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+        ),
+        top AS (
+            SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10
+        ),
+        rows_j AS (SELECT unnest(range(0, 4)) AS j),
+        counters AS (
+            SELECT j,
+                   {_hash60("'cms:' || j || ':' || CAST(user_id AS VARCHAR)")}
+                       % 1024 AS bucket,
+                   COUNT(*) AS cnt
+            FROM events CROSS JOIN rows_j
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT t.user_id, t.exact_n,
+                   MIN(COALESCE(c.cnt, 0)) AS est_n
+            FROM top t CROSS JOIN rows_j x
+            LEFT JOIN counters c
+              ON c.j = x.j
+             AND c.bucket =
+                 {_hash60("'cms:' || x.j || ':' || CAST(t.user_id AS VARCHAR)")}
+                     % 1024
+            GROUP BY 1, 2
+        )
+        SELECT user_id, exact_n, est_n,
+               TRUE AS over_ok, TRUE AS bound_ok
+        FROM est ORDER BY user_id
+    """,
     # q141: PSI twin — identical integer epoch-µs midpoint split,
     # integer edge ranks ((i·n+9)//10 — float q·n skips ranks), same
     # Laplace smoothing; psi_total sums floor-scaled integer

@@ -4157,7 +4157,48 @@ def q141_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_report(ref, cur).transform(_ordered, "bin")
 
 
+def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch (operators/sketches.
+    cms_counters/cms_estimate — the frequency member of the mergeable-
+    sketch family next to the HLL rollup): top-10 users by exact event
+    count, each with its CMS point estimate and two in-query gate
+    flags — est ≥ exact (CMS never undercounts) and est − exact ≤
+    2n/width (the ε-bound) — which the oracle pins as literal TRUE
+    (q86b/q127 self-gate pattern: sketch drift becomes a hash FAIL).
+    Deterministic md5 hash rows, so the sketch is bit-identical in any
+    engine; the counter table is bounded at depth×width cells and
+    broadcasts."""
+    from ..operators.sketches import cms_counters, cms_estimate
+
+    depth, width = 4, 1024
+    ev = load_table(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id", depth=depth, width=width)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    est = cms_estimate(
+        top, counters, "user_id", depth=depth, width=width, out="est_n"
+    )
+    tot = ev.agg(F.count("*").alias("__n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("over_ok"),
+            (
+                F.col("est_n") - F.col("exact_n")
+                <= F.call_function(
+                    "div", 2 * F.col("__n"), F.lit(width)
+                )
+            ).alias("bound_ok"),
+        )
+        .transform(_ordered, "user_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q142_cms_heavy_hitters": q142_cms_heavy_hitters,
     "q141_drift_psi": q141_drift_psi,
     "q140_ranking_ndcg": q140_ranking_ndcg,
     "q139_bpe_merges": q139_bpe_merges,

@@ -56,3 +56,78 @@ def test_rollup_is_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1  # map-side combined
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _stream(spark, items):
+    return spark.createDataFrame([(i,) for i in items], "item string")
+
+
+def test_cms_never_undercounts(spark):
+    from big_data_song_recommendation_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    items = [f"u{i % 37}" for i in range(500)] + ["hot"] * 60
+    df = _stream(spark, items)
+    counters = cms_counters(df, "item", depth=4, width=64)
+    exact = df.groupBy("item").count().withColumnRenamed("count", "exact")
+    est = cms_estimate(exact, counters, "item", depth=4, width=64)
+    rows = est.collect()
+    assert rows and all(r["est"] >= r["exact"] for r in rows)
+    hot = [r for r in rows if r["item"] == "hot"][0]
+    # width 64 over 560 rows: the hot key's estimate stays near exact
+    assert hot["exact"] == 60 and hot["est"] - hot["exact"] <= 2 * 560 // 64
+
+
+def test_cms_state_is_bounded(spark):
+    from big_data_song_recommendation_spark.operators.sketches import (
+        cms_counters,
+    )
+
+    df = _stream(spark, [f"k{i}" for i in range(5000)])
+    counters = cms_counters(df, "item", depth=3, width=32)
+    assert counters.count() <= 3 * 32
+
+
+def test_cms_merge_is_sum(spark):
+    """Sketches of two partitions summed cell-wise equal the sketch of
+    the union — the incremental-refresh contract."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.sketches import (
+        cms_counters,
+    )
+
+    a = [f"x{i % 11}" for i in range(200)]
+    b = [f"x{i % 7}" for i in range(150)]
+    whole = cms_counters(_stream(spark, a + b), "item", depth=3, width=32)
+    merged = (
+        cms_counters(_stream(spark, a), "item", depth=3, width=32)
+        .unionByName(cms_counters(_stream(spark, b), "item", depth=3, width=32))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = {(r.j, r.bucket): r.cnt for r in whole.collect()}
+    m = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+    assert w == m
+
+
+def test_cms_absent_item_estimates_colliders_only(spark):
+    from big_data_song_recommendation_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = _stream(spark, ["a"] * 10)
+    counters = cms_counters(df, "item", depth=4, width=1024)
+    probe = _stream(spark, ["never-seen"])
+    est = cms_estimate(probe, counters, "item", depth=4, width=1024).head()
+    # wide sketch, one distinct key: overwhelmingly likely some row
+    # misses → min = 0; in any case never above the stream total
+    assert 0 <= est["est"] <= 10
