@@ -135,3 +135,73 @@ def rowgroups_matching(path: str, col: str, lo, hi) -> tuple[int, int]:
             elif not (st.max < lo or st.min > hi):
                 match += 1
     return match, total
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_bytes: int = 128 << 20,
+    small_ratio: float = 0.5,
+) -> dict:
+    """Small-file compaction (the lakehouse ``OPTIMIZE`` maintenance
+    pass): coalesce a directory's undersized parquet files toward
+    ``target_bytes``, leaving already-healthy files untouched — the
+    companion every micro-batch writer needs (streaming curation
+    shards, per-epoch exports) because small files multiply scan tasks
+    and footer reads until listing dominates the query.
+
+    A file is "small" below ``small_ratio·target_bytes``. Only the
+    small set is read and rewritten (``ceil(bytes/target)`` output
+    files); big files are never touched, so the pass costs IO
+    proportional to the junk, not the table. Returns a stats dict
+    (files before/after, bytes compacted, files rewritten).
+
+    Durability scope: file moves use local-filesystem rename, which is
+    atomic per file but the SWAP (delete originals, move in rewrites)
+    is not transactional — a reader listing mid-swap can see both or
+    neither. That is the same contract as Spark's own
+    non-transactional overwrite; production object-store tables run
+    this through a table format's commit protocol (Delta OPTIMIZE /
+    Iceberg rewrite_data_files) where the manifest swap is the atom.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    sizes = {f: os.path.getsize(f) for f in files}
+    small = [f for f in files if sizes[f] < small_ratio * target_bytes]
+    stats = {
+        "files_before": len(files),
+        "files_rewritten": len(small),
+        "bytes_compacted": sum(sizes[f] for f in small),
+        "files_after": len(files),
+    }
+    if len(small) < 2:
+        return stats  # nothing to gain
+
+    n_out = max(1, math.ceil(stats["bytes_compacted"] / target_bytes))
+    tmp = os.path.join(path, f"_compact_{uuid.uuid4().hex[:8]}")
+    spark.read.parquet(*small).coalesce(n_out).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+
+    for f in small:
+        os.remove(f)
+    moved = 0
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(tmp, f),
+                os.path.join(path, f"compact-{uuid.uuid4().hex[:8]}-{f}"),
+            )
+            moved += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats["files_after"] = len(files) - len(small) + moved
+    return stats

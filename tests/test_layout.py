@@ -76,3 +76,86 @@ def test_zorder_rejects_overflow_and_bad_arity():
         layout.zorder_key(["a", "b", "c", "d", "e"], bits=8)
     with pytest.raises(ValueError):
         layout.zorder_key(["a", "b", "c", "d"], bits=16)  # 64 > 62
+
+
+def test_compact_parquet_merges_small_leaves_big(spark, tmp_path):
+    """Small files coalesce toward the target; healthy files are
+    untouched; row content is preserved exactly."""
+    import os
+
+    from big_data_song_recommendation_spark.sources.layout import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    # 6 tiny shards (micro-batch debris)
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    # one "big" file (above small_ratio·target) that must survive
+    # untouched, by name
+    spark.range(600, 20600).coalesce(1).write.mode("append").parquet(path)
+    sizes = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    big_name, big_sz = max(sizes.items(), key=lambda kv: kv[1])
+    target = int(big_sz * 1.5)  # big file > 0.5·target; shards far below
+    before = sorted(sizes)
+    assert len(before) >= 7
+    stats = compact_parquet(spark, path, target_bytes=target)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert stats["files_rewritten"] >= 6
+    assert len(after) < len(before)
+    assert big_name in after  # healthy file untouched
+    # exact content preservation
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(20600))
+    assert stats["files_after"] == len(after)
+
+
+def test_compact_parquet_noop_below_two_small(spark, tmp_path):
+    import os
+
+    from big_data_song_recommendation_spark.sources.layout import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl1")
+    os.makedirs(path)
+    spark.range(100).coalesce(1).write.mode("append").parquet(path)
+    before = sorted(os.listdir(path))
+    stats = compact_parquet(spark, path, target_bytes=1 << 20)
+    assert sorted(os.listdir(path)) == before
+    assert stats["files_rewritten"] <= 1
+
+
+def test_compact_parquet_respects_target_sizing(spark, tmp_path):
+    """Output file count tracks ceil(small_bytes/target), so raising
+    the target produces fewer, larger files."""
+    import os
+
+    from big_data_song_recommendation_spark.sources.layout import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl2")
+    os.makedirs(path)
+    for i in range(8):
+        spark.range(i * 1000, (i + 1) * 1000).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    sz = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stats = compact_parquet(
+        spark, path, target_bytes=max(sz // 2, 1), small_ratio=1.0
+    )
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) <= 3  # ceil ratio ≈ 2 (+rounding)
+    assert stats["files_after"] == len(after)
