@@ -377,3 +377,73 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (partial-aggregate IVM)
+# ---------------------------------------------------------------------------
+
+#: measure kinds whose partial states merge associatively
+MERGEABLE_KINDS = ("sum", "count", "min", "max")
+
+
+def summarize(
+    df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Partial-aggregate summary table — the materialized-view state
+    the incremental pattern maintains. ``measures`` maps output column
+    → ``(kind, source_col)`` with kind in sum/count/min/max (count
+    ignores its source). ``avg`` is intentionally absent: store
+    (sum, count) and derive it at read time — averages do not merge,
+    their components do. Distinct counts don't merge either; store HLL
+    state instead (operators/sketches.sketch_rollup — same contract).
+    """
+    aggs = []
+    for out, (kind, src) in measures.items():
+        if kind == "sum":
+            aggs.append(F.sum(src).alias(out))
+        elif kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        elif kind == "min":
+            aggs.append(F.min(src).alias(out))
+        elif kind == "max":
+            aggs.append(F.max(src).alias(out))
+        else:
+            raise ValueError(
+                f"unmergeable measure kind {kind!r}; expected one of "
+                f"{MERGEABLE_KINDS}"
+            )
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_summaries(
+    mv: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Fold a delta summary into the materialized state: sums and
+    counts ADD (so an insert-only refresh is one union + re-aggregate
+    of two summary tables — never a rescan of the base), min/max take
+    min/max. Refresh cost is proportional to the DELTA's key set, not
+    the view.
+
+    Retraction contract: deletes are handled for sum/count by feeding
+    a delta summarized from the removed rows with NEGATED sums/counts
+    (additive groups retract); min/max are NOT retractable — a delete
+    touching a group's current extremum requires recomputing that
+    group from base data (the standard IVM limitation; Flink solves it
+    with per-group state, a batch view solves it with a targeted
+    re-aggregate of the affected keys)."""
+    both = mv.unionByName(delta)
+    aggs = []
+    for out, (kind, _src) in measures.items():
+        if kind in ("sum", "count"):
+            aggs.append(F.sum(out).alias(out))
+        elif kind == "min":
+            aggs.append(F.min(out).alias(out))
+        elif kind == "max":
+            aggs.append(F.max(out).alias(out))
+        else:
+            raise ValueError(f"unmergeable measure kind {kind!r}")
+    return both.groupBy(*keys).agg(*aggs)

@@ -571,3 +571,71 @@ def test_mutual_information_extremes(spark):
     [r] = mutual_information(dep, "a", "b").collect()
     assert (r["h_a"], r["h_b"], r["h_ab"]) == (1.0, 1.0, 1.0)
     assert r["mi"] == 1.0 and r["nmi"] == 1.0
+
+
+def test_incremental_summary_equals_full_recompute(spark):
+    """merge_summaries(summarize(a), summarize(b)) == summarize(a∪b)
+    for every mergeable kind — the partial-aggregate IVM property."""
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        merge_summaries,
+        summarize,
+    )
+
+    measures = {
+        "total": ("sum", "v"),
+        "n": ("count", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    a = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k int, v int"
+    )
+    b = spark.createDataFrame(
+        [(1, 1), (2, 50), (3, 7)], "k int, v int"
+    )
+    full = summarize(a.unionByName(b), ["k"], measures)
+    inc = merge_summaries(
+        summarize(a, ["k"], measures),
+        summarize(b, ["k"], measures),
+        ["k"],
+        measures,
+    )
+    key = lambda df: {r.k: (r.total, r.n, r.lo, r.hi) for r in df.collect()}
+    assert key(inc) == key(full)
+
+
+def test_incremental_summary_retraction(spark):
+    """Additive measures retract via negated delta summaries."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        merge_summaries,
+        summarize,
+    )
+
+    measures = {"total": ("sum", "v"), "n": ("count", "v")}
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k int, v int"
+    )
+    removed = spark.createDataFrame([(1, 20)], "k int, v int")
+    mv = summarize(base, ["k"], measures)
+    retract = summarize(removed, ["k"], measures).select(
+        "k", (-F.col("total")).alias("total"), (-F.col("n")).alias("n")
+    )
+    got = {
+        r.k: (r.total, r.n)
+        for r in merge_summaries(mv, retract, ["k"], measures).collect()
+    }
+    assert got == {1: (10, 1), 2: (5, 1)}
+
+
+def test_summarize_rejects_unmergeable_kind(spark):
+    import pytest as _pytest
+
+    from big_data_song_recommendation_spark.operators.aggregates import (
+        summarize,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with _pytest.raises(ValueError, match="unmergeable"):
+        summarize(df, ["k"], {"a": ("avg", "v")})
