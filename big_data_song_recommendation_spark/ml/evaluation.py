@@ -168,8 +168,11 @@ def graded_ranking_metrics(
         F.min(F.when(F.col("__g") > 0, F.col("__r"))).alias("__fh"),
         F.sort_array(F.collect_list("__g"), asc=False).alias("__gains"),
     )
+    # zip_with pads the shorter array with NULLs (candidate lists may
+    # hold fewer than k items) — coalesce each term so the fold's sum
+    # skips the padding instead of poisoning IDCG to NULL.
     ideal = F.aggregate(
-        F.zip_with("__gains", w_arr, lambda g, w: g * w),
+        F.zip_with("__gains", w_arr, lambda g, w: F.coalesce(g * w, F.lit(0))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

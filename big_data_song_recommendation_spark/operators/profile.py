@@ -202,10 +202,18 @@ def psi_report(
 
     100 TB shape: one two-phase rank over the reference (the edges),
     one map-side bin + one 2×bins-cell aggregate over everything else.
+
+    NULL ``value_col`` rows are excluded from BOTH populations: PSI is
+    defined over the value distribution (a NULL landing on an edge
+    rank would poison every bin via the ``e < v`` fold, and engines
+    disagree on where NULL bins). Monitor NULL-rate drift as its own
+    ratio check (e.g. :func:`null_profile`), not through PSI.
     """
     from .ranks import bucketed_rank, with_equi_width_bucket
 
     v = F.col(value_col)
+    ref = ref.filter(v.isNotNull())
+    cur = cur.filter(v.isNotNull())
     ranked = bucketed_rank(
         with_equi_width_bucket(ref, value_col),
         [v.asc(), F.col(tiebreak).asc()],

@@ -344,6 +344,7 @@ def dsir_scores(
     n_buckets: int = 512,
     scale: int = 1_000_000,
     seed: str = "dsir",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """DSIR-style data selection scores (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -376,6 +377,12 @@ def dsir_scores(
     (t_b+1)·scale — at ~10¹² target grams per bucket drop ``scale`` or
     lift the product to decimal(38,0).
 
+    The gram stream has two consumers (bucket counts, doc-grain
+    join); ``checkpoint=True`` (default) cuts its lineage with a lazy
+    ``localCheckpoint`` so tokenization runs ONCE — same tradeoffs as
+    ``bucketed_rank``'s flag (blocks pinned until release, lineage
+    can't recompute on executor loss).
+
     Returns one row per document with ≥1 bigram: ``id_col``,
     ``carry_cols``, ``n_bigrams``, ``weight_pt``.
     """
@@ -399,6 +406,12 @@ def dsir_scores(
     ).withColumn(
         "__b", hash60(F.col("__gram"), seed) % F.lit(int(n_buckets))
     )
+    if checkpoint:
+        # two consumers (the bucket counts and the doc-grain join)
+        # would otherwise BOTH re-run the corpus-grain tokenize +
+        # bigram explode — cut the lineage once, lazily (the
+        # bucketed_rank discipline; same tradeoffs, see ranks.py)
+        grams = grams.localCheckpoint(eager=False)
     counts = grams.groupBy("__b").agg(
         F.count("*").alias("__r"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__t"),

@@ -161,6 +161,13 @@ def with_equi_depth_bucket(
     g = list(group or [])
     v = _require_numeric(df, value, "with_equi_depth_bucket")
     b = int(bins)
+    if b <= 1:
+        # degenerate single bucket: no edges to search (the coarse
+        # F.sequence below would throw on an empty 1..0 range)
+        return df.withColumn(
+            out,
+            F.when(v.isNull(), F.lit(None)).otherwise(F.lit(0)).cast("int"),
+        )
     pcts = [i / b for i in range(1, b)]
     edges_agg = F.percentile_approx(
         v, F.array(*[F.lit(p) for p in pcts]), F.lit(int(accuracy))

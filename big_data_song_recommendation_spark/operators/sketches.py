@@ -22,6 +22,8 @@ EXACTLY (same binary state), not just approximately.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,13 +73,25 @@ def estimate(df: DataFrame, col: str, *, lg_k: int = DEFAULT_LG_K) -> Column:
     return F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col), F.lit(lg_k)))
 
 
+@dataclass(frozen=True)
+class CMSParams:
+    """Count-min sketch geometry. Build and probe MUST share one
+    instance: a depth/width/seed mismatch between
+    :func:`cms_counters` and :func:`cms_estimate` silently re-hashes
+    probes into empty cells and breaks the never-undercounts bound,
+    so both functions take the params as a single object rather than
+    loose keywords."""
+
+    depth: int = 4
+    width: int = 1024
+    seed: str = "cms"
+
+
 def cms_counters(
     df: DataFrame,
     col: str,
     *,
-    depth: int = 4,
-    width: int = 1024,
-    seed: str = "cms",
+    params: CMSParams = CMSParams(),
 ) -> DataFrame:
     """Count-min sketch as a mergeable rollup table: ``depth`` rows of
     ``width`` counters, stored relationally as ``(j, bucket, cnt)``
@@ -96,11 +110,17 @@ def cms_counters(
 
     v = F.col(col).cast("string")
     rows = df.select(
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"), v.alias("__v")
+        F.explode(F.sequence(F.lit(0), F.lit(params.depth - 1))).alias("j"),
+        v.alias("__v"),
     ).select(
         "j",
-        (hash60(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("__v")), seed)
-         % F.lit(int(width))).alias("bucket"),
+        (
+            hash60(
+                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("__v")),
+                params.seed,
+            )
+            % F.lit(int(params.width))
+        ).alias("bucket"),
     )
     return rows.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
 
@@ -110,9 +130,7 @@ def cms_estimate(
     counters: DataFrame,
     col: str,
     *,
-    depth: int = 4,
-    width: int = 1024,
-    seed: str = "cms",
+    params: CMSParams = CMSParams(),
     out: str = "est",
 ) -> DataFrame:
     """Point-estimate (min over the ``depth`` counter rows) for each
@@ -120,16 +138,18 @@ def cms_estimate(
     counter table is bounded (≤ depth×width rows) so it broadcasts;
     the lookup is a map-side join however large ``items`` is. Items
     absent from the sketch estimate 0 (their cells may still be
-    occupied by colliders — the estimate stays an upper bound)."""
+    occupied by colliders — the estimate stays an upper bound).
+    ``params`` must be the SAME object the counters were built with
+    (see :class:`CMSParams`)."""
     from .dedup import hash60
 
     v = F.col(col).cast("string")
     probes = items.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+        "*", F.explode(F.sequence(F.lit(0), F.lit(params.depth - 1))).alias("j")
     ).withColumn(
         "bucket",
-        hash60(F.concat(F.col("j").cast("string"), F.lit(":"), v), seed)
-        % F.lit(int(width)),
+        hash60(F.concat(F.col("j").cast("string"), F.lit(":"), v), params.seed)
+        % F.lit(int(params.width)),
     )
     carry = [c for c in items.columns]
     return (

@@ -1303,10 +1303,11 @@ ORACLES: dict[str, str] = {
         ),
         ref AS (
             SELECT value, event_id FROM events, rng
-            WHERE epoch_us(ts) < mid
+            WHERE epoch_us(ts) < mid AND value IS NOT NULL
         ),
         cur AS (
-            SELECT value FROM events, rng WHERE epoch_us(ts) >= mid
+            SELECT value FROM events, rng
+            WHERE epoch_us(ts) >= mid AND value IS NOT NULL
         ),
         ranked AS (
             SELECT value,

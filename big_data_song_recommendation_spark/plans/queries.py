@@ -4168,16 +4168,14 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5 hash rows, so the sketch is bit-identical in any
     engine; the counter table is bounded at depth×width cells and
     broadcasts."""
-    from ..operators.sketches import cms_counters, cms_estimate
+    from ..operators.sketches import CMSParams, cms_counters, cms_estimate
 
-    depth, width = 4, 1024
+    cms = CMSParams(depth=4, width=1024)
     ev = load_table(spark, sf_dir, "events")
-    counters = cms_counters(ev, "user_id", depth=depth, width=width)
+    counters = cms_counters(ev, "user_id", params=cms)
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
-    est = cms_estimate(
-        top, counters, "user_id", depth=depth, width=width, out="est_n"
-    )
+    est = cms_estimate(top, counters, "user_id", params=cms, out="est_n")
     tot = ev.agg(F.count("*").alias("__n"))
     return (
         est.crossJoin(F.broadcast(tot))
@@ -4189,7 +4187,7 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("est_n") - F.col("exact_n")
                 <= F.call_function(
-                    "div", 2 * F.col("__n"), F.lit(width)
+                    "div", 2 * F.col("__n"), F.lit(cms.width)
                 )
             ).alias("bound_ok"),
         )

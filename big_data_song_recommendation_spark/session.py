@@ -175,7 +175,19 @@ def release_query_state(
         # hold the condition through the release so a batch opening
         # between "idle observed" and "blocks freed" can't race it
         with _BATCH_CV:
-            _BATCH_CV.wait_for(lambda: _BATCHES_IN_FLIGHT == 0, timeout=timeout)
+            idle = _BATCH_CV.wait_for(
+                lambda: _BATCHES_IN_FLIGHT == 0, timeout=timeout
+            )
+            if not idle:
+                # timing out and releasing anyway would be exactly the
+                # unsafe mid-flight free this flag exists to prevent —
+                # surface it instead of silently killing a sibling
+                raise TimeoutError(
+                    f"release_query_state: {_BATCHES_IN_FLIGHT} query "
+                    f"batch(es) still in flight after {timeout}s; "
+                    "not releasing (retry, or release without "
+                    "wait_for_idle only in a serial session)"
+                )
             return _release()
     return _release()
 

@@ -177,14 +177,21 @@ def compact_parquet(
     ]
     sizes = {f: os.path.getsize(f) for f in files}
     small = [f for f in files if sizes[f] < small_ratio * target_bytes]
+    if len(small) < 2:
+        # nothing to gain — report a true no-op (a lone small file is
+        # NOT rewritten, so it must not count as compaction work)
+        return {
+            "files_before": len(files),
+            "files_rewritten": 0,
+            "bytes_compacted": 0,
+            "files_after": len(files),
+        }
     stats = {
         "files_before": len(files),
         "files_rewritten": len(small),
         "bytes_compacted": sum(sizes[f] for f in small),
         "files_after": len(files),
     }
-    if len(small) < 2:
-        return stats  # nothing to gain
 
     n_out = max(1, math.ceil(stats["bytes_compacted"] / target_bytes))
     tmp = os.path.join(path, f"_compact_{uuid.uuid4().hex[:8]}")

@@ -61,9 +61,12 @@ def default_base_ref() -> str:
 def changed_new_lines(base: str, path: str) -> list[int]:
     """New-file line numbers touched since ``base`` (U0 hunk headers)."""
     rel = os.path.relpath(path, REPO)
-    out = _git("diff", "-U0", base, "HEAD", "--", rel)
-    # uncommitted work counts too: diff the worktree against base
-    out += _git("diff", "-U0", base, "--", rel)
+    # ONE diff, base -> worktree: covers committed AND uncommitted
+    # changes, and its +line numbers are worktree coordinates — the
+    # same file we AST-parse.  (Concatenating a base..HEAD diff here
+    # would mix in HEAD-coordinate line numbers that point at the
+    # wrong function whenever uncommitted edits shift lines.)
+    out = _git("diff", "-U0", base, "--", rel)
     lines: set[int] = set()
     for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", out, re.M):
         start = int(m.group(1))

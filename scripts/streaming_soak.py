@@ -162,9 +162,16 @@ def main() -> None:
         # allow the tail only what a single in-flight batch could add.
         if n_in > 2 * args.pool and tail_acc > 0:
             fails.append(f"tail third still accepting ({tail_acc})")
-        # scratch-state discipline: the sink must not leak blocks
-        if report["persistent_rdds_end"] > report["persistent_rdds_max"]:
-            fails.append("persistent RDDs grew past in-flight max")
+        # scratch-state discipline: the sink must not leak blocks.
+        # Compare the end sample against the max of the MID-RUN
+        # samples (max over all samples trivially includes the end —
+        # that comparison can never fire).
+        mid_max = max(rdd_counts[:-1], default=0)
+        if rdd_counts[-1] > mid_max:
+            fails.append(
+                f"persistent RDDs grew past in-flight max "
+                f"({rdd_counts[-1]} > {mid_max})"
+            )
         if rdd_counts[-1] > 2:
             fails.append(f"persistent RDDs leaked: {rdd_counts[-1]} at end")
 

@@ -130,7 +130,10 @@ def test_compact_parquet_noop_below_two_small(spark, tmp_path):
     before = sorted(os.listdir(path))
     stats = compact_parquet(spark, path, target_bytes=1 << 20)
     assert sorted(os.listdir(path)) == before
-    assert stats["files_rewritten"] <= 1
+    # a no-op must report itself as one (regression: a lone small
+    # file used to count as files_rewritten=1 + its bytes)
+    assert stats["files_rewritten"] == 0
+    assert stats["bytes_compacted"] == 0
 
 
 def test_compact_parquet_respects_target_sizing(spark, tmp_path):

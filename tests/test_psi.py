@@ -47,3 +47,26 @@ def test_reference_bins_are_equi_depth(spark):
     ref = [float(i) for i in range(100)]
     out = psi_report(_pop(spark, ref), _pop(spark, ref, 1000)).collect()
     assert sorted(r["n_ref"] for r in out) == [10] * 10
+
+
+def test_null_values_excluded_from_both_populations(spark):
+    """Regression: NULL values used to poison the bin fold (a NULL on
+    an edge rank NULLed every row's bin) and diverged from the oracle
+    (Spark NULL bin vs DuckDB bin 0). Contract: PSI is computed over
+    non-NULL values only — NULL-heavy refs must bin identically to
+    the same population with the NULLs removed."""
+    clean = [float(i) for i in range(100)]
+    withnulls = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(clean)]
+        + [(1000 + i, None) for i in range(40)],  # ≥n/10 NULLs
+        "event_id long, value double",
+    )
+    want = {
+        (r["bin"], r["n_ref"], r["n_cur"])
+        for r in psi_report(_pop(spark, clean), _pop(spark, clean, 5000)).collect()
+    }
+    got = {
+        (r["bin"], r["n_ref"], r["n_cur"])
+        for r in psi_report(withnulls, withnulls).collect()
+    }
+    assert got == want

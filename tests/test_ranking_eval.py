@@ -80,3 +80,29 @@ def test_user_with_no_candidate_overlap_is_zero(spark):
 def test_users_absent_from_relevance_are_out_of_scope(spark):
     got = _metrics(spark, [(10, 1)], [(7, 10, 1)], k=1)
     assert set(got) == {7}
+
+
+def test_candidate_list_shorter_than_k(spark):
+    """Regression: |candidates| < k pads the zip_with gains with
+    NULLs; an un-coalesced fold poisoned IDCG to NULL and reported
+    ndcg=0.0 for a PERFECT ranking."""
+    got = _metrics(
+        spark,
+        [(10, 1), (11, 2)],  # only 2 candidates, k=10
+        [(1, 10, 3), (1, 11, 1)],
+        k=10,
+    )
+    assert got == {1: (1.0, 1.0, 2)}
+
+    # and a hand-computed imperfect short list
+    W = dcg_weights(10)
+    dcg = 1 * W[0] + 3 * W[1]
+    idcg = 3 * W[0] + 1 * W[1]
+    expect = math.floor(dcg / idcg * 1e6) / 1e6
+    got = _metrics(
+        spark,
+        [(10, 1), (11, 2)],
+        [(2, 10, 1), (2, 11, 3)],
+        k=10,
+    )
+    assert got == {2: (expect, 1.0, 2)}

@@ -315,6 +315,22 @@ def test_equi_depth_bucket_rank_parity_on_skewed_values(spark):
     assert n_buckets >= 8, f"equi-depth degenerated to {n_buckets} buckets"
 
 
+def test_equi_depth_bucket_single_bin_degenerate(spark):
+    """Regression: bins=1 has NO edges — the two-level coarse search
+    built F.sequence(1, 0, 1) and threw; it must return one bucket
+    (0 for values, NULL bin for NULLs) like the linear form did."""
+    from big_data_song_recommendation_spark.operators.ranks import (
+        with_equi_depth_bucket,
+    )
+
+    rows = [Row(v=float(i), k=i) for i in range(10)] + [Row(v=None, k=10)]
+    got = with_equi_depth_bucket(
+        spark.createDataFrame(rows), "v", bins=1
+    ).collect()
+    assert {r["__vb"] for r in got if r.v is not None} == {0}
+    assert all(r["__vb"] is None for r in got if r.v is None)
+
+
 def test_equi_depth_bucket_grouped_parity(spark):
     from big_data_song_recommendation_spark.operators.ranks import (
         with_equi_depth_bucket,

@@ -101,3 +101,18 @@ def test_evict_plan_cache_scoped(spark):
     assert n == 1
     n_rest = evict_plan_cache(spark)
     assert n_rest >= 1
+
+
+def test_wait_for_idle_timeout_refuses_release(spark):
+    """Regression: a timed-out wait_for_idle used to proceed with the
+    release anyway — exactly the unsafe mid-flight free the flag
+    exists to prevent. It must raise instead, and free nothing."""
+    import pytest
+
+    QUERIES["q99_revenue_gini"](spark, SF_DIR).collect()
+    pinned = _persistent_ids(spark)
+    with query_batch():  # a batch is open: the session is NOT idle
+        with pytest.raises(TimeoutError):
+            release_query_state(spark, wait_for_idle=True, timeout=0.2)
+        assert _persistent_ids(spark) == pinned  # nothing was freed
+    release_query_state(spark)

@@ -69,15 +69,17 @@ def _stream(spark, items):
 
 def test_cms_never_undercounts(spark):
     from big_data_song_recommendation_spark.operators.sketches import (
+        CMSParams,
         cms_counters,
         cms_estimate,
     )
 
     items = [f"u{i % 37}" for i in range(500)] + ["hot"] * 60
     df = _stream(spark, items)
-    counters = cms_counters(df, "item", depth=4, width=64)
+    cms = CMSParams(depth=4, width=64)
+    counters = cms_counters(df, "item", params=cms)
     exact = df.groupBy("item").count().withColumnRenamed("count", "exact")
-    est = cms_estimate(exact, counters, "item", depth=4, width=64)
+    est = cms_estimate(exact, counters, "item", params=cms)
     rows = est.collect()
     assert rows and all(r["est"] >= r["exact"] for r in rows)
     hot = [r for r in rows if r["item"] == "hot"][0]
@@ -87,11 +89,12 @@ def test_cms_never_undercounts(spark):
 
 def test_cms_state_is_bounded(spark):
     from big_data_song_recommendation_spark.operators.sketches import (
+        CMSParams,
         cms_counters,
     )
 
     df = _stream(spark, [f"k{i}" for i in range(5000)])
-    counters = cms_counters(df, "item", depth=3, width=32)
+    counters = cms_counters(df, "item", params=CMSParams(depth=3, width=32))
     assert counters.count() <= 3 * 32
 
 
@@ -101,15 +104,17 @@ def test_cms_merge_is_sum(spark):
     from pyspark.sql import functions as F
 
     from big_data_song_recommendation_spark.operators.sketches import (
+        CMSParams,
         cms_counters,
     )
 
     a = [f"x{i % 11}" for i in range(200)]
     b = [f"x{i % 7}" for i in range(150)]
-    whole = cms_counters(_stream(spark, a + b), "item", depth=3, width=32)
+    cms = CMSParams(depth=3, width=32)
+    whole = cms_counters(_stream(spark, a + b), "item", params=cms)
     merged = (
-        cms_counters(_stream(spark, a), "item", depth=3, width=32)
-        .unionByName(cms_counters(_stream(spark, b), "item", depth=3, width=32))
+        cms_counters(_stream(spark, a), "item", params=cms)
+        .unionByName(cms_counters(_stream(spark, b), "item", params=cms))
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -120,14 +125,15 @@ def test_cms_merge_is_sum(spark):
 
 def test_cms_absent_item_estimates_colliders_only(spark):
     from big_data_song_recommendation_spark.operators.sketches import (
+        CMSParams,
         cms_counters,
         cms_estimate,
     )
 
     df = _stream(spark, ["a"] * 10)
-    counters = cms_counters(df, "item", depth=4, width=1024)
+    counters = cms_counters(df, "item", params=CMSParams())
     probe = _stream(spark, ["never-seen"])
-    est = cms_estimate(probe, counters, "item", depth=4, width=1024).head()
+    est = cms_estimate(probe, counters, "item", params=CMSParams()).head()
     # wide sketch, one distinct key: overwhelmingly likely some row
     # misses → min = 0; in any case never above the stream total
     assert 0 <= est["est"] <= 10
