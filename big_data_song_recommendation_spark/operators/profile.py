@@ -295,3 +295,87 @@ def psi_report(
         )
         .drop("__micro")
     )
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    group: list[str] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: per-group
+    cosine between the ref and cur CENTROIDS, plus the mean-norm
+    ratio — the vector-column counterpart of :func:`psi_report`
+    (PSI bins scalars; an embedding drifts by direction and scale).
+
+    Bit-parity discipline: raw double sums are order-dependent, so
+    each component is floored to int64 micro-units
+    (``floor(v·scale)``) and summed EXACTLY; dot products and squared
+    norms of those sums are decimal(38,0) (hugeint in the DuckDB
+    twin). Cosine is scale- and count-invariant (the micro-unit and
+    1/n factors cancel), so it is computed directly on the exact sum
+    vectors; only the final sqrt/divide touch doubles. Quantization
+    shifts each centroid by < 1/scale per dimension — at
+    scale=10⁶ the cosine error is < 10⁻⁴ for unit-normalized
+    embeddings (document for your own scale).
+
+    100 TB shape: one posexplode + one (group, dim)-grain aggregate
+    per side — the sums table is ``groups × dims`` rows however large
+    the corpora are; everything after is arithmetic on that table.
+
+    Returns per group: ``n_ref``, ``n_cur``, ``centroid_cos``
+    (6-dec floored), ``mean_norm_ratio`` (cur/ref, 6-dec floored).
+    """
+    g = list(group or [])
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        e = df.select(
+            *g, F.posexplode(F.col(vec_col)).alias("dim", "__v")
+        )
+        q = F.floor(F.col("__v").cast("double") * F.lit(float(scale))).cast(
+            "long"
+        )
+        return e.groupBy(*g, "dim").agg(F.sum(q).alias(f"s_{tag}"))
+
+    def _counts(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(*g).agg(F.count("*").alias(f"n_{tag}"))
+
+    sa, sb = _sums(ref, "ref"), _sums(cur, "cur")
+    dec = "decimal(38,0)"
+    joined = sa.join(sb, [*g, "dim"])
+    stats = joined.groupBy(*g).agg(
+        F.sum(
+            F.col("s_ref").cast(dec) * F.col("s_cur").cast(dec)
+        ).alias("__dot"),
+        F.sum(F.col("s_ref").cast(dec) * F.col("s_ref").cast(dec)).alias(
+            "__na"
+        ),
+        F.sum(F.col("s_cur").cast(dec) * F.col("s_cur").cast(dec)).alias(
+            "__nb"
+        ),
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__na").cast("double"))
+        * F.sqrt(F.col("__nb").cast("double"))
+    )
+    # mean-norm ratio: (‖Σcur‖/n_cur) / (‖Σref‖/n_ref) — the scale
+    # factors cancel; counts re-enter because the ratio compares MEAN
+    # vectors, which cosine never needed
+    ratio = (
+        F.sqrt(F.col("__nb").cast("double")) * F.col("n_ref")
+    ) / (F.sqrt(F.col("__na").cast("double")) * F.col("n_cur"))
+    out = stats.join(_counts(ref, "ref"), g) if g else stats.crossJoin(
+        F.broadcast(_counts(ref, "ref"))
+    )
+    out = out.join(_counts(cur, "cur"), g) if g else out.crossJoin(
+        F.broadcast(_counts(cur, "cur"))
+    )
+    return out.select(
+        *g,
+        "n_ref",
+        "n_cur",
+        stable_round(cos, 6).alias("centroid_cos"),
+        stable_round(ratio, 6).alias("mean_norm_ratio"),
+    )

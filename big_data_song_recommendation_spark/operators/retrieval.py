@@ -1,0 +1,126 @@
+"""Full-text retrieval: BM25 scoring and top-k search.
+
+The reference exposes TF-IDF features only (src/ml/content_features.py
+— q42/q73 cover those); BM25 is the retrieval-grade extension a
+training-data / RAG platform actually queries with: length-normalized
+term saturation instead of raw tf, so a 10 000-token document can't
+win on term-stuffing alone.
+
+Cross-engine parity discipline (see plans/oracles.py): the BM25
+denominator ``tf + k1·(1 − b + b·dl/avgdl)`` is a RATIONAL in the
+corpus totals — with k1 = 1.2, b = 0.75 and avgdl = S/N (S = total
+tokens, N = docs) it multiplies out to exact int64 arithmetic::
+
+    score_t = idf_t · (22·tf·S) / (10·tf·S + 3·S + 9·dl·N)
+
+so the only double is one ``ln`` and one division; per-term scores are
+floored to int64 micro-units and SUMMED AS INTEGERS (doubles sums are
+order-dependent across engines — the q131 discipline).
+
+100 TB shape: ONE tokenize pass produces both tf and dl; df exists
+only for the query's own terms (a ≤|q|-row broadcast); scoring touches
+only the rows matching a query term (filter pushed below the tf
+aggregate); the final top-k is a TakeOrdered, never a global sort.
+int64 headroom: 10·tf·S stays below 2^63 while tf·S < 9·10^17 — at
+corpus sizes beyond ~10^15 tokens pre-divide S by a power of ten or
+lift the rational to decimal(38,0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+
+K1_X10 = 12  # k1 = 1.2
+B_X100 = 75  # b = 0.75
+SCALE = 1_000_000  # micro-unit flooring for the integer score sum
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Lucene +1-smoothed idf, k1=1.2, b=0.75).
+
+    Returns ``id_col``, ``rank`` (1-based), ``score`` (micro-unit
+    floored double), ``n_terms_hit``. Ties rank by ``id_col`` asc.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(text.tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # ONE corpus pass: tf at (doc, token) grain for the query's terms
+    # only (the filter prunes before the shuffle), dl for every doc.
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df per query term (≤|q| rows) and the corpus totals (1 row):
+    # both broadcast — scoring is map-side over the tf rows.
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    totals = dl.agg(
+        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
+    )
+
+    num = 22 * F.col("tf") * F.col("s_tokens")
+    den = (
+        10 * F.col("tf") * F.col("s_tokens")
+        + 3 * F.col("s_tokens")
+        + 9 * F.col("dl") * F.col("n_docs")
+    )
+    # Lucene-style +1 smoothing: raw RSJ idf goes NEGATIVE for terms
+    # in more than half the corpus (common-term queries would then
+    # penalize matching docs, or degenerate to all-zero under a 0
+    # floor); ln(1 + ·) keeps every term positive while preserving
+    # the rare-beats-common ordering.
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_), "tok")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "s_int",
+            F.floor(
+                idf
+                * num.cast("double")
+                / den.cast("double")
+                * F.lit(float(SCALE))
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("s_int").alias("__s"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        # TakeOrdered (orderBy+limit fuses): no global sort at any scale
+        .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            id_col,
+            # the window sees only the k surviving rows (post-limit):
+            # a single-partition rank over k rows, not a global one
+            F.row_number()
+            .over(Window.orderBy(F.col("__s").desc(), F.col(id_col).asc()))
+            .alias("rank"),
+            (F.col("__s") / F.lit(float(SCALE))).alias("score"),
+            "n_terms_hit",
+        )
+    )

@@ -431,3 +431,58 @@ def srp_hard_negatives(
             "sim", "rnk",
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    *,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All DISTINCT value pairs of ``col`` within Levenshtein distance
+    ``max_dist`` — the string-similarity join (catalog reconciliation,
+    near-identical product names, typo clusters). Complements the
+    containment-based fuzzy lookup join (operators/joins.py J4): this
+    is symmetric edit distance with a provably complete filter, not a
+    tiered substring heuristic.
+
+    Plan: collapse to value grain FIRST (``groupBy(col)`` keeps the
+    occurrence count — fact-grain strings never enter the pair space),
+    then a length-band equi-join: each value explodes to the
+    ``2·max_dist+1`` candidate lengths it could match (``|len(a) −
+    len(b)| > d ⟹ dist > d``, so the band is lossless), joins values
+    of exactly that length, and only those candidates pay the O(len²)
+    ``levenshtein`` — which runs JVM-side in codegen. No cartesian at
+    any scale; the fan-out is bounded by the band width times the
+    per-length value count.
+
+    Returns ``name_a < name_b`` pairs: ``(name_a, name_b, dist,
+    n_a, n_b)`` with per-value occurrence counts.
+    """
+    d = int(max_dist)
+    names = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count("*").alias("n")
+    )
+    a = names.select(
+        F.col(col).alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.length(col).alias("__la"),
+    )
+    b = names.select(
+        F.col(col).alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.length(col).alias("__lb"),
+    )
+    cand = a.withColumn(
+        "__lb",
+        F.explode(
+            F.sequence(F.col("__la") - d, F.col("__la") + d)
+        ),
+    ).drop("__la")
+    return (
+        cand.join(b, "__lb")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= d)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -158,3 +158,64 @@ def cms_estimate(
         .groupBy(*carry)
         .agg(F.min("cnt").alias(out))
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    *,
+    group: list[str] | None = None,
+    k: int = 64,
+    seed: str = "kmv",
+    shards: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the ``k`` smallest
+    DISTINCT 60-bit hashes of ``col``. KMV is the set-operation member
+    of the sketch family — unlike HLL state it supports INTERSECTION:
+    the k-min of a union is computable from two sketches, and the
+    fraction of union-k members present in both sketches estimates
+    Jaccard (Beyer et al., SIGMOD'07).
+
+    Deterministic md5-derived hashes (dedup.hash60), so the sketch —
+    and any estimate derived from it — is bit-identical in any engine.
+
+    100 TB shape: one distinct shuffle at (group, hash) grain, then a
+    TWO-PHASE k-min — phase 1 ranks within (group, h % shards) so no
+    single task ever ranks a whole group's distinct set (the k global
+    minima are necessarily among the per-shard k minima), phase 2
+    ranks the ≤ shards·k survivors per group. Output ≤ k rows/group:
+    ``(group…, h, rnk)``.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import hash60
+
+    g = list(group or [])
+    d = df.select(
+        *g, hash60(F.col(col).cast("string"), seed).alias("h")
+    ).distinct()
+    w1 = Window.partitionBy(*g, "__s").orderBy("h")
+    survivors = (
+        d.withColumn("__s", F.col("h") % F.lit(int(shards)))
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= int(k))
+        .drop("__s", "__r")
+    )
+    w2 = Window.partitionBy(*g).orderBy("h")
+    return survivors.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= int(k)
+    )
+
+
+def kmv_distinct_estimate(n_s: Column, h_k: Column, *, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch's aggregate stats:
+    ``n_s`` = sketch size, ``h_k`` = largest retained hash. A sketch
+    smaller than ``k`` holds EVERY distinct hash, so the count is
+    exact; otherwise the classic (k−1)·H/h_k with H = 2^60 (the
+    hash60 range). The one double literal (k−1)·2^60 is exactly
+    representable, and the int64→double cast of ``h_k`` rounds
+    identically in any IEEE engine — the estimate is cross-engine
+    bit-stable."""
+    return F.when(n_s < int(k), n_s.cast("double")).otherwise(
+        F.lit(float(k - 1) * 2.0**60) / h_k.cast("double")
+    )

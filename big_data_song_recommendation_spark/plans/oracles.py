@@ -1257,6 +1257,182 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q146: centroid-drift twin — identical floor(v·1e6) int64
+    # component sums, hugeint dot/norm products (Spark decimal(38,0)),
+    # doubles only at the final sqrt/divide, floored at 6 decimals
+    "q146_embedding_drift": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        idx AS (
+            SELECT vec_id, label, v,
+                   unnest(range(1, len(v) + 1)) AS i
+            FROM e
+        ),
+        q AS (
+            SELECT label, vec_id % 2 = 0 AS is_ref, i AS dim,
+                   CAST(floor(v[i] * 1000000.0) AS BIGINT) AS q
+            FROM idx
+        ),
+        s AS (
+            SELECT label, dim,
+                   SUM(CASE WHEN is_ref THEN q ELSE 0 END) AS sr,
+                   SUM(CASE WHEN NOT is_ref THEN q ELSE 0 END) AS sc
+            FROM q GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT label,
+                   SUM(CAST(sr AS HUGEINT) * CAST(sc AS HUGEINT)) AS dot,
+                   SUM(CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)) AS na,
+                   SUM(CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)) AS nb
+            FROM s GROUP BY 1
+        ),
+        cnt AS (
+            SELECT label,
+                   COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_ref,
+                   COUNT(*) FILTER (WHERE vec_id % 2 <> 0) AS n_cur
+            FROM embeddings GROUP BY 1
+        )
+        SELECT st.label, n_ref, n_cur,
+               floor(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                     * 1000000.0) / 1000000.0 AS centroid_cos,
+               floor((sqrt(CAST(nb AS DOUBLE)) * n_ref)
+                     / (sqrt(CAST(na AS DOUBLE)) * n_cur)
+                     * 1000000.0) / 1000000.0 AS mean_norm_ratio
+        FROM st JOIN cnt USING (label)
+        ORDER BY st.label
+    """,
+    # q145: edit-distance twin — the oracle takes the NAIVE all-pairs
+    # join (correct by definition); Spark's length-band blocking is
+    # lossless so the sets must be identical
+    "q145_name_typo_pairs": """
+        WITH names AS (
+            SELECT p_name, COUNT(*) AS n FROM part
+            WHERE p_name IS NOT NULL GROUP BY 1
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY name_a, name_b
+    """,
+    # q144: KMV twin — identical md5-60 hashes ('kmv:user'), identical
+    # k-min sets (a global rank equals the two-phase sharded k-min),
+    # identical (k−1)·2^60/h_k estimate doubles; gate pinned TRUE
+    "q144_kmv_audience_overlap": f"""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        dh AS (
+            SELECT DISTINCT event_type,
+                   {_hash60("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+            FROM du
+        ),
+        sk AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS r
+                FROM dh)
+            WHERE r <= 64
+        ),
+        exact AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS exact_inter
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT e.type_a, e.type_b, s.h
+            FROM exact e JOIN sk s ON s.event_type = e.type_a
+            UNION
+            SELECT e.type_a, e.type_b, s.h
+            FROM exact e JOIN sk s ON s.event_type = e.type_b
+        ),
+        uk AS (
+            SELECT type_a, type_b, h FROM (
+                SELECT type_a, type_b, h,
+                       row_number() OVER (PARTITION BY type_a, type_b
+                                          ORDER BY h) AS r
+                FROM u)
+            WHERE r <= 64
+        ),
+        agg AS (
+            SELECT uk.type_a, uk.type_b,
+                   COUNT(*) AS n_u, MAX(uk.h) AS h_k,
+                   SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                            THEN 1 ELSE 0 END) AS n_both
+            FROM uk
+            LEFT JOIN sk sa
+              ON sa.event_type = uk.type_a AND sa.h = uk.h
+            LEFT JOIN sk sb
+              ON sb.event_type = uk.type_b AND sb.h = uk.h
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT type_a, type_b, n_u,
+                   CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                        ELSE 72634054790231359488.0 / CAST(h_k AS DOUBLE)
+                   END AS u_est,
+                   CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE) AS jacc
+            FROM agg
+        )
+        SELECT e.type_a, e.type_b,
+               floor(u_est * 10000.0) / 10000.0 AS est_union,
+               floor(jacc * 10000.0) / 10000.0 AS est_jaccard,
+               floor(jacc * u_est * 10000.0) / 10000.0 AS est_inter,
+               x.exact_inter,
+               TRUE AS gate_ok
+        FROM est e JOIN exact x
+          ON x.type_a = e.type_a AND x.type_b = e.type_b
+        ORDER BY e.type_a, e.type_b
+    """,
+    # q143: BM25 twin — identical tokenize, the exact-rational int64
+    # denominator (22·tf·S / (10·tf·S + 3·S + 9·dl·N) for k1=1.2,
+    # b=0.75, avgdl=S/N), one ln() then floor to int64 micro-units,
+    # integer sum per doc (double sums are order-dependent)
+    "q143_bm25_search": f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id,
+                         unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+               WHERE tok IN ('dup', 'key', 'vector') GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        tot AS (SELECT SUM(dl) AS s, COUNT(*) AS n FROM dl),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * CAST(22 * tf * s AS DOUBLE)
+                       / CAST(10 * tf * s + 3 * s + 9 * dl * n AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS s_int
+            FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok)
+            CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT doc_id, SUM(s_int) AS s_total,
+                   COUNT(*) AS n_terms_hit
+            FROM scored GROUP BY 1
+        ),
+        top AS (
+            SELECT doc_id, s_total, n_terms_hit FROM agg
+            ORDER BY s_total DESC, doc_id LIMIT 10
+        )
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s_total DESC, doc_id)
+                   AS "rank",
+               s_total / 1000000.0 AS score,
+               n_terms_hit
+        FROM top ORDER BY doc_id
+    """,
     # q142: CMS twin — identical md5-60 row hashes ('cms:j:value' %
     # width), identical min-over-rows estimate; the gate flags are
     # LITERAL TRUE (self-gate: a Spark-side sketch deviation beyond

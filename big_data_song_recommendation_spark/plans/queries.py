@@ -4195,7 +4195,156 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/retrieval.bm25_topk) for a
+    mixed rare+common query — the retrieval-grade extension of
+    q73's TF-IDF (reference exposes TF-IDF features only:
+    src/ml/content_features.py). 'dup' is the corpus's one rare term
+    (df≈5%), so the result demonstrates idf dominance over raw tf;
+    length-normalization (b=0.75) is the exact-rational int64 form
+    derived in the module docstring, and per-term scores sum as
+    floored int64 micro-units so the one ln() double never
+    accumulates cross-engine (the q131/q141 discipline)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["dup", "key", "vector"], id_col="doc_id", k=10
+    ).transform(_ordered, "doc_id")
+
+
+def q144_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation between event types through KMV
+    sketches (operators/sketches.kmv_sketch — the set-operation member
+    of the sketch family: HLL state cannot INTERSECT, k-minimum-values
+    can, Beyer et al. SIGMOD'07). Per type-pair: union-size estimate
+    from the merged k-min, Jaccard from the shared-membership fraction
+    of the union-k, intersection = jaccard × union — each checked
+    in-query against the exact distinct intersection with a ±50%% gate
+    (4σ at k=64) that the oracle pins literal TRUE (q86b/q142 self-gate
+    pattern). Deterministic md5 hashes → the ESTIMATES are bit-equal
+    cross-engine, not just the exact counts.
+
+    100 TB shape: one distinct shuffle inside the sketch (two-phase
+    sharded k-min, no whole-group rank), one (type,user) distinct for
+    the truth side whose self-join fans out ≤ n_types² per user;
+    everything after is arithmetic over ≤ n_types·k sketch rows."""
+    from ..operators.sketches import kmv_distinct_estimate, kmv_sketch
+
+    K = 64
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", group=["event_type"], k=K).select(
+        F.col("event_type").alias("t"), "h"
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    p = exact.select("type_a", "type_b")
+    u = (
+        p.join(sk, F.col("t") == F.col("type_a"))
+        .select("type_a", "type_b", "h")
+        .union(
+            p.join(sk, F.col("t") == F.col("type_b")).select(
+                "type_a", "type_b", "h"
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    uk = (
+        u.withColumn("__r", F.row_number().over(wu))
+        .filter(F.col("__r") <= K)
+        .drop("__r")
+    )
+    m = uk.join(
+        sk.select(F.col("t").alias("type_a"), "h", F.lit(1).alias("__a")),
+        ["type_a", "h"],
+        "left",
+    ).join(
+        sk.select(F.col("t").alias("type_b"), "h", F.lit(1).alias("__b")),
+        ["type_b", "h"],
+        "left",
+    )
+    agg = m.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_u"),
+        F.max("h").alias("h_k"),
+        F.sum(
+            F.when(
+                F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_both"),
+    )
+    u_est = kmv_distinct_estimate(F.col("n_u"), F.col("h_k"), k=K)
+    jacc = F.col("n_both").cast("double") / F.col("n_u").cast("double")
+    return (
+        agg.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            scalars.stable_round(u_est, 4).alias("est_union"),
+            scalars.stable_round(jacc, 4).alias("est_jaccard"),
+            scalars.stable_round(jacc * u_est, 4).alias("est_inter"),
+            "exact_inter",
+            (
+                F.abs(jacc * u_est - F.col("exact_inter"))
+                <= 0.5 * F.col("exact_inter")
+            ).alias("gate_ok"),
+        )
+        .transform(_ordered, "type_a", "type_b")
+    )
+
+
+def q145_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join over part names (operators/similarity.
+    edit_distance_pairs): every distinct name pair within Levenshtein
+    distance 2, with per-name part counts — catalog reconciliation /
+    typo clustering, the symmetric-edit-distance complement of q35's
+    containment-tiered fuzzy lookup. The length-band equi-join is
+    lossless (|len diff| > d ⟹ dist > d) so the oracle's naive
+    all-pairs join returns the identical set; Spark never builds the
+    all-pairs space."""
+    from ..operators.similarity import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", max_dist=2).transform(
+        _ordered, "name_a", "name_b"
+    )
+
+
+def q146_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (operators/profile.
+    embedding_centroid_drift — the vector counterpart of q141's PSI):
+    per-label centroid cosine and mean-norm ratio between the even-id
+    and odd-id halves of the embeddings table. Component sums are
+    floored int64 micro-units, dot/norms decimal(38,0) (hugeint in
+    the oracle), so the estimates are bit-equal cross-engine; only
+    the final sqrt/divide are doubles, floored at 6 decimals."""
+    from ..operators.profile import embedding_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 != 0)
+    return embedding_centroid_drift(ref, cur, group=["label"]).transform(
+        _ordered, "label"
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q146_embedding_drift": q146_embedding_drift,
+    "q145_name_typo_pairs": q145_name_typo_pairs,
+    "q144_kmv_audience_overlap": q144_kmv_audience_overlap,
+    "q143_bm25_search": q143_bm25_search,
     "q142_cms_heavy_hitters": q142_cms_heavy_hitters,
     "q141_drift_psi": q141_drift_psi,
     "q140_ranking_ndcg": q140_ranking_ndcg,

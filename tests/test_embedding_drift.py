@@ -1,0 +1,60 @@
+"""Embedding centroid drift (operators/profile.
+embedding_centroid_drift): identity, scale, and direction cases."""
+
+from big_data_song_recommendation_spark.operators.profile import (
+    embedding_centroid_drift,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "grp string, embedding array<float>"
+    )
+
+
+def test_identical_populations_cos_one_ratio_one(spark):
+    rows = [("a", [1.0, 2.0, 3.0]), ("a", [2.0, 1.0, 0.5])]
+    out = embedding_centroid_drift(
+        _emb(spark, rows), _emb(spark, rows), group=["grp"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # sqrt(n)*sqrt(n) can land one ulp off n — floor-6 then allows
+    # 0.999999; never above 1
+    assert 0.999998 <= r["centroid_cos"] <= 1.0
+    assert 0.999998 <= r["mean_norm_ratio"] <= 1.000001
+    assert (r["n_ref"], r["n_cur"]) == (2, 2)
+
+
+def test_scaled_population_keeps_direction(spark):
+    ref = [("a", [1.0, 0.0, 1.0]), ("a", [0.0, 1.0, 1.0])]
+    cur = [("a", [3.0, 0.0, 3.0]), ("a", [0.0, 3.0, 3.0])]
+    r = embedding_centroid_drift(
+        _emb(spark, ref), _emb(spark, cur), group=["grp"]
+    ).head()
+    assert r["centroid_cos"] >= 0.999998  # same direction
+    assert abs(r["mean_norm_ratio"] - 3.0) < 0.001
+
+
+def test_orthogonal_drift_detected(spark):
+    ref = [("a", [1.0, 0.0]), ("a", [1.0, 0.0])]
+    cur = [("a", [0.0, 1.0]), ("a", [0.0, 1.0])]
+    r = embedding_centroid_drift(
+        _emb(spark, ref), _emb(spark, cur), group=["grp"]
+    ).head()
+    assert abs(r["centroid_cos"]) < 0.001
+
+
+def test_groups_independent_and_global_mode(spark):
+    ref = [("a", [1.0, 0.0]), ("b", [0.0, 1.0])]
+    cur = [("a", [1.0, 0.0]), ("b", [1.0, 0.0])]
+    out = {
+        r["grp"]: r["centroid_cos"]
+        for r in embedding_centroid_drift(
+            _emb(spark, ref), _emb(spark, cur), group=["grp"]
+        ).collect()
+    }
+    assert out["a"] >= 0.999998 and abs(out["b"]) < 0.001
+    # ungrouped: one global row
+    g = embedding_centroid_drift(_emb(spark, ref), _emb(spark, cur)).collect()
+    assert len(g) == 1 and g[0]["n_ref"] == 2

@@ -1,0 +1,71 @@
+"""BM25 retrieval operator semantics (operators/retrieval.py)."""
+
+import pytest
+
+from big_data_song_recommendation_spark.operators.retrieval import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rare_term_outranks_common(spark):
+    """idf: a doc matching the rare term beats a doc matching only
+    the ubiquitous one, even at equal tf."""
+    rows = [(i, "common word filler text here") for i in range(20)]
+    rows.append((100, "common needle word filler here"))  # rare hit
+    rows.append((101, "common common word filler here"))  # tf=2 common
+    out = bm25_topk(_docs(spark, rows), ["needle", "common"], k=3).collect()
+    assert out[0]["doc_id"] == 100
+    assert out[0]["n_terms_hit"] == 2
+
+
+def test_length_normalization_penalizes_long_docs(spark):
+    """b=0.75: same tf, the shorter doc scores higher."""
+    rows = [
+        (1, "needle short doc"),
+        (2, "needle " + " ".join(["pad"] * 60)),
+        (3, "no match at all"),
+        (4, "other words entirely"),
+    ]
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_topk(_docs(spark, rows), ["needle"], k=4).collect()}
+    assert out[1] > out[2] > 0
+    assert 3 not in out or out.get(3) == 0
+
+
+def test_tf_saturates(spark):
+    """k1=1.2: doubling tf must raise the score by LESS than 2x
+    (the saturation BM25 adds over raw TF-IDF)."""
+    rows = [
+        (1, "needle pad pad pad pad pad pad pad"),
+        (2, "needle needle pad pad pad pad pad pad"),
+        (3, "filler text"),
+    ] + [(10 + i, "pad filler") for i in range(10)]
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_topk(_docs(spark, rows), ["needle"], k=5).collect()}
+    assert out[1] < out[2] < 2 * out[1]
+
+
+def test_only_matching_docs_return(spark):
+    rows = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha alpha")]
+    out = bm25_topk(_docs(spark, rows), ["alpha"], k=10).collect()
+    assert {r["doc_id"] for r in out} == {1, 3}
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["doc_id"])] == [
+        2,
+        1,
+    ]  # doc 3 has tf=2 in a same-length doc -> rank 1
+
+
+def test_query_terms_dedupe_and_lowercase(spark):
+    rows = [(1, "alpha beta"), (2, "beta gamma")]
+    a = bm25_topk(_docs(spark, rows), ["Alpha", "alpha"], k=5).collect()
+    b = bm25_topk(_docs(spark, rows), ["alpha"], k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, [(1, "x")]), [])

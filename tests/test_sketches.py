@@ -137,3 +137,82 @@ def test_cms_absent_item_estimates_colliders_only(spark):
     # wide sketch, one distinct key: overwhelmingly likely some row
     # misses → min = 0; in any case never above the stream total
     assert 0 <= est["est"] <= 10
+
+
+def test_kmv_exact_below_k(spark):
+    """A sketch smaller than k holds every distinct hash — the
+    estimate must be EXACT."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    df = _stream(spark, [f"v{i % 20}" for i in range(300)])
+    sk = kmv_sketch(df, "item", k=64)
+    agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    got = agg.select(
+        kmv_distinct_estimate(F.col("n"), F.col("hk"), k=64).alias("e")
+    ).head()["e"]
+    assert got == 20.0
+
+
+def test_kmv_estimate_within_4_sigma(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    n = 5000
+    df = _stream(spark, [f"v{i}" for i in range(n)])
+    sk = kmv_sketch(df, "item", k=64)
+    agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    got = agg.select(
+        kmv_distinct_estimate(F.col("n"), F.col("hk"), k=64).alias("e")
+    ).head()["e"]
+    assert abs(got - n) / n < 4 / (63**0.5)  # ~50%
+
+
+def test_kmv_sharded_equals_global_rank(spark):
+    """The two-phase sharded k-min must equal a naive global k-min —
+    sharding is a parallelism trick, not an approximation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.dedup import hash60
+    from big_data_song_recommendation_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    df = _stream(spark, [f"v{i}" for i in range(1000)])
+    got = {
+        r["h"]
+        for r in kmv_sketch(df, "item", k=32, shards=8).collect()
+    }
+    naive = (
+        df.select(hash60(F.col("item").cast("string"), "kmv").alias("h"))
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("r") <= 32)
+    )
+    assert got == {r["h"] for r in naive.collect()}
+
+
+def test_kmv_union_bound_and_grouping(spark):
+    """Grouped sketches stay bounded at k rows per group."""
+    from big_data_song_recommendation_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    rows = [("a", f"x{i}") for i in range(500)] + [
+        ("b", f"y{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = kmv_sketch(df, "item", group=["grp"], k=16)
+    counts = {r["grp"]: r["n"] for r in sk.groupBy("grp").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    assert counts == {"a": 16, "b": 10}
