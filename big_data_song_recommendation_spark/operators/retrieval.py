@@ -124,3 +124,66 @@ def bm25_topk(
             "n_terms_hit",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    *,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N
+    rankings of the same id space — the standard hybrid-retrieval
+    combiner (lexical BM25 + semantic ANN + priors) precisely because
+    it needs no score calibration: only RANKS enter, so each
+    retriever's score scale is irrelevant.
+
+    Cross-engine parity: the 1/(k+rank) contributions are integer
+    micro-units — ``1_000_000_000 div (k + rank)`` in exact JVM /
+    DuckDB long division — summed as int64 (``rrf_micro``), so fusion
+    involves no floating point at all.
+
+    100 TB shape: each input ranking is already top-N (bounded);
+    fusion unions bounded sets, one tiny aggregate, TakeOrdered. Each
+    ranker's rank is exposed as ``<name>_rank`` (NULL where the doc
+    appeared in only some rankings).
+    """
+    from pyspark.sql import Window
+
+    contribs = None
+    for _, df in rankings:
+        c = df.select(
+            F.col(id_col),
+            F.call_function(
+                "div",
+                F.lit(1_000_000_000),
+                F.lit(int(k)) + F.col(rank_col),
+            ).alias("__c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = (
+        contribs.groupBy(id_col)
+        .agg(F.sum("__c").alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+        .limit(int(top))
+        .withColumn(
+            "fused_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+            ),
+        )
+    )
+    for name, df in rankings:
+        fused = fused.join(
+            df.select(F.col(id_col), F.col(rank_col).alias(f"{name}_rank")),
+            id_col,
+            "left",
+        )
+    return fused.select(
+        id_col,
+        "fused_rank",
+        "rrf_micro",
+        *[f"{n}_rank" for n, _ in rankings],
+    )

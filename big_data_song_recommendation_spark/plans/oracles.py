@@ -1257,6 +1257,102 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q147: RRF twin — replays the q143 BM25 ranking and the q22
+    # quality ranking, then fuses with exact integer 1e9//(60+rank)
+    # contributions (no floating point in the fusion at all)
+    "q147_hybrid_rrf": f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (SELECT doc_id,
+                         unnest(string_split({_NORMALIZED_TEXT}, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+               WHERE tok IN ('dup', 'key', 'vector') GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        tot AS (SELECT SUM(dl) AS s, COUNT(*) AS n FROM dl),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * CAST(22 * tf * s AS DOUBLE)
+                       / CAST(10 * tf * s + 3 * s + 9 * dl * n AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS s_int
+            FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok)
+            CROSS JOIN tot
+        ),
+        bm25 AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s_total DESC, doc_id) AS r
+            FROM (SELECT doc_id, SUM(s_int) AS s_total
+                  FROM scored GROUP BY 1)
+            ORDER BY s_total DESC, doc_id LIMIT 50
+        ),
+        qscore AS (
+            SELECT doc_id,
+                   floor((CAST(0.4 AS DOUBLE) * len_score
+                          + CAST(0.3 AS DOUBLE) * punct_score
+                          + CAST(0.3 AS DOUBLE) * sw_score) * 10000.0)
+                       / 10000.0 AS quality
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN n_tokens >= 50 THEN CAST(1.0 AS DOUBLE)
+                            ELSE n_tokens / CAST(50.0 AS DOUBLE)
+                       END AS len_score,
+                       greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                           CAST(1.0 AS DOUBLE) - punct_ratio * 4)) AS punct_score,
+                       greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                           sw_ratio * 5)) AS sw_score
+                FROM (
+                    SELECT doc_id,
+                           {_TOKEN_COUNT} AS n_tokens,
+                           CASE WHEN len(text) > 0 THEN
+                               (len(text) - len(regexp_replace(text,
+                                   '[^A-Za-z0-9 ]', '', 'g')))
+                               * 1.0 / len(text)
+                           ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+                           CASE WHEN {_TOKEN_COUNT} > 0 THEN
+                               len(list_filter({_RAW_TOKENS_LOWER},
+                                   t -> list_contains({_STOPWORD_LISTS["en"]}, t)))
+                               * 1.0 / ({_TOKEN_COUNT})
+                           ELSE CAST(0.0 AS DOUBLE) END AS sw_ratio
+                    FROM documents
+                )
+            )
+        ),
+        qual AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY quality DESC, doc_id) AS r
+            FROM qscore
+            ORDER BY quality DESC, doc_id LIMIT 50
+        ),
+        contrib AS (
+            SELECT doc_id, r FROM bm25
+            UNION ALL
+            SELECT doc_id, r FROM qual
+        ),
+        fused AS (
+            SELECT doc_id,
+                   CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_micro
+            FROM contrib GROUP BY 1
+        ),
+        top AS (
+            SELECT doc_id, rrf_micro FROM fused
+            ORDER BY rrf_micro DESC, doc_id LIMIT 10
+        )
+        SELECT t.doc_id,
+               row_number() OVER (ORDER BY t.rrf_micro DESC, t.doc_id)
+                   AS fused_rank,
+               t.rrf_micro,
+               b.r AS bm25_rank,
+               q.r AS quality_rank
+        FROM top t
+        LEFT JOIN bm25 b USING (doc_id)
+        LEFT JOIN qual q USING (doc_id)
+        ORDER BY fused_rank
+    """,
     # q146: centroid-drift twin — identical floor(v·1e6) int64
     # component sums, hugeint dot/norm products (Spark decimal(38,0)),
     # doubles only at the final sqrt/divide, floored at 6 decimals

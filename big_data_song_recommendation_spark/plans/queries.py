@@ -4340,7 +4340,39 @@ def q146_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    retrieval.rrf_fuse, Cormack SIGIR'09): the q143 BM25 top-50 fused
+    with a quality-prior top-50 (q22's Gopher/C4-style score) — the
+    standard lexical+prior combiner, needing no score calibration
+    because only ranks enter. The 1/(60+rank) contributions are exact
+    integer micro-units (JVM div == DuckDB //), so the fusion has NO
+    floating point at all; both input rankings are deterministic
+    (int64 BM25 scores; 4-dec floored quality; doc_id tie-breaks)."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm25 = bm25_topk(docs, ["dup", "key", "vector"], k=50).select(
+        "doc_id", "rank"
+    )
+    qual = (
+        docs.select("doc_id", text.quality_score("text").alias("__q"))
+        .orderBy(F.col("__q").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("__q").desc(), F.col("doc_id").asc()))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse(
+        [("bm25", bm25), ("quality", qual)], id_col="doc_id", top=10
+    ).transform(_ordered, "fused_rank")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q147_hybrid_rrf": q147_hybrid_rrf,
     "q146_embedding_drift": q146_embedding_drift,
     "q145_name_typo_pairs": q145_name_typo_pairs,
     "q144_kmv_audience_overlap": q144_kmv_audience_overlap,

@@ -631,12 +631,106 @@ def r7b_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def r7c_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the round-7 batch-C operators: BM25 (one
+    tokenize pass + TakeOrdered — wall tracks corpus volume), KMV
+    audience overlap (one distinct shuffle + bounded sketch math),
+    edit-distance pairs (fact rows grow ×r but the VALUE grain — 64
+    distinct names — is constant, so the pair space and wall must stay
+    flat after the first aggregate), and embedding centroid drift
+    (one posexplode + (group,dim)-grain aggregate per side — the sums
+    table is groups×dims rows at any corpus size)."""
+    import time
+
+    from big_data_song_recommendation_spark.operators.profile import (
+        embedding_centroid_drift,
+    )
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from big_data_song_recommendation_spark.operators.similarity import (
+        edit_distance_pairs,
+    )
+
+    docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
+    ev0 = load_table(spark, "/root/testdata/sf0.1", "events")
+    part0 = load_table(spark, "/root/testdata/sf0.1", "part")
+    emb0 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    for r in reps:
+        docs = (
+            replicate(docs0, r, "doc_id") if r > 1 else docs0
+        ).localCheckpoint()
+        # user space grows with r (overlap structure preserved)
+        ev = (
+            replicate(ev0, r, "event_id").withColumn(
+                "user_id", F.col("user_id") * r + F.col("event_id") % r
+            )
+            if r > 1
+            else ev0
+        ).localCheckpoint()
+        part = (
+            replicate(part0, r, "p_partkey") if r > 1 else part0
+        ).localCheckpoint()
+        emb = (
+            replicate(emb0, r, "vec_id") if r > 1 else emb0
+        ).localCheckpoint()
+        n_docs, n_ev, n_part, n_emb = (
+            docs.count(), ev.count(), part.count(), emb.count(),
+        )
+
+        t0 = time.perf_counter()
+        n_bm = bm25_topk(docs, ["dup", "key", "vector"], k=10).count()
+        t_bm = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        from big_data_song_recommendation_spark.operators.sketches import (
+            kmv_distinct_estimate,
+            kmv_sketch,
+        )
+
+        sk = kmv_sketch(ev, "user_id", group=["event_type"], k=64)
+        n_kmv = (
+            sk.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+            .select(
+                kmv_distinct_estimate(F.col("n"), F.col("hk"), k=64)
+            )
+            .count()
+        )
+        t_kmv = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_pairs = edit_distance_pairs(part, "p_name", max_dist=2).count()
+        t_ed = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_drift = embedding_centroid_drift(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 != 0),
+            group=["label"],
+        ).count()
+        t_dr = time.perf_counter() - t0
+
+        print(
+            f"x{r}: docs={n_docs} bm25_top={n_bm} bm25={t_bm:.1f}s | "
+            f"events={n_ev} kmv_types={n_kmv} kmv={t_kmv:.1f}s | "
+            f"parts={n_part} typo_pairs={n_pairs} editdist={t_ed:.1f}s | "
+            f"emb={n_emb} drift_groups={n_drift} drift={t_dr:.1f}s",
+            flush=True,
+        )
+        from big_data_song_recommendation_spark.session import (
+            release_query_state,
+        )
+
+        release_query_state(spark)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
-        "botuser", "skew", "r7ops", "r7b",
+        "botuser", "skew", "r7ops", "r7b", "r7c",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -673,6 +767,10 @@ def main() -> None:
         return
     if mode == "r7b":
         r7b_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r7c":
+        r7c_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

@@ -69,3 +69,57 @@ def test_query_terms_dedupe_and_lowercase(spark):
 def test_empty_query_raises(spark):
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark, [(1, "x")]), [])
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
+def test_rrf_only_ranks_matter(spark):
+    """Fusion must be invariant to the retrievers' score scales —
+    feeding the same ranks twice doubles every contribution and
+    cannot reorder."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = _ranking(spark, [(1, 1), (2, 2), (3, 3)])
+    out = rrf_fuse([("x", a), ("y", a)], id_col="doc_id", top=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert all(
+        r["rrf_micro"] == 2 * (1_000_000_000 // (60 + r["fused_rank"]))
+        for r in out
+    )
+
+
+def test_rrf_single_list_membership_is_null_ranked(spark):
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = _ranking(spark, [(1, 1), (2, 2)])
+    b = _ranking(spark, [(2, 1), (9, 2)])
+    got = {
+        r["doc_id"]: (r["a_rank"], r["b_rank"], r["rrf_micro"])
+        for r in rrf_fuse(
+            [("a", a), ("b", b)], id_col="doc_id", top=10
+        ).collect()
+    }
+    assert got[2] == (2, 1, 1_000_000_000 // 62 + 1_000_000_000 // 61)
+    assert got[1] == (1, None, 1_000_000_000 // 61)
+    assert got[9] == (None, 2, 1_000_000_000 // 62)
+    # consensus doc 2 must outrank either single-list doc
+    fused = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse(
+        [("a", a), ("b", b)], id_col="doc_id", top=10).collect()}
+    assert fused[2] == 1
+
+
+def test_rrf_top_bound_and_tie_break(spark):
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = _ranking(spark, [(i, i) for i in range(1, 30)])
+    out = rrf_fuse([("a", a)], id_col="doc_id", top=5).collect()
+    assert len(out) == 5
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 4, 5]
