@@ -322,8 +322,14 @@ def embedding_centroid_drift(
     embeddings (document for your own scale).
 
     100 TB shape: one posexplode + one (group, dim)-grain aggregate
-    per side — the sums table is ``groups × dims`` rows however large
-    the corpora are; everything after is arithmetic on that table.
+    per side — TWO scans total; the sums table is ``groups × dims``
+    rows however large the corpora are, and everything after is
+    arithmetic on that table. Row counts ride the same aggregate
+    (every (group, dim) cell of a fixed-dimension embedding column
+    counts exactly the group's rows) rather than paying two more
+    scans; for RAGGED arrays the count is "rows carrying the
+    most-populated dimension" — clean your arrays first (the decode
+    operators in multimodal.py emit fixed dims).
 
     Returns per group: ``n_ref``, ``n_cur``, ``centroid_cos``
     (6-dec floored), ``mean_norm_ratio`` (cur/ref, 6-dec floored).
@@ -337,10 +343,11 @@ def embedding_centroid_drift(
         q = F.floor(F.col("__v").cast("double") * F.lit(float(scale))).cast(
             "long"
         )
-        return e.groupBy(*g, "dim").agg(F.sum(q).alias(f"s_{tag}"))
-
-    def _counts(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy(*g).agg(F.count("*").alias(f"n_{tag}"))
+        # the per-cell row count IS the group size for fixed-dim
+        # arrays — carrying it here saves two whole-table scans
+        return e.groupBy(*g, "dim").agg(
+            F.sum(q).alias(f"s_{tag}"), F.count("*").alias(f"c_{tag}")
+        )
 
     sa, sb = _sums(ref, "ref"), _sums(cur, "cur")
     dec = "decimal(38,0)"
@@ -355,6 +362,8 @@ def embedding_centroid_drift(
         F.sum(F.col("s_cur").cast(dec) * F.col("s_cur").cast(dec)).alias(
             "__nb"
         ),
+        F.max("c_ref").alias("n_ref"),
+        F.max("c_cur").alias("n_cur"),
     )
     cos = F.col("__dot").cast("double") / (
         F.sqrt(F.col("__na").cast("double"))
@@ -366,13 +375,7 @@ def embedding_centroid_drift(
     ratio = (
         F.sqrt(F.col("__nb").cast("double")) * F.col("n_ref")
     ) / (F.sqrt(F.col("__na").cast("double")) * F.col("n_cur"))
-    out = stats.join(_counts(ref, "ref"), g) if g else stats.crossJoin(
-        F.broadcast(_counts(ref, "ref"))
-    )
-    out = out.join(_counts(cur, "cur"), g) if g else out.crossJoin(
-        F.broadcast(_counts(cur, "cur"))
-    )
-    return out.select(
+    return stats.select(
         *g,
         "n_ref",
         "n_cur",

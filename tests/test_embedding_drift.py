@@ -58,3 +58,23 @@ def test_groups_independent_and_global_mode(spark):
     # ungrouped: one global row
     g = embedding_centroid_drift(_emb(spark, ref), _emb(spark, cur)).collect()
     assert len(g) == 1 and g[0]["n_ref"] == 2
+
+
+def test_two_scans_total(spark):
+    """Counts must ride the sums aggregate: the whole drift report
+    costs exactly one scan per side (regression: separate count
+    frames paid two extra whole-table scans)."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    from pyspark.sql import functions as F
+
+    rep = embedding_centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 != 0),
+        group=["label"],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
