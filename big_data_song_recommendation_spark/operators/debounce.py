@@ -23,6 +23,13 @@ base; per-key state is one timestamp.  The streaming twin of the
 stateful form is ``applyInPandasWithState``
 (streaming/jobs.count_based_batches shows the harness pattern).
 
+All gap arithmetic is INTEGER MICROSECONDS (``unix_micros`` minus
+``unix_micros``, cooldown rounded once to whole µs): epoch SECONDS in
+doubles resolve only ~0.24 µs near epoch magnitude (2^-22 s at
+1.7e9 s), so a gap exactly equal to the cooldown could compare false
+depending on the date — hypothesis found the repro; integer µs make
+the boundary exact on any date.
+
 No reference twin (the reference ingests raw play events unfiltered,
 ref ``src/streaming/kafka_consumer.py``); §2.15 pipeline mandate.
 """
@@ -35,8 +42,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from ..functions.scalars import epoch_seconds
 
 __all__ = ["debounce_gap", "debounce_stateful"]
 
@@ -52,12 +57,13 @@ def debounce_gap(
     """Keep rows whose gap from the previous event in their key is
     ≥ ``cooldown_s`` (first row per key always kept).  Adds nothing,
     drops rows; one window on the key — the only exchange."""
+    cd_us = int(round(float(cooldown_s) * 1e6))
     w = Window.partitionBy(*keys).orderBy(ts_col, tie_col)
-    ts_s = epoch_seconds(ts_col)
-    gap = ts_s - F.lag(ts_s).over(w)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     return (
         events.withColumn("__gap", gap)
-        .filter(F.col("__gap").isNull() | (F.col("__gap") >= float(cooldown_s)))
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= cd_us))
         .drop("__gap")
     )
 
@@ -95,22 +101,22 @@ def debounce_stateful(
       one O(n) walk per key; per-group overhead dominates at high key
       cardinality.
     """
-    cd = float(cooldown_s)
+    cd_us = int(round(float(cooldown_s) * 1e6))
     if impl == "fold":
-        ts_s = epoch_seconds(ts_col)
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         w = Window.partitionBy(*keys).orderBy(ts_col, tie_col)
-        gap = ts_s - F.lag(ts_s).over(w)
-        new_run = F.when(gap.isNull() | (gap >= cd), 1).otherwise(0)
+        gap = ts_us - F.lag(ts_us).over(w)
+        new_run = F.when(gap.isNull() | (gap >= cd_us), 1).otherwise(0)
         wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         runs = events.withColumn(
             "__run", F.sum(new_run).over(wrun)
-        ).withColumn("__ts_s", ts_s)
+        ).withColumn("__ts_us", ts_us)
         data = F.struct(*[F.col(c) for c in events.columns])
         per_run = runs.groupBy(*keys, "__run").agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        F.col("__ts_s").alias("t"),
+                        F.col("__ts_us").alias("t"),
                         F.col(tie_col).alias("tie"),
                         data.alias("row"),
                     )
@@ -128,7 +134,7 @@ def debounce_stateful(
                 ),
             ),
             lambda acc, x: F.when(
-                x.getField("t") - acc.getField("last") >= F.lit(cd),
+                x.getField("t") - acc.getField("last") >= F.lit(cd_us),
                 F.struct(
                     x.getField("t").alias("last"),
                     F.concat(
@@ -148,15 +154,15 @@ def debounce_stateful(
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, tie_col], kind="mergesort")
         # pin the unit before the int view — pandas/Arrow may deliver
-        # datetime64[us] depending on version
+        # datetime64[us] depending on version; stay in integer µs
         ts = (
             pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
-            / 1e9
+            // 1000
         )
         keep = []
         last = None
         for i, t in enumerate(ts):
-            if last is None or t - last >= cd:
+            if last is None or t - last >= cd_us:
                 keep.append(i)
                 last = t
         return pdf.iloc[keep]
@@ -169,12 +175,14 @@ def debounce_py_reference(
 ) -> list[tuple]:
     """Driver-side oracle for tests: rows = (key, ts_seconds, tie),
     returns kept rows under last-KEPT semantics. O(n log n), tiny
-    inputs only."""
+    inputs only. Matches the engine exactly by quantizing to whole µs
+    and comparing integers (timestamps store µs)."""
+    cd_us = round(float(cooldown_s) * 1e6)
     kept: list[tuple] = []
     last: dict = {}
     for row in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
-        k, t = row[0], row[1]
-        if k not in last or t - last[k] >= cooldown_s:
+        k, t_us = row[0], round(row[1] * 1e6)
+        if k not in last or t_us - last[k] >= cd_us:
             kept.append(row)
-            last[k] = t
+            last[k] = t_us
     return kept

@@ -1929,14 +1929,16 @@ ORACLES: dict[str, str] = {
         )
         SELECT * FROM rows_out ORDER BY check_kind, column_name
     """,
-    # q132: gap-debounce twin — identical lag-window gap arithmetic to
-    # q25 (epoch() doubles are exact for sub-2^53 seconds); kept = gap
-    # NULL or >= 600
+    # q132: gap-debounce twin — INTEGER µs gap arithmetic (epoch
+    # seconds in doubles resolve only ~0.24 µs at epoch magnitude, so
+    # a gap exactly equal to the cooldown could flip with the date);
+    # kept = gap NULL or >= 600s in whole µs
     "q132_event_debounce": """
         WITH g AS (
             SELECT user_id, event_type,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR (epoch(ts) - epoch(lag(ts) OVER w)) >= 600.0
+                             OR (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                                >= 600000000
                         THEN 1 ELSE 0 END AS kept
             FROM events
             WINDOW w AS (PARTITION BY user_id, event_type
