@@ -4176,6 +4176,9 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
     est = cms_estimate(top, counters, "user_id", params=cms, out="est_n")
+    # deliberately a separate count-star pass: it scans NO columns
+    # (metadata-weight), where deriving the total from `exact` would
+    # recompute the user-grain aggregate for a second consumer
     tot = ev.agg(F.count("*").alias("__n"))
     return (
         est.crossJoin(F.broadcast(tot))
