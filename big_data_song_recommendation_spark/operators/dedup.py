@@ -965,3 +965,103 @@ def containment_pairs(
             F.col("nb.n").alias("n_b"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    checkpoint: bool = True,
+    widen_input: bool = True,
+) -> DataFrame:
+    """Exact Jaccard ≥ ``threshold_num/threshold_den`` pairs via
+    PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al.
+    AllPairs, WWW'07) — the exact-threshold set-similarity join that
+    completes the dedup family: :func:`ngram_jaccard_pairs` is the
+    full self-join baseline (fan-out Σ df(sh)²), MinHash LSH is
+    approximate; this is EXACT at sub-self-join cost.
+
+    The filter: order shingles by ascending global document frequency
+    (rarest first, ties by shingle); a set of size L keeps only its
+    first ``L − ceil(t·L) + 1`` shingles as join keys. Two sets with
+    Jaccard ≥ t must share at least one PREFIX shingle under any
+    consistent total order (if all shared shingles sat past both
+    prefixes, the unshared prefix mass alone would push the union
+    below t) — so the candidate equi-join on prefix shingles is
+    LOSSLESS, and rare-first ordering makes it small (the join key
+    distribution is the df distribution of the rarest shingles).
+    A length filter (``num·max(L) ≤ den·min(L)``) prunes candidates
+    before verification; the survivors verify with exact integer
+    arithmetic — ``i·(num+den) ≥ num·(L_a+L_b)  ⇔  Jaccard ≥
+    num/den`` — no float threshold boundary to disagree on.
+
+    100 TB shape: shingle-grain shuffles only; the verify join
+    touches candidate pairs (post-filter), never the all-pairs space.
+    ``checkpoint`` cuts the shingle-set lineage once for its four
+    consumers (df table, prefix ranks, both verify sides).
+    """
+    from pyspark.sql import Window
+
+    n_, d_ = int(threshold_num), int(threshold_den)
+    if not (0 < n_ <= d_):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    sets = _shingle_sets(df, id_col, text_col, k, None, widen_input=widen_input)
+    if checkpoint:
+        sets = sets.localCheckpoint(eager=False)
+    sizes = sets.groupBy("sid").agg(F.count("*").alias("L"))
+    dfreq = sets.groupBy("sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("sid").orderBy(F.asc("__df"), F.asc("sh"))
+    # prefix length: L − ceil(t·L) + 1, exact in long arithmetic
+    plen = F.col("L") - F.call_function(
+        "div", F.lit(n_) * F.col("L") + F.lit(d_ - 1), F.lit(d_)
+    ) + F.lit(1)
+    prefix = (
+        sets.join(dfreq, "sh")
+        .withColumn("__r", F.row_number().over(w))
+        .join(sizes, "sid")
+        .filter(F.col("__r") <= plen)
+        .select("sid", "sh", "L")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.L").alias("la"),
+            F.col("b.L").alias("lb"),
+        )
+        .filter(
+            F.lit(n_) * F.greatest("la", "lb")
+            <= F.lit(d_) * F.least("la", "lb")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("sid").alias("id_a"), "sh")
+    sb = sets.select(F.col("sid").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(
+            F.col("n_shared") * F.lit(n_ + d_)
+            >= F.lit(n_) * (F.col("la") + F.col("lb"))
+        )
+    )
+    union = F.col("la") + F.col("lb") - F.col("n_shared")
+    return inter.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        union.alias("n_union"),
+        F.round(F.col("n_shared") / union, 6).alias("jaccard"),
+    )

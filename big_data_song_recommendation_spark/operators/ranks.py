@@ -479,3 +479,56 @@ def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
         )
         .cast("int")
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    *,
+    group: list[str] | None = None,
+    q_num: int = 1,
+    q_den: int = 2,
+    out: str = "wq",
+    tot_out: str | None = None,
+) -> DataFrame:
+    """Exact weighted quantile per group: the smallest ``value`` whose
+    cumulative weight reaches ``q_num/q_den`` of the group's total
+    (q_num=1, q_den=2 → the lower weighted median). The threshold test
+    is pure integer arithmetic (``cum·q_den ≥ q_num·tot`` on long
+    weights), so there is no quantile-interpolation convention to
+    disagree on cross-engine, and the value itself is only ORDERED and
+    MIN'd — never entered into arithmetic — so doubles pass through
+    bit-identical.
+
+    Weights must be integral (casts to long; fractional weights would
+    reintroduce order-dependent double sums — scale them to integer
+    units first).
+
+    100 TB shape: collapse to VALUE grain first (``groupBy(group,
+    value)``) — the running-sum window then ranks distinct values per
+    group, not fact rows, so a 25-brand × billions-rows table windows
+    over brands × distinct-prices only. One exchange: the value-grain
+    aggregate's hash partitioning on ``group`` feeds both windows.
+    """
+    g = list(group or [])
+    vg = df.groupBy(*g, value).agg(
+        F.sum(F.col(weight).cast("long")).alias("__w")
+    )
+    wp = Window.partitionBy(*g)
+    cum = F.sum("__w").over(
+        wp.orderBy(value).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    tot = F.sum("__w").over(wp)
+    flagged = vg.select(
+        *g,
+        F.col(value),
+        (cum * F.lit(int(q_den)) >= F.lit(int(q_num)) * tot).alias("__ok"),
+        tot.alias("__tot"),
+    )
+    aggs = [F.min(F.when(F.col("__ok"), F.col(value))).alias(out)]
+    if tot_out:
+        aggs.append(F.max("__tot").alias(tot_out))
+    return flagged.groupBy(*g).agg(*aggs)

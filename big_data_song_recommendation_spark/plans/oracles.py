@@ -1257,6 +1257,50 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q149: prefix-filter twin — the oracle is the NAIVE all-pairs
+    # shingle join with the same integer threshold (i·(n+d) ≥
+    # n·(la+lb)); identical results prove the prefix filter lossless
+    "q149_prefix_filter_pairs": f"""
+        WITH sets AS ({_SHINGLE_SETS}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(c AS BIGINT) AS n_shared,
+               CAST(na.n + nb.n - c AS BIGINT) AS n_union,
+               ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON id_a = na.doc_id
+        JOIN sizes nb ON id_b = nb.doc_id
+        WHERE c * 3 >= (na.n + nb.n)
+        ORDER BY id_a, id_b
+    """,
+    # q148: weighted-median twin — integer cum·2 ≥ tot threshold on
+    # long weights (l_quantity is integral; DuckDB double→BIGINT cast
+    # rounds, Spark truncates — equal on integral values), the price
+    # is ordered/MIN'd only so doubles pass through bit-identical
+    "q148_weighted_median_price": """
+        WITH vg AS (
+            SELECT p_brand, l_extendedprice AS v,
+                   SUM(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT p_brand, v,
+                   SUM(w) OVER (PARTITION BY p_brand ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   SUM(w) OVER (PARTITION BY p_brand) AS tot
+            FROM vg
+        )
+        SELECT p_brand,
+               MIN(CASE WHEN cum * 2 >= tot THEN v END) AS median_price,
+               CAST(MAX(tot) AS BIGINT) AS total_qty
+        FROM c GROUP BY 1 ORDER BY 1
+    """,
     # q147: RRF twin — replays the q143 BM25 ranking and the q22
     # quality ranking, then fuses with exact integer 1e9//(60+rank)
     # contributions (no floating point in the fusion at all)

@@ -4374,7 +4374,53 @@ def q147_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "fused_rank")
 
 
+def q148_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per brand
+    (operators/ranks.weighted_quantile): the warehouse quantile the
+    UNWEIGHTED q28/q127 percentiles can't answer — 'the price at
+    which half the UNITS ship', not half the line items. Exact
+    integer threshold test (cum·2 ≥ tot on long weights), value-grain
+    window (brands × distinct prices, never fact rows), price passes
+    through unarithmeticked so doubles are bit-identical."""
+    from ..operators.ranks import weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    return weighted_quantile(
+        joined,
+        "l_extendedprice",
+        "l_quantity",
+        group=["p_brand"],
+        out="median_price",
+        tot_out="total_qty",
+    ).transform(_ordered, "p_brand")
+
+
+def q149_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 near-dup pairs via prefix filtering
+    (operators/dedup.prefix_filter_jaccard_pairs — Bayardo AllPairs):
+    the exact-threshold set-similarity join completing the dedup
+    tiering — q17 is the full self-join baseline, q20 the MinHash
+    approximation, this is exact WITHOUT the full self-join (join
+    keys are only each set's rarest L−ceil(tL)+1 shingles; the
+    threshold verifies in integer arithmetic). The oracle is q17's
+    naive all-pairs SQL with the same integer threshold — identical
+    result sets prove the prefix filter lossless."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold_num=1, threshold_den=2
+    ).transform(_ordered, "id_a", "id_b")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q149_prefix_filter_pairs": q149_prefix_filter_pairs,
+    "q148_weighted_median_price": q148_weighted_median_price,
     "q147_hybrid_rrf": q147_hybrid_rrf,
     "q146_embedding_drift": q146_embedding_drift,
     "q145_name_typo_pairs": q145_name_typo_pairs,

@@ -1,0 +1,87 @@
+"""Prefix-filter exact Jaccard join (operators/dedup.
+prefix_filter_jaccard_pairs): losslessness vs the naive baseline and
+the integer threshold boundary."""
+
+import pytest
+
+from big_data_song_recommendation_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_matches_naive_baseline(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different document about spark plans",
+        "a completely different document about spark engines",
+        "nothing in common with anything here at all",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}
+    assert got == want  # jaccard values agree too
+
+
+def test_threshold_boundary_is_exact(spark):
+    """Jaccard EXACTLY at the threshold must be kept: 7-token docs
+    differing in the last token share 3 of 5+5-3=7... build an exact
+    1/2 case instead: sets of 6 shingles sharing 4 -> j = 4/8 = 0.5."""
+    # k=1-gram-like control via words: craft texts whose 3-shingle
+    # sets share exactly half the union: 6 shingles each, 4 shared
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"  # shingles: 6
+    b = "w1 w2 w3 w4 w5 w6 x7 x8"  # shares shingles from w1..w6 run: 4
+    docs = _docs(spark, [a, b])
+    out = prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", threshold_num=1, threshold_den=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_shared"], r["n_union"], r["jaccard"]) == (4, 8, 0.5)
+    # and a strictly-above threshold excludes it
+    out2 = prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", threshold_num=51, threshold_den=100
+    ).collect()
+    assert out2 == []
+
+
+def test_disjoint_docs_produce_nothing(spark):
+    docs = _docs(spark, ["a b c d e", "v w x y z"])
+    assert (
+        prefix_filter_jaccard_pairs(docs, "doc_id", "text").collect() == []
+    )
+
+
+def test_bad_threshold_raises(spark):
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(
+            _docs(spark, ["x"]), "doc_id", "text", threshold_num=3,
+            threshold_den=2,
+        )
+
+
+def test_stop_shingle_corpus_rejected_without_false_positives(spark):
+    """A corpus sharing one common shingle everywhere: the naive join
+    sees every pair as a candidate; the verified output must still be
+    empty (one shared shingle out of ~6 never reaches 0.5), and the
+    prefix filter must not spuriously emit any of the 190 pairs."""
+    common = "alpha beta gamma "  # one shared 3-shingle per doc
+    texts = [common + f"unique{i} tail{i} end{i}" for i in range(20)]
+    docs = _docs(spark, texts)
+    assert prefix_filter_jaccard_pairs(docs, "doc_id", "text").collect() == []
