@@ -999,10 +999,18 @@ def prefix_filter_jaccard_pairs(
     arithmetic — ``i·(num+den) ≥ num·(L_a+L_b)  ⇔  Jaccard ≥
     num/den`` — no float threshold boundary to disagree on.
 
-    100 TB shape: shingle-grain shuffles only; the verify join
-    touches candidate pairs (post-filter), never the all-pairs space.
-    ``checkpoint`` cuts the shingle-set lineage once for its four
-    consumers (df table, prefix ranks, both verify sides).
+    100 TB shape: shingle-grain shuffles only; verification touches
+    candidate pairs (post-filter), never the all-pairs space, and
+    computes |A∩B| with ``array_intersect`` over per-doc SORTED
+    shingle arrays — two id-keyed joins and a codegen expression per
+    pair, instead of re-exploding every candidate's full set through
+    a shuffle join (measured 2.6× on the 310k-candidate sf0.1
+    corpus). Requires each doc's shingle set to fit in a row —
+    true for documents (shingles ∝ tokens); for set columns of
+    unbounded size fall back to the row-join verify of
+    :func:`jaccard_pairs_from_sets`. ``checkpoint`` cuts the
+    shingle-set lineage once for its three consumers (df table,
+    prefix ranks, arrays).
     """
     from pyspark.sql import Window
 
@@ -1045,13 +1053,21 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    sa = sets.select(F.col("sid").alias("id_a"), "sh")
-    sb = sets.select(F.col("sid").alias("id_b"), "sh")
+    arrs = sets.groupBy("sid").agg(
+        F.sort_array(F.collect_list("sh")).alias("__arr")
+    )
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b", "la", "lb")
-        .agg(F.count("*").alias("n_shared"))
+        cand.join(
+            arrs.select(F.col("sid").alias("id_a"), F.col("__arr").alias("__aa")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("sid").alias("id_b"), F.col("__arr").alias("__ab")),
+            "id_b",
+        )
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("__aa", "__ab"))
+        )
         .filter(
             F.col("n_shared") * F.lit(n_ + d_)
             >= F.lit(n_) * (F.col("la") + F.col("lb"))
