@@ -219,3 +219,104 @@ def kmv_distinct_estimate(n_s: Column, h_k: Column, *, k: int) -> Column:
     return F.when(n_s < int(k), n_s.cast("double")).otherwise(
         F.lit(float(k - 1) * 2.0**60) / h_k.cast("double")
     )
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    """Bloom filter geometry — build and probe MUST share one instance
+    (the CMSParams rule: a bits/hashes/seed mismatch silently breaks
+    the no-false-negatives guarantee)."""
+
+    m_bits: int = 1 << 16
+    k_hashes: int = 4
+    seed: str = "bloom"
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    *,
+    params: BloomParams = BloomParams(),
+) -> DataFrame:
+    """Bloom filter as a relational sketch: the DISTINCT set bit
+    positions (≤ m_bits rows however large the input), mergeable by
+    plain UNION/DISTINCT — the membership member of the sketch family
+    (HLL counts, CMS estimates frequency, KMV intersects, Bloom
+    answers "possibly seen?"). Deterministic md5 bit positions
+    (dedup.hash60), so the filter — and every probe verdict — is
+    bit-identical in any engine.
+
+    100 TB shape: one explode(k) + distinct shuffle bounded by m_bits
+    output rows; the bits table broadcasts to probes."""
+    from .dedup import hash60
+
+    v = F.col(col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(params.k_hashes - 1))
+            ).alias("j"),
+            v.alias("__v"),
+        )
+        .select(
+            (
+                hash60(
+                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col("__v")),
+                    params.seed,
+                )
+                % F.lit(int(params.m_bits))
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    items: DataFrame,
+    bits: DataFrame,
+    col: str,
+    *,
+    params: BloomParams = BloomParams(),
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Membership probe: an item is a possible member iff ALL
+    ``k_hashes`` of its bit positions are set. No false negatives by
+    construction; false-positive rate ≈ (1 − e^{−kn/m})^k. The bits
+    table is bounded (≤ m_bits rows) so it broadcasts; the probe is a
+    map-side join however large ``items`` is. ``params`` must be the
+    SAME object the bits were built with (see :class:`BloomParams`).
+    """
+    from .dedup import hash60
+
+    v = F.col(col).cast("string")
+    probes = items.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(params.k_hashes - 1))).alias(
+            "__j"
+        ),
+    ).withColumn(
+        "__bit",
+        hash60(
+            F.concat(F.col("__j").cast("string"), F.lit(":"), v), params.seed
+        )
+        % F.lit(int(params.m_bits)),
+    )
+    carry = list(items.columns)
+    return (
+        probes.join(
+            F.broadcast(bits.withColumnRenamed("bit", "__bit")),
+            "__bit",
+            "left_semi",
+        )
+        .groupBy(*carry)
+        .agg(F.count("*").alias("__hits"))
+        # items whose every position missed vanish from the semi-join:
+        # restore them with a left join so absent keys report False
+        .join(items, carry, "right")
+        .select(
+            *carry,
+            (F.coalesce(F.col("__hits"), F.lit(0)) == params.k_hashes).alias(
+                out
+            ),
+        )
+    )

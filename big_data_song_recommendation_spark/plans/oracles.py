@@ -1257,6 +1257,53 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # q150: Bloom twin — identical md5-60 bit positions
+    # ('bloom:j:key' % 65536), identical all-k-bits-set verdicts;
+    # no-false-negatives pinned TRUE, fp bound is integer arithmetic
+    "q150_bloom_membership": f"""
+        WITH js AS (SELECT unnest(range(0, 4)) AS j),
+        bits AS (
+            SELECT DISTINCT
+                {_hash60("'bloom:' || j || ':' || CAST(o_custkey AS VARCHAR)")}
+                    % 65536 AS bit
+            FROM orders CROSS JOIN js
+        ),
+        pb AS (
+            SELECT c_custkey, j,
+                {_hash60("'bloom:' || j || ':' || CAST(c_custkey AS VARCHAR)")}
+                    % 65536 AS bit
+            FROM customer CROSS JOIN js
+        ),
+        hits AS (
+            SELECT c_custkey, COUNT(*) AS h
+            FROM pb JOIN bits USING (bit) GROUP BY 1
+        ),
+        t AS (SELECT DISTINCT o_custkey FROM orders),
+        flags AS (
+            SELECT c.c_custkey,
+                   COALESCE(h.h, 0) = 4 AS maybe,
+                   t.o_custkey IS NOT NULL AS has
+            FROM customer c
+            LEFT JOIN hits h ON h.c_custkey = c.c_custkey
+            LEFT JOIN t ON t.o_custkey = c.c_custkey
+        ),
+        agg AS (
+            SELECT COUNT(*) AS n_customers,
+                   COUNT(*) FILTER (WHERE has) AS n_with_orders,
+                   COUNT(*) FILTER (WHERE maybe) AS n_flagged,
+                   COUNT(*) FILTER (WHERE has AND NOT maybe)
+                       AS n_false_neg,
+                   COUNT(*) FILTER (WHERE NOT has AND maybe)
+                       AS n_false_pos
+            FROM flags
+        )
+        SELECT n_customers, n_with_orders, n_flagged, n_false_neg,
+               n_false_pos,
+               TRUE AS no_false_neg,
+               n_false_pos <= greatest(
+                   16, (n_customers - n_with_orders) // 100) AS fp_ok
+        FROM agg
+    """,
     # q149: prefix-filter twin — the oracle is the NAIVE all-pairs
     # shingle join with the same integer threshold (i·(n+d) ≥
     # n·(la+lb)); identical results prove the prefix filter lossless

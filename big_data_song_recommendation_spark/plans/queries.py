@@ -4418,7 +4418,65 @@ def q149_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "id_a", "id_b")
 
 
+def q150_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (operators/sketches.bloom_bits /
+    bloom_probe — the membership member of the mergeable-sketch
+    family: HLL counts, CMS frequencies, KMV intersects, Bloom
+    answers 'possibly seen?'). Builds the filter over orders'
+    custkeys, probes every customer, and checks both guarantees
+    in-query against the exact semi-join truth: ZERO false negatives
+    (pinned TRUE by the oracle) and a false-positive count inside a
+    loose integer bound (1% of absentees + slack — no float exp() to
+    disagree on). Deterministic md5 bit positions → the verdicts are
+    bit-equal cross-engine."""
+    from ..operators.sketches import BloomParams, bloom_bits, bloom_probe
+
+    bp = BloomParams(m_bits=1 << 16, k_hashes=4)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bits = bloom_bits(orders, "o_custkey", params=bp)
+    probed = bloom_probe(
+        cust.select("c_custkey"), bits, "c_custkey", params=bp
+    )
+    truth = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__has", F.lit(True))
+    )
+    j = probed.join(truth, "c_custkey", "left").select(
+        "maybe_member",
+        F.coalesce("__has", F.lit(False)).alias("has"),
+    )
+    agg = j.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("has").cast("long")).alias("n_with_orders"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+        F.sum((F.col("has") & ~F.col("maybe_member")).cast("long")).alias(
+            "n_false_neg"
+        ),
+        F.sum((~F.col("has") & F.col("maybe_member")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )
+    return agg.select(
+        "*",
+        (F.col("n_false_neg") == 0).alias("no_false_neg"),
+        (
+            F.col("n_false_pos")
+            <= F.greatest(
+                F.lit(16),
+                F.call_function(
+                    "div",
+                    F.col("n_customers") - F.col("n_with_orders"),
+                    F.lit(100),
+                ),
+            )
+        ).alias("fp_ok"),
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q150_bloom_membership": q150_bloom_membership,
     "q149_prefix_filter_pairs": q149_prefix_filter_pairs,
     "q148_weighted_median_price": q148_weighted_median_price,
     "q147_hybrid_rrf": q147_hybrid_rrf,

@@ -216,3 +216,61 @@ def test_kmv_union_bound_and_grouping(spark):
         F.count("*").alias("n")
     ).collect()}
     assert counts == {"a": 16, "b": 10}
+
+
+def test_bloom_no_false_negatives(spark):
+    from big_data_song_recommendation_spark.operators.sketches import (
+        BloomParams,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    bp = BloomParams(m_bits=1 << 12, k_hashes=4)
+    df = _stream(spark, [f"k{i}" for i in range(500)])
+    bits = bloom_bits(df, "item", params=bp)
+    got = bloom_probe(df.distinct(), bits, "item", params=bp).collect()
+    assert len(got) == 500 and all(r["maybe_member"] for r in got)
+
+
+def test_bloom_absent_keys_mostly_rejected(spark):
+    from big_data_song_recommendation_spark.operators.sketches import (
+        BloomParams,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    bp = BloomParams(m_bits=1 << 16, k_hashes=4)
+    bits = bloom_bits(_stream(spark, [f"k{i}" for i in range(200)]), "item",
+                      params=bp)
+    probe = _stream(spark, [f"absent{i}" for i in range(500)])
+    fp = sum(
+        r["maybe_member"]
+        for r in bloom_probe(probe, bits, "item", params=bp).collect()
+    )
+    # n/m tiny -> p ~ (200*4/65536)^4; allow generous slack
+    assert fp <= 2
+
+
+def test_bloom_state_bounded_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.sketches import (
+        BloomParams,
+        bloom_bits,
+    )
+
+    bp = BloomParams(m_bits=64, k_hashes=3)
+    a = _stream(spark, [f"a{i}" for i in range(300)])
+    b = _stream(spark, [f"b{i}" for i in range(300)])
+    whole = bloom_bits(_stream(spark, [f"a{i}" for i in range(300)]
+                               + [f"b{i}" for i in range(300)]), "item",
+                       params=bp)
+    merged = (
+        bloom_bits(a, "item", params=bp)
+        .unionByName(bloom_bits(b, "item", params=bp))
+        .distinct()
+    )
+    assert whole.count() <= 64
+    got = {r["bit"] for r in merged.collect()}
+    want = {r["bit"] for r in whole.collect()}
+    assert got == want  # union of filters == filter of union
