@@ -302,21 +302,19 @@ def bloom_probe(
         % F.lit(int(params.m_bits)),
     )
     carry = list(items.columns)
+    # ONE broadcast left join: unmatched positions keep a NULL marker,
+    # so items with zero set bits survive to the aggregate and report
+    # False — no second pass over `items` to restore them
     return (
         probes.join(
-            F.broadcast(bits.withColumnRenamed("bit", "__bit")),
+            F.broadcast(
+                bits.withColumnRenamed("bit", "__bit").withColumn(
+                    "__set", F.lit(1)
+                )
+            ),
             "__bit",
-            "left_semi",
+            "left",
         )
         .groupBy(*carry)
-        .agg(F.count("*").alias("__hits"))
-        # items whose every position missed vanish from the semi-join:
-        # restore them with a left join so absent keys report False
-        .join(items, carry, "right")
-        .select(
-            *carry,
-            (F.coalesce(F.col("__hits"), F.lit(0)) == params.k_hashes).alias(
-                out
-            ),
-        )
+        .agg((F.count("__set") == params.k_hashes).alias(out))
     )
