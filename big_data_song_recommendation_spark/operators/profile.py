@@ -351,7 +351,14 @@ def embedding_centroid_drift(
 
     sa, sb = _sums(ref, "ref"), _sums(cur, "cur")
     dec = "decimal(38,0)"
-    joined = sa.join(sb, [*g, "dim"])
+    # FULL outer + zero-fill: a group present in only one snapshot is
+    # exactly the drift event a monitor must surface (a label fully
+    # appeared or vanished) — an inner join would silently drop it.
+    # Such groups emit n=0 on the missing side and NULL cos/ratio
+    # (guarded below), mirroring the DuckDB oracle's handling.
+    joined = sa.join(sb, [*g, "dim"], "full").na.fill(
+        {"s_ref": 0, "c_ref": 0, "s_cur": 0, "c_cur": 0}
+    )
     stats = joined.groupBy(*g).agg(
         F.sum(
             F.col("s_ref").cast(dec) * F.col("s_cur").cast(dec)
@@ -375,10 +382,17 @@ def embedding_centroid_drift(
     ratio = (
         F.sqrt(F.col("__nb").cast("double")) * F.col("n_ref")
     ) / (F.sqrt(F.col("__na").cast("double")) * F.col("n_cur"))
+    # zero-denominator guards, identical in the DuckDB twin: cosine is
+    # undefined when either centroid is the zero vector (a side absent
+    # or all-zero); the ratio when the REF norm is zero or cur empty.
+    # Explicit NULL on both engines beats the divergent div-by-zero
+    # conventions (Spark NULL vs IEEE inf/NaN).
+    cos_ok = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    ratio_ok = (F.col("__na") > 0) & (F.col("n_cur") > 0)
     return stats.select(
         *g,
         "n_ref",
         "n_cur",
-        stable_round(cos, 6).alias("centroid_cos"),
-        stable_round(ratio, 6).alias("mean_norm_ratio"),
+        F.when(cos_ok, stable_round(cos, 6)).alias("centroid_cos"),
+        F.when(ratio_ok, stable_round(ratio, 6)).alias("mean_norm_ratio"),
     )

@@ -394,9 +394,12 @@ def srp_hard_negatives(
     rest. At scale the signatures are the same on-disk LSH index
     srp_knn uses — mining negatives and serving ANN share one layout.
     """
+    # lazy localCheckpoint, not .cache(): the sibling operators'
+    # lineage-cut discipline — no pinned executor blocks left behind
+    # for library callers that never call release_query_state()
     sigs = srp_signatures(
         corpus, id_col=id_col, vec_col=vec_col, planes=planes
-    ).cache()
+    ).localCheckpoint(eager=False)
     dim = vectors.infer_dim(corpus, vec_col)
     base = corpus.select(
         F.col(id_col), F.col(vec_col).alias("v"), F.col(label_col).alias("lbl")

@@ -139,24 +139,37 @@ def cms_estimate(
     the lookup is a map-side join however large ``items`` is. Items
     absent from the sketch estimate 0 (their cells may still be
     occupied by colliders — the estimate stays an upper bound).
-    ``params`` must be the SAME object the counters were built with
-    (see :class:`CMSParams`)."""
+    Output multiplicity matches input exactly: the re-gather after
+    the depth-explode groups on a generated per-row id, so duplicate
+    item rows (or distinct probes sharing every carried value) each
+    keep their own output row. ``params`` must be the SAME object the
+    counters were built with (see :class:`CMSParams`)."""
     from .dedup import hash60
 
     v = F.col(col).cast("string")
-    probes = items.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(params.depth - 1))).alias("j")
-    ).withColumn(
-        "bucket",
-        hash60(F.concat(F.col("j").cast("string"), F.lit(":"), v), params.seed)
-        % F.lit(int(params.width)),
+    probes = (
+        items.withColumn("__rid", F.monotonically_increasing_id())
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(params.depth - 1))).alias(
+                "j"
+            ),
+        )
+        .withColumn(
+            "bucket",
+            hash60(
+                F.concat(F.col("j").cast("string"), F.lit(":"), v), params.seed
+            )
+            % F.lit(int(params.width)),
+        )
     )
     carry = [c for c in items.columns]
     return (
         probes.join(F.broadcast(counters), ["j", "bucket"], "left")
         .na.fill({"cnt": 0})
-        .groupBy(*carry)
+        .groupBy("__rid", *carry)
         .agg(F.min("cnt").alias(out))
+        .drop("__rid")
     )
 
 
@@ -283,23 +296,32 @@ def bloom_probe(
     ``k_hashes`` of its bit positions are set. No false negatives by
     construction; false-positive rate ≈ (1 − e^{−kn/m})^k. The bits
     table is bounded (≤ m_bits rows) so it broadcasts; the probe is a
-    map-side join however large ``items`` is. ``params`` must be the
-    SAME object the bits were built with (see :class:`BloomParams`).
+    map-side join however large ``items`` is. The re-gather groups on
+    a generated per-row id, so duplicate probe rows each keep their
+    own (correct) verdict and output multiplicity matches input —
+    never a collapsed group whose matched-bit count overshoots
+    ``k_hashes`` into a false negative. ``params`` must be the SAME
+    object the bits were built with (see :class:`BloomParams`).
     """
     from .dedup import hash60
 
     v = F.col(col).cast("string")
-    probes = items.select(
-        "*",
-        F.explode(F.sequence(F.lit(0), F.lit(params.k_hashes - 1))).alias(
-            "__j"
-        ),
-    ).withColumn(
-        "__bit",
-        hash60(
-            F.concat(F.col("__j").cast("string"), F.lit(":"), v), params.seed
+    probes = (
+        items.withColumn("__rid", F.monotonically_increasing_id())
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(params.k_hashes - 1))).alias(
+                "__j"
+            ),
         )
-        % F.lit(int(params.m_bits)),
+        .withColumn(
+            "__bit",
+            hash60(
+                F.concat(F.col("__j").cast("string"), F.lit(":"), v),
+                params.seed,
+            )
+            % F.lit(int(params.m_bits)),
+        )
     )
     carry = list(items.columns)
     # ONE broadcast left join: unmatched positions keep a NULL marker,
@@ -315,6 +337,7 @@ def bloom_probe(
             "__bit",
             "left",
         )
-        .groupBy(*carry)
+        .groupBy("__rid", *carry)
         .agg((F.count("__set") == params.k_hashes).alias(out))
+        .drop("__rid")
     )

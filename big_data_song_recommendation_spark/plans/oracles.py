@@ -1483,12 +1483,16 @@ ORACLES: dict[str, str] = {
             FROM embeddings GROUP BY 1
         )
         SELECT st.label, n_ref, n_cur,
-               floor(CAST(dot AS DOUBLE)
-                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
-                     * 1000000.0) / 1000000.0 AS centroid_cos,
-               floor((sqrt(CAST(nb AS DOUBLE)) * n_ref)
-                     / (sqrt(CAST(na AS DOUBLE)) * n_cur)
-                     * 1000000.0) / 1000000.0 AS mean_norm_ratio
+               CASE WHEN na > 0 AND nb > 0 THEN
+                 floor(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                       * 1000000.0) / 1000000.0
+               END AS centroid_cos,
+               CASE WHEN na > 0 AND n_cur > 0 THEN
+                 floor((sqrt(CAST(nb AS DOUBLE)) * n_ref)
+                       / (sqrt(CAST(na AS DOUBLE)) * n_cur)
+                       * 1000000.0) / 1000000.0
+               END AS mean_norm_ratio
         FROM st JOIN cnt USING (label)
         ORDER BY st.label
     """,

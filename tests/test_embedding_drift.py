@@ -78,3 +78,25 @@ def test_two_scans_total(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2
+
+
+def test_one_sided_group_surfaces_with_null_metrics(spark):
+    """ADVICE r7: a label present in only one snapshot is the drift
+    event itself — it must SURFACE (full-outer join) with the missing
+    side's n=0 and NULL cos/ratio, not silently vanish (old inner
+    join), matching the DuckDB twin's guards."""
+    ref = [("stays", [1.0, 0.0]), ("vanished", [0.5, 0.5])]
+    cur = [("stays", [1.0, 0.0]), ("appeared", [0.0, 1.0])]
+    out = {
+        r["grp"]: r
+        for r in embedding_centroid_drift(
+            _emb(spark, ref), _emb(spark, cur), group=["grp"]
+        ).collect()
+    }
+    assert set(out) == {"stays", "vanished", "appeared"}
+    v, a = out["vanished"], out["appeared"]
+    assert (v["n_ref"], v["n_cur"]) == (1, 0)
+    assert v["centroid_cos"] is None and v["mean_norm_ratio"] is None
+    assert (a["n_ref"], a["n_cur"]) == (0, 1)
+    assert a["centroid_cos"] is None and a["mean_norm_ratio"] is None
+    assert out["stays"]["centroid_cos"] >= 0.999998

@@ -274,3 +274,43 @@ def test_bloom_state_bounded_and_mergeable(spark):
     got = {r["bit"] for r in merged.collect()}
     want = {r["bit"] for r in whole.collect()}
     assert got == want  # union of filters == filter of union
+
+
+def test_bloom_duplicate_probe_rows_keep_verdicts(spark):
+    """ADVICE r7: a member probed twice must report maybe_member=True
+    on BOTH rows (the old carry-grain groupBy merged the duplicates,
+    overshooting the matched-bit count into a false negative) and
+    output multiplicity must match input."""
+    from big_data_song_recommendation_spark.operators.sketches import (
+        BloomParams,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    bp = BloomParams(m_bits=1 << 12, k_hashes=4)
+    bits = bloom_bits(_stream(spark, [f"k{i}" for i in range(50)]), "item",
+                      params=bp)
+    probe = _stream(spark, ["k7", "k7", "k7", "absent-key", "absent-key"])
+    got = bloom_probe(probe, bits, "item", params=bp).collect()
+    assert len(got) == 5
+    verdicts = sorted((r["item"], bool(r["maybe_member"])) for r in got)
+    assert [v for i, v in verdicts if i == "k7"] == [True, True, True]
+
+
+def test_cms_duplicate_item_rows_keep_multiplicity(spark):
+    """ADVICE r7: cms_estimate output multiplicity matches the items
+    input — duplicate probe rows each get their own (equal) row."""
+    from big_data_song_recommendation_spark.operators.sketches import (
+        CMSParams,
+        cms_counters,
+        cms_estimate,
+    )
+
+    cms = CMSParams(depth=4, width=64)
+    counters = cms_counters(_stream(spark, ["a"] * 7 + ["b"] * 3), "item",
+                            params=cms)
+    probe = _stream(spark, ["a", "a", "b"])
+    rows = cms_estimate(probe, counters, "item", params=cms).collect()
+    assert len(rows) == 3
+    ests = sorted((r["item"], r["est"]) for r in rows)
+    assert ests[0] == ests[1] == ("a", ests[0][1]) and ests[0][1] >= 7
