@@ -133,7 +133,84 @@ def _votes(lang: str) -> str:
         f" t -> list_contains({_STOPWORD_LISTS[lang]}, t)))"
     )
 
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    """q139 twin: the BPE trainer's merge rounds UNROLLED as chained
+    CTE stages (the round count is a fixed query parameter, so no
+    recursion is needed). Each round is (a) adjacent-pair counts via
+    unnest over 1..len(s)-1, (b) argmax pair with the trainer's exact
+    tie-break (count desc, left asc, right asc), (c) the greedy
+    LEFTMOST NON-OVERLAPPING re-merge — expressed as plain string
+    ``replace`` over the symbol list joined as ``|sym1||sym2||…|``:
+    SQL replace scans left-to-right and never rematches inside its own
+    replacement, which IS the reference's regex merge semantics
+    (operators/bpe.merge_pair_expr replicates the same fold in
+    Catalyst), and the doubled-``|`` wrapping keeps each symbol's
+    delimiters intact so back-to-back merges still match
+    (``|a||a||a||a|`` → ``|aa||aa|``). ``|`` can never occur in a
+    symbol: tokens are [a-z0-9]+ plus the ``</w>`` end mark.
+    SUM(freq) is HUGEINT in DuckDB — cast back to BIGINT for the
+    output schema."""
+    ctes = [
+        """words AS (
+            SELECT tok AS word, COUNT(*) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text),
+                              '[^a-z0-9]+')) AS tok
+                FROM documents
+            ) WHERE tok <> '' GROUP BY 1
+        )""",
+        """r0 AS (
+            SELECT word, freq,
+                   list_append(string_split(word, ''), '</w>') AS s
+            FROM words
+        )""",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""e{i} AS (
+            SELECT freq, s, unnest(range(1, len(s))) AS ix FROM r{i}
+        )"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+            SELECT s[ix] AS pl, s[ix + 1] AS pr, SUM(freq) AS cnt
+            FROM e{i} GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+            SELECT pl, pr, cnt FROM p{i}
+            ORDER BY cnt DESC, pl, pr LIMIT 1
+        )"""
+        )
+        if i < n_merges - 1:
+            ctes.append(
+                f"""r{i + 1} AS (
+            SELECT word, freq,
+                   string_split(trim(replace(
+                       '|' || array_to_string(s, '||') || '|',
+                       '|' || b.pl || '||' || b.pr || '|',
+                       '|' || b.pl || b.pr || '|'), '|'), '||') AS s
+            FROM r{i}, b{i} b
+        )"""
+            )
+    unions = "\n            UNION ALL ".join(
+        f'SELECT {i + 1} AS step, pl AS "left", pr AS "right",'
+        f" pl || pr AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        SELECT * FROM (
+            {unions}
+        ) ORDER BY step
+    """
+    )
+
+
 ORACLES: dict[str, str] = {
+    # q139: distributed BPE trainer twin — 8 unrolled merge rounds
+    "q139_bpe_merges": _bpe_merges_sql(8),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

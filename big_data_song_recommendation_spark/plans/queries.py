@@ -4078,10 +4078,13 @@ def q138_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): the
     first 8 merge rules learned from the documents corpus, with their
-    weighted pair counts. Rows-only at the driver (an oracle would
-    need 8 unrolled recursive list-rebuild CTEs); pinned against a
-    pure-Python reference trainer in tests/test_bpe.py — the q40-q43
-    golden precedent. §2.13 pipeline mandate; no reference twin."""
+    weighted pair counts. DuckDB oracle: the 8 merge rounds unrolled
+    as chained CTE stages (oracles._bpe_merges_sql — greedy leftmost
+    re-merge expressed as string replace over a |-wrapped symbol
+    list); also pinned against a pure-Python reference trainer in
+    tests/test_bpe.py. Trains through the provably-safe batched
+    selector (driver actions scale with rounds, not merges). §2.13
+    pipeline mandate; no reference twin."""
     from ..operators.bpe import bpe_train, word_frequency_table
 
     docs = load_table(spark, sf_dir, "documents")
