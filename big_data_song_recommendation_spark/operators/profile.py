@@ -182,6 +182,7 @@ def psi_report(
     value_col: str = "value",
     tiebreak: str = "event_id",
     bins: int = 10,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Population Stability Index drift report between a reference and
     a current population of ``value_col`` — the standard
@@ -208,17 +209,34 @@ def psi_report(
     rank would poison every bin via the ``e < v`` fold, and engines
     disagree on where NULL bins). Monitor NULL-rate drift as its own
     ratio check (e.g. :func:`null_profile`), not through PSI.
+
+    ``checkpoint=True`` (default) cuts the REFERENCE population's
+    lineage once (projected to the two columns PSI reads, lazy
+    localCheckpoint): it has THREE consumers (the rank chain for the
+    edges, the population count, the binning pass) that would
+    otherwise each recompute the full upstream — for q141 that was
+    most of the wall (the events scan + midpoint cross-join ran per
+    consumer). Callers that already checkpointed their populations
+    (the q141 shape: one tagged-population checkpoint feeds ref AND
+    cur) pass ``checkpoint=False`` — everything downstream is then a
+    cheap re-read of their blocks, and no second copy materializes.
     """
     from .ranks import bucketed_rank, with_equi_width_bucket
 
     v = F.col(value_col)
-    ref = ref.filter(v.isNotNull())
+    ref = ref.filter(v.isNotNull()).select(tiebreak, value_col)
     cur = cur.filter(v.isNotNull())
+    if checkpoint:
+        ref = ref.localCheckpoint(eager=False)
+    # the rank chain's own lineage-cut is redundant either way: ref is
+    # a checkpoint (above) or the caller's — recomputing a filter over
+    # those blocks is cheaper than materializing a second copy
     ranked = bucketed_rank(
         with_equi_width_bucket(ref, value_col),
         [v.asc(), F.col(tiebreak).asc()],
         ["__vb"],
         out="__rn",
+        checkpoint=False,
     )
     n_ref_agg = ref.agg(F.count("*").alias("__n"))
     # edge rank = ceil(i·n/bins) in INTEGER arithmetic (i·n+bins-1 div

@@ -4144,7 +4144,12 @@ def q141_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles, Laplace-smoothed shares, integer-micro-unit total).
     The time split is the integer epoch-µs midpoint, so the report is
     fully deterministic. The drift gate a 100 TB feature pipeline runs
-    before every retrain; no reference twin (§2.13 mandate)."""
+    before every retrain; no reference twin (§2.13 mandate).
+
+    The tagged population (3 columns) is checkpointed ONCE and feeds
+    both sides — events parquet is scanned exactly twice (the min/max
+    midpoint agg + the materialization), where the r7 shape re-ran
+    the scan and the midpoint cross-join per psi_report consumer."""
     from ..operators.profile import psi_report
 
     ev = load_table(spark, sf_dir, "events")
@@ -4154,10 +4159,16 @@ def q141_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div", F.col("__mn") + F.col("__mx"), F.lit(2)
         ).alias("__mid")
     )
-    tagged = ev.withColumn("__us", us).crossJoin(F.broadcast(rng))
+    tagged = (
+        ev.select("event_id", "value", us.alias("__us"))
+        .crossJoin(F.broadcast(rng))
+        .localCheckpoint(eager=False)
+    )
     ref = tagged.filter(F.col("__us") < F.col("__mid"))
     cur = tagged.filter(F.col("__us") >= F.col("__mid"))
-    return psi_report(ref, cur).transform(_ordered, "bin")
+    return psi_report(ref, cur, checkpoint=False).transform(
+        _ordered, "bin"
+    )
 
 
 def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4431,21 +4442,28 @@ def q150_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned TRUE by the oracle) and a false-positive count inside a
     loose integer bound (1% of absentees + slack — no float exp() to
     disagree on). Deterministic md5 bit positions → the verdicts are
-    bit-equal cross-engine."""
+    bit-equal cross-engine.
+
+    The distinct member-key set is computed ONCE (lazy localCheckpoint,
+    the roster's multi-consumer pattern) and feeds BOTH the bit build
+    and the exact truth side — one orders scan + one distinct shuffle
+    instead of two of each (bloom_bits over the distinct set emits the
+    identical bit table: the k positions depend only on the value)."""
     from ..operators.sketches import BloomParams, bloom_bits, bloom_probe
 
     bp = BloomParams(m_bits=1 << 16, k_hashes=4)
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    bits = bloom_bits(orders, "o_custkey", params=bp)
+    members = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bits = bloom_bits(members, "c_custkey", params=bp)
     probed = bloom_probe(
         cust.select("c_custkey"), bits, "c_custkey", params=bp
     )
-    truth = (
-        orders.select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-        .withColumn("__has", F.lit(True))
-    )
+    truth = members.withColumn("__has", F.lit(True))
     j = probed.join(truth, "c_custkey", "left").select(
         "maybe_member",
         F.coalesce("__has", F.lit(False)).alias("has"),
