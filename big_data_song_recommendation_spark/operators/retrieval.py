@@ -38,43 +38,21 @@ B_X100 = 75  # b = 0.75
 SCALE = 1_000_000  # micro-unit flooring for the integer score sum
 
 
-def bm25_topk(
-    docs: DataFrame,
-    query_terms: list[str],
+def _score_topk(
+    tf_dl: DataFrame,
+    df_: DataFrame,
+    totals: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 10,
+    id_col: str,
+    k: int,
 ) -> DataFrame:
-    """Top-``k`` documents for a bag-of-words query under BM25
-    (Lucene +1-smoothed idf, k1=1.2, b=0.75).
-
-    Returns ``id_col``, ``rank`` (1-based), ``score`` (micro-unit
-    floored double), ``n_terms_hit``. Ties rank by ``id_col`` asc.
-    """
-    if not query_terms:
-        raise ValueError("bm25_topk: query_terms must be non-empty")
-    terms = sorted({t.lower() for t in query_terms})
-
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(text.tokens(text_col)).alias("tok"),
-    ).filter(F.col("tok") != "")
-    # ONE corpus pass: tf at (doc, token) grain for the query's terms
-    # only (the filter prunes before the shuffle), dl for every doc.
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    # df per query term (≤|q| rows) and the corpus totals (1 row):
-    # both broadcast — scoring is map-side over the tf rows.
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    totals = dl.agg(
-        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
-    )
-
+    """Shared BM25 scoring tail: ``tf_dl`` at ``(id, tok, tf, dl)``
+    grain joins the broadcast per-term ``df`` and 1-row corpus
+    ``totals``, scores in the exact-rational/int64-micro-unit
+    discipline, and TakeOrders the top ``k``. Both the scan form
+    (:func:`bm25_topk`) and the postings-index form
+    (:func:`bm25_topk_indexed`) end here, so the two are
+    score-identical by construction."""
     num = 22 * F.col("tf") * F.col("s_tokens")
     den = (
         10 * F.col("tf") * F.col("s_tokens")
@@ -91,8 +69,7 @@ def bm25_topk(
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df_), "tok")
+        tf_dl.join(F.broadcast(df_), "tok")
         .join(F.broadcast(totals))
         .withColumn(
             "s_int",
@@ -124,6 +101,133 @@ def bm25_topk(
             "n_terms_hit",
         )
     )
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One tokenize pass at ``(id, tok)`` row grain (empties dropped —
+    the functions/text.tokens contract)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(text.tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Lucene +1-smoothed idf, k1=1.2, b=0.75), scanning the corpus.
+
+    Returns ``id_col``, ``rank`` (1-based), ``score`` (micro-unit
+    floored double), ``n_terms_hit``. Ties rank by ``id_col`` asc.
+    For repeated queries over a static corpus, build the postings
+    layout once (:func:`build_bm25_index`) and serve with
+    :func:`bm25_topk_indexed` instead of re-tokenizing per query.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = _tokenized(docs, id_col, text_col)
+    # ONE corpus pass: tf at (doc, token) grain for the query's terms
+    # only (the filter prunes before the shuffle), dl for every doc.
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df per query term (≤|q| rows) and the corpus totals (1 row):
+    # both broadcast — scoring is map-side over the tf rows.
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    totals = dl.agg(
+        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
+    )
+    return _score_topk(
+        tf.join(dl, id_col), df_, totals, id_col=id_col, k=k
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    name: str = "bm25_idx",
+    n_buckets: int = 8,
+) -> dict[str, str]:
+    """Persist the inverted-index layout BM25 serving reads instead of
+    re-tokenizing the corpus per query (the retrieval twin of the
+    nightly precompute in scripts/serving_probe.py):
+
+    - ``{name}_postings`` — ``(tok, id, tf, dl)``, BUCKETED and sorted
+      by ``tok`` (sources/bucketing.write_bucketed): an equality/IN
+      filter on ``tok`` bucket-prunes the scan to the query terms'
+      buckets, and the in-bucket sort gives parquet row-group min/max
+      stats that prune within the bucket — per-query IO is the terms'
+      postings lists, not the corpus.
+    - ``{name}_terms`` — ``(tok, df)``, the global document-frequency
+      table (identical per-term values to the scan form's
+      query-restricted df, so scores match exactly).
+    - ``{name}_totals`` — 1 row ``(s_tokens, n_docs)``.
+
+    Tokenization cost is paid ONCE here; at 100 TB the postings write
+    is the same one corpus pass the scan form pays per query. Returns
+    the table names."""
+    from ..sources.bucketing import write_bucketed
+
+    toks = _tokenized(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    postings = tf.join(dl, id_col).select("tok", id_col, "tf", "dl")
+    tables = {
+        "postings": f"{name}_postings",
+        "terms": f"{name}_terms",
+        "totals": f"{name}_totals",
+    }
+    write_bucketed(postings, tables["postings"], "tok", n_buckets=n_buckets)
+    spark = docs.sparkSession
+    tf.groupBy("tok").agg(F.count("*").alias("df")).write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(tables["terms"])
+    dl.agg(
+        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        tables["totals"]
+    )
+    # one round-trip sanity: the planner must see the bucket spec
+    assert spark.catalog.tableExists(tables["postings"])
+    return tables
+
+
+def bm25_topk_indexed(
+    spark,
+    query_terms: list[str],
+    *,
+    name: str = "bm25_idx",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Serve a BM25 top-``k`` query from the persisted postings layout
+    (:func:`build_bm25_index`). Same output contract — and exactly the
+    same scores (shared :func:`_score_topk` tail, and the stored
+    global df equals the scan form's per-query df) — as
+    :func:`bm25_topk`, but per-query work is a bucket-pruned postings
+    read plus two broadcast lookups: independent of corpus size."""
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    tf_dl = spark.table(f"{name}_postings").filter(
+        F.col("tok").isin(terms)
+    )
+    df_ = spark.table(f"{name}_terms").filter(F.col("tok").isin(terms))
+    totals = spark.table(f"{name}_totals")
+    return _score_topk(tf_dl, df_, totals, id_col=id_col, k=k)
 
 
 def rrf_fuse(

@@ -158,6 +158,42 @@ def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
         report["content_precomputed"] = _timed(content_precomputed, seed_ids)
         report["hybrid_precomputed"] = _timed(hybrid_precomputed, user_ids)
 
+    # ---- BM25 retrieval: corpus re-scan vs postings index ---------
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        build_bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    tables = build_bm25_index(docs, name="probe_bm25", n_buckets=8)
+    report["bm25_index_build_s"] = round(time.perf_counter() - t0, 2)
+    try:
+        vocab = [
+            r["tok"]
+            for r in spark.table(tables["terms"])
+            .orderBy(F.desc("df"), F.asc("tok"))
+            .limit(3 * n_req)
+            .collect()
+        ]
+        term_reqs = [
+            vocab[3 * i % len(vocab) : 3 * i % len(vocab) + 3] or vocab[:3]
+            for i in range(n_req)
+        ]
+
+        def bm25_scan(terms):
+            bm25_topk(docs, terms, k=10).collect()
+
+        def bm25_indexed(terms):
+            bm25_topk_indexed(spark, terms, name="probe_bm25", k=10).collect()
+
+        report["bm25_scan"] = _timed(bm25_scan, term_reqs)
+        report["bm25_indexed"] = _timed(bm25_indexed, term_reqs)
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     ratings.unpersist()
     emb.unpersist()
     return report

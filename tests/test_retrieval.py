@@ -123,3 +123,70 @@ def test_rrf_top_bound_and_tie_break(spark):
     out = rrf_fuse([("a", a)], id_col="doc_id", top=5).collect()
     assert len(out) == 5
     assert [r["doc_id"] for r in out] == [1, 2, 3, 4, 5]
+
+
+# -- postings-index serving layout (round-8) --------------------------------
+
+@pytest.fixture(scope="module")
+def bm25_index(spark):
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        build_bm25_index,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tables = build_bm25_index(docs, name="t_bm25", n_buckets=4)
+    yield docs, tables
+    for t in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_indexed_matches_scan_form(spark, bm25_index):
+    """The postings-backed server must return the EXACT rows (ids,
+    ranks, scores, term hits) of the per-query corpus scan — shared
+    scoring tail + global df == query-restricted df."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    docs, _ = bm25_index
+    for terms in (["dup", "key", "vector"], ["dup"], ["the", "zebra"]):
+        want = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+        got = [
+            tuple(r)
+            for r in bm25_topk_indexed(
+                spark, terms, name="t_bm25", k=10
+            ).collect()
+        ]
+        assert got == want, terms
+
+
+def test_indexed_plan_prunes_buckets_and_never_tokenizes(spark, bm25_index):
+    """The serving plan must read selected BUCKETS of the postings
+    table (bucket pruning on the tok filter) and contain no Generate
+    (explode/tokenize) node — per-query IO is the terms' postings,
+    not a corpus re-tokenization."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed,
+    )
+
+    q = bm25_topk_indexed(spark, ["dup"], name="t_bm25", k=10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+
+def test_index_empty_query_raises(spark):
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed,
+    )
+
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(spark, [], name="t_bm25")
