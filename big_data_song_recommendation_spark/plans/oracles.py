@@ -208,7 +208,75 @@ def _bpe_merges_sql(n_merges: int) -> str:
     )
 
 
+def _html_extraction_sql() -> str:
+    """q151 twin: the SAME regex tiers as functions/html.py (patterns
+    generated from one list — Java-regex ∩ RE2 subset), run through
+    DuckDB's RE2 with the 'g' option standing in for Spark's
+    always-global regexp_replace. Byte-identical extracted text is the
+    parity claim."""
+    from ..functions.html import (
+        _BLOCK_TAGS,
+        _ENTITIES,
+        noise_block_patterns,
+    )
+
+    page = (
+        "'<html><head><title>d</title><style>p{margin:0}</style>"
+        '<script>var a = "<p>not text</p>";</script></head><body>'
+        """<nav><a href="/">Home</a> | <a href="/about">About</a></nav>"""
+        "<article><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'"
+        " || text || ' &amp; more &lt;raw&gt;</p><ul><li>lang: '"
+        " || lang || '</li><li>source: ' || source || "
+        """'</li></ul><a href="/next">next doc</a></article>"""
+        "<footer>&copy; corp</footer></body></html>'"
+    )
+    noise = "html"
+    for pat in noise_block_patterns():
+        noise = f"regexp_replace({noise}, '{pat}', '', 'g')"
+    main = "t"
+    for tag in ("article", "main", "body"):
+        pat = f"(?is)<{tag}[^>]*>(.*?)</{tag}>"
+        main = (
+            f"CASE WHEN regexp_matches({main}, '{pat}')"
+            f" THEN regexp_extract({main}, '{pat}', 1) ELSE {main} END"
+        )
+
+    def flatten(expr: str) -> str:
+        e = (
+            f"regexp_replace({expr},"
+            f" '(?is)</?(?:{_BLOCK_TAGS})[^>]*>', chr(10), 'g')"
+        )
+        e = f"regexp_replace({e}, '(?s)<[^>]*>', '', 'g')"
+        for ent, ch in _ENTITIES:
+            e = f"replace({e}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+        e = f"regexp_replace({e}, '[ \\t\\r]+', ' ', 'g')"
+        e = f"regexp_replace({e}, ' ?\\n[ \\n]*', chr(10), 'g')"
+        return f"trim({e}, ' ' || chr(10))"
+
+    anchors = (
+        "array_to_string(regexp_extract_all(html,"
+        " '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), '')"
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, {page} AS html FROM documents),
+        s AS (SELECT doc_id, html, {noise} AS t FROM h),
+        m AS (SELECT doc_id, html, {main} AS t FROM s),
+        f AS (SELECT doc_id, {flatten('t')} AS extracted,
+                     {flatten(anchors)} AS atxt
+              FROM m)
+        SELECT doc_id, extracted,
+               CAST(length(extracted) AS BIGINT) AS n_chars_extracted,
+               CASE WHEN length(extracted) > 0
+                    THEN (CAST(length(atxt) AS BIGINT) * 1000000)
+                         // CAST(length(extracted) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS link_density_micro
+        FROM f ORDER BY doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q151: HTML extraction twin — same regex tiers, RE2 'g' option
+    "q151_html_extraction": _html_extraction_sql(),
     # q139: distributed BPE trainer twin — 8 unrolled merge rounds
     "q139_bpe_merges": _bpe_merges_sql(8),
     "q01_pricing_summary": """

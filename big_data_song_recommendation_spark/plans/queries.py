@@ -4496,7 +4496,59 @@ def q150_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.extract_text — the
+    trafilatura-class regex-tier pipeline: drop script/style/comments,
+    cut nav/header/footer/aside chrome, isolate the <article> region,
+    flatten block tags to newlines, decode entities, normalize
+    whitespace) plus the link-density boilerplate signal in integer
+    micro-units. Each document is wrapped in a deterministic page
+    (chrome + anchors + entities around its text) so every tier is
+    exercised; the DuckDB twin runs the SAME patterns (generated from
+    one list — Java-regex ∩ RE2 subset) and must produce the extracted
+    text byte-identically. Whole-stage codegen end to end — a 100 TB
+    crawl-curation front door with no UDF anywhere; no reference twin
+    (§2.13 mandate)."""
+    from ..functions.html import extract_text, link_density_micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title><style>p{margin:0}</style>'
+            '<script>var a = "<p>not text</p>";</script></head><body>'
+            '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+            "<article><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more &lt;raw&gt;</p><ul><li>lang: "),
+        F.col("lang"),
+        F.lit("</li><li>source: "),
+        F.col("source"),
+        F.lit(
+            '</li></ul><a href="/next">next doc</a></article>'
+            "<footer>&copy; corp</footer></body></html>"
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            extract_text(html).alias("extracted"),
+            link_density_micro(html).alias("link_density_micro"),
+        )
+        .select(
+            "doc_id",
+            "extracted",
+            F.length("extracted").cast("long").alias("n_chars_extracted"),
+            "link_density_micro",
+        )
+        .transform(_ordered, "doc_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q151_html_extraction": q151_html_extraction,
     "q150_bloom_membership": q150_bloom_membership,
     "q149_prefix_filter_pairs": q149_prefix_filter_pairs,
     "q148_weighted_median_price": q148_weighted_median_price,

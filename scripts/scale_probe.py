@@ -725,12 +725,151 @@ def r7c_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def r8ops_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the round-7/8 operators the r7 probes missed:
+
+    - prefix-filter exact Jaccard (q149): replicas are SALTED — a
+      per-replica token interleaved between every pair of original
+      tokens — so every k=3 shingle of replica i contains salt zi and
+      cross-replica Jaccard is 0 while within-replica near-dup
+      structure is preserved. True pairs therefore grow LINEARLY in r
+      (never r² duplicate explosions) and the wall must track them;
+      unsalted duplication would make quadratic output the right
+      answer and prove nothing about the filter.
+    - bloom membership audit (q150 shape): member/probe key spaces
+      grow ×r and the filter is SIZED TO THE POPULATION
+      (m_bits = 2^16·r — the deployment rule; a fixed-m filter
+      saturates to all-ones by ×16 and 'scales' by answering yes to
+      everything). Wall should track the distinct shuffle; fp stays
+      inside the 1% gate at every r.
+    - BPE trainer (q139): corpus FIXED, n_merges grows ×8/×64 —
+      the vocabulary axis the per-merge-collect design would die on
+      (30k sequential jobs). Rounds (= driver actions) must grow
+      far slower than merges under batched selection.
+    """
+    import time
+
+    from big_data_song_recommendation_spark.operators import bpe
+    from big_data_song_recommendation_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from big_data_song_recommendation_spark.operators.sketches import (
+        BloomParams,
+        bloom_bits,
+        bloom_probe,
+    )
+    from big_data_song_recommendation_spark.session import (
+        release_query_state,
+    )
+
+    docs0 = load_table(spark, SF_DIR, "documents")
+    ord0 = load_table(spark, SF_DIR, "orders")
+    cust0 = load_table(spark, SF_DIR, "customer")
+
+    for r in reps:
+        salted = (
+            replicate(docs0, r, "doc_id").withColumn(
+                "text",
+                F.expr(
+                    "array_join(flatten(transform("
+                    "  split(lower(text), '[^a-z0-9]+'),"
+                    f"  x -> array(x, concat('zz', doc_id % {r})))), ' ')"
+                ),
+            )
+            if r > 1
+            else docs0
+        ).localCheckpoint()
+        n_docs = salted.count()
+        t0 = time.perf_counter()
+        n_pairs = prefix_filter_jaccard_pairs(
+            salted, "doc_id", "text", k=3, threshold_num=1, threshold_den=2
+        ).count()
+        t_pf = time.perf_counter() - t0
+
+        orders = (
+            replicate(ord0, r, "o_orderkey").withColumn(
+                "o_custkey",
+                F.col("o_custkey") * r + F.col("o_orderkey") % r,
+            )
+            if r > 1
+            else ord0
+        ).localCheckpoint()
+        cust = (
+            replicate(cust0, r, "c_custkey") if r > 1 else cust0
+        ).localCheckpoint()
+        n_ord, n_cust = orders.count(), cust.count()
+        bp = BloomParams(m_bits=(1 << 16) * r, k_hashes=4)
+        t0 = time.perf_counter()
+        members = orders.select(
+            F.col("o_custkey").alias("c_custkey")
+        ).distinct().localCheckpoint(eager=False)
+        bits = bloom_bits(members, "c_custkey", params=bp)
+        probed = bloom_probe(
+            cust.select("c_custkey"), bits, "c_custkey", params=bp
+        )
+        row = (
+            probed.join(
+                members.withColumn("__has", F.lit(True)), "c_custkey", "left"
+            )
+            .agg(
+                F.sum(
+                    (F.coalesce("__has", F.lit(False)) & ~F.col("maybe_member"))
+                    .cast("long")
+                ).alias("fn"),
+                F.sum(
+                    (~F.coalesce("__has", F.lit(False)) & F.col("maybe_member"))
+                    .cast("long")
+                ).alias("fp"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        t_bl = time.perf_counter() - t0
+        assert row["fn"] == 0, f"x{r}: bloom false negative"
+
+        wf = bpe.word_frequency_table(docs0).localCheckpoint()
+        wf.count()
+        bpe_line = []
+        for n_merges in (8, 8 * min(r, 64)):
+            rounds = {"n": 0}
+            orig = bpe._pair_page
+
+            def counting(df, cap, _rounds=rounds, _orig=orig):
+                _rounds["n"] += 1
+                return _orig(df, cap)
+
+            bpe._pair_page = counting
+            try:
+                t0 = time.perf_counter()
+                merges, _ = bpe.bpe_train(
+                    wf,
+                    n_merges=n_merges,
+                    batch_cap=256,
+                    exact_sequence=False,
+                )
+                t_bpe = time.perf_counter() - t0
+            finally:
+                bpe._pair_page = orig
+            bpe_line.append(
+                f"merges={len(merges)} rounds={rounds['n']} {t_bpe:.1f}s"
+            )
+
+        print(
+            f"x{r}: docs={n_docs} jaccard_pairs={n_pairs} prefix={t_pf:.1f}s"
+            f" | orders={n_ord} cust={n_cust} m_bits={bp.m_bits}"
+            f" fp={row['fp']}/{row['n']} bloom={t_bl:.1f}s"
+            f" | bpe[{'; '.join(bpe_line)}]",
+            flush=True,
+        )
+        release_query_state(spark)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
-        "botuser", "skew", "r7ops", "r7b", "r7c",
+        "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -771,6 +910,10 @@ def main() -> None:
         return
     if mode == "r7c":
         r7c_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r8ops":
+        r8ops_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
