@@ -134,24 +134,9 @@ def _votes(lang: str) -> str:
     )
 
 
-def _bpe_merges_sql(n_merges: int) -> str:
-    """q139 twin: the BPE trainer's merge rounds UNROLLED as chained
-    CTE stages (the round count is a fixed query parameter, so no
-    recursion is needed). Each round is (a) adjacent-pair counts via
-    unnest over 1..len(s)-1, (b) argmax pair with the trainer's exact
-    tie-break (count desc, left asc, right asc), (c) the greedy
-    LEFTMOST NON-OVERLAPPING re-merge — expressed as plain string
-    ``replace`` over the symbol list joined as ``|sym1||sym2||…|``:
-    SQL replace scans left-to-right and never rematches inside its own
-    replacement, which IS the reference's regex merge semantics
-    (operators/bpe.merge_pair_expr replicates the same fold in
-    Catalyst), and the doubled-``|`` wrapping keeps each symbol's
-    delimiters intact so back-to-back merges still match
-    (``|a||a||a||a|`` → ``|aa||aa|``). ``|`` can never occur in a
-    symbol: tokens are [a-z0-9]+ plus the ``</w>`` end mark.
-    SUM(freq) is HUGEINT in DuckDB — cast back to BIGINT for the
-    output schema."""
-    ctes = [
+def _bpe_base_ctes() -> list[str]:
+    """word_frequency_table's twin: corpus → (word, freq, char syms)."""
+    return [
         """words AS (
             SELECT tok AS word, COUNT(*) AS freq FROM (
                 SELECT unnest(string_split_regex(lower(text),
@@ -165,6 +150,14 @@ def _bpe_merges_sql(n_merges: int) -> str:
             FROM words
         )""",
     ]
+
+
+def _bpe_round_ctes(n_merges: int, *, need_final: bool) -> list[str]:
+    """The shared per-round CTE chain of the BPE twins (q139/q152):
+    pair counts, argmax with the trainer's tie-break, the greedy
+    re-merge. ``need_final=True`` also materializes ``r{n_merges}`` —
+    the vocabulary with ALL merges applied (the encode twin)."""
+    ctes: list[str] = []
     for i in range(n_merges):
         ctes.append(
             f"""e{i} AS (
@@ -183,7 +176,7 @@ def _bpe_merges_sql(n_merges: int) -> str:
             ORDER BY cnt DESC, pl, pr LIMIT 1
         )"""
         )
-        if i < n_merges - 1:
+        if need_final or i < n_merges - 1:
             ctes.append(
                 f"""r{i + 1} AS (
             SELECT word, freq,
@@ -194,6 +187,27 @@ def _bpe_merges_sql(n_merges: int) -> str:
             FROM r{i}, b{i} b
         )"""
             )
+    return ctes
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    """q139 twin: the BPE trainer's merge rounds UNROLLED as chained
+    CTE stages (the round count is a fixed query parameter, so no
+    recursion is needed). Each round is (a) adjacent-pair counts via
+    unnest over 1..len(s)-1, (b) argmax pair with the trainer's exact
+    tie-break (count desc, left asc, right asc), (c) the greedy
+    LEFTMOST NON-OVERLAPPING re-merge — expressed as plain string
+    ``replace`` over the symbol list joined as ``|sym1||sym2||…|``:
+    SQL replace scans left-to-right and never rematches inside its own
+    replacement, which IS the reference's regex merge semantics
+    (operators/bpe.merge_pair_expr replicates the same fold in
+    Catalyst), and the doubled-``|`` wrapping keeps each symbol's
+    delimiters intact so back-to-back merges still match
+    (``|a||a||a||a|`` → ``|aa||aa|``). ``|`` can never occur in a
+    symbol: tokens are [a-z0-9]+ plus the ``</w>`` end mark.
+    SUM(freq) is HUGEINT in DuckDB — cast back to BIGINT for the
+    output schema."""
+    ctes = _bpe_base_ctes() + _bpe_round_ctes(n_merges, need_final=False)
     unions = "\n            UNION ALL ".join(
         f'SELECT {i + 1} AS step, pl AS "left", pr AS "right",'
         f" pl || pr AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
@@ -204,6 +218,27 @@ def _bpe_merges_sql(n_merges: int) -> str:
         SELECT * FROM (
             {unions}
         ) ORDER BY step
+    """
+    )
+
+
+def _bpe_tokens_sql(n_merges: int, top: int) -> str:
+    """q152 twin: the trainer chain carried one re-merge further (the
+    vocabulary with ALL ``n_merges`` rules applied = the ENCODED
+    corpus at word grain), then token statistics — occurrences keep
+    word multiplicity (unnest before grouping), words are counted
+    distinct. Same tie-break as the Spark side (total_freq desc,
+    token asc)."""
+    ctes = _bpe_base_ctes() + _bpe_round_ctes(n_merges, need_final=True)
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        SELECT tok AS token,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_freq
+        FROM (SELECT word, freq, unnest(s) AS tok FROM r{n_merges})
+        GROUP BY 1
+        ORDER BY total_freq DESC, token ASC
+        LIMIT {top}
     """
     )
 
@@ -275,6 +310,8 @@ def _html_extraction_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    # q152: BPE encode twin — trainer chain + final re-merge + stats
+    "q152_bpe_token_stats": _bpe_tokens_sql(8, 20),
     # q151: HTML extraction twin — same regex tiers, RE2 'g' option
     "q151_html_extraction": _html_extraction_sql(),
     # q139: distributed BPE trainer twin — 8 unrolled merge rounds

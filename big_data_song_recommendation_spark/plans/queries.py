@@ -4547,7 +4547,37 @@ def q151_html_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (operators/bpe.bpe_apply — the
+    inference half of q139's trainer): learn 8 merge rules, ENCODE the
+    corpus with them, and report the top-20 subword tokens by weighted
+    occurrence count (plus the distinct words each appears in). Encode
+    runs at VOCABULARY grain — distinct words, bounded by Heaps' law —
+    never per corpus row; a corpus-grain consumer joins the encoded
+    vocabulary back by word (the q139 scan-once discipline). DuckDB
+    twin: the trainer's unrolled CTE chain carried one re-merge
+    further (the fully-encoded vocabulary) + the same token aggregate.
+    §2.13 pipeline mandate; no reference twin."""
+    from ..operators.bpe import bpe_apply, bpe_train, word_frequency_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequency_table(docs).localCheckpoint(eager=False)
+    merges, _ = bpe_train(wf, n_merges=8)
+    enc = bpe_apply(wf, merges)
+    return (
+        enc.select("word", "freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("total_freq"),
+        )
+        .orderBy(F.col("total_freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q152_bpe_token_stats": q152_bpe_token_stats,
     "q151_html_extraction": q151_html_extraction,
     "q150_bloom_membership": q150_bloom_membership,
     "q149_prefix_filter_pairs": q149_prefix_filter_pairs,
