@@ -481,3 +481,61 @@ def srp_balanced_sample(
         .filter(F.col("smp_rank") <= int(per_bucket))
         .select(id_col, "bucket", "smp_rank")
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 3,
+    min_lines_kept: int = 2,
+    require_terminal_punct: bool = True,
+    blacklist: tuple[str, ...] = (
+        "javascript",
+        "lorem ipsum",
+        "cookie policy",
+        "terms of use",
+        "{",
+    ),
+    out_text: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    rule tier that runs BETWEEN extraction (functions/html.py) and the
+    statistical gates (Gopher repetition q70, perplexity q85): keep a
+    line only if it has ≥ ``min_words_per_line`` words, ends in
+    terminal punctuation (``. ! ? "``), and contains no blacklist
+    phrase (the classic javascript / lorem-ipsum / policy-page
+    markers, matched case-insensitively); keep the DOCUMENT only if
+    ≥ ``min_lines_kept`` lines survive.
+
+    The whole operator is ONE projection: the line split, the per-line
+    predicate, the reassembly, and the counts are array lambdas
+    (``F.filter`` / ``F.size`` / ``array_join``) — no explode, no
+    shuffle, no re-keying join to rebuild documents, so at 100 TB it
+    rides the scan like any other map (and whole-stage codegen keeps
+    it JVM-side). Returns the input plus ``n_lines``, ``n_kept``,
+    ``kept_doc`` and ``out_text`` (kept lines re-joined in order);
+    callers filter on ``kept_doc`` — emitting the verdict instead of
+    dropping rows keeps the operator auditable (the q78 PII pattern).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        cond = F.size(F.split(t, " +")) >= int(min_words_per_line)
+        if require_terminal_punct:
+            cond = cond & t.rlike('[.!?"]$')
+        low = F.lower(t)
+        for term in blacklist:
+            cond = cond & ~low.contains(F.lit(term))
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= int(min_lines_kept)).alias("kept_doc"),
+        F.array_join(kept, "\n").alias(out_text),
+    )

@@ -309,7 +309,131 @@ def _html_extraction_sql() -> str:
     """
 
 
+def _c4_line_cleaning_sql() -> str:
+    """q153 twin: the same 7-line page synthesis and the same per-line
+    predicates (word count, terminal punctuation, blacklist) as
+    quality.c4_line_filter, expressed as list_filter lambdas."""
+    veto = "".join(
+        f"\n              AND NOT contains(lower(trim(x)), '{t}')"
+        for t in (
+            "javascript",
+            "lorem ipsum",
+            "cookie policy",
+            "terms of use",
+            "{",
+        )
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' of the corpus.'
+                   || chr(10) || text || ' tail marker.'
+                   || chr(10) || 'lang ' || lang
+                   || chr(10) || 'Enable javascript to continue.'
+                   || chr(10) || 'Short line.'
+                   || chr(10) || 'See our cookie policy for details.'
+                   || chr(10) || 'source ' || source || ' verified entry.'
+                   AS page
+            FROM documents
+        ),
+        l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
+        k AS (
+            SELECT doc_id, lines,
+                   list_filter(lines, x ->
+                       len(string_split_regex(trim(x), ' +')) >= 3
+                       AND regexp_matches(trim(x), '[.!?"]$'){veto}
+                   ) AS kept
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               len(kept) >= 2 AS kept_doc,
+               array_to_string(kept, chr(10)) AS clean_text
+        FROM k ORDER BY doc_id
+    """
+
+
+def _url_canonicalization_sql() -> str:
+    """q154 twin: the same URL synthesis and the same regex tiers as
+    functions/url.py (Java-regex ∩ RE2 subset; anchored single-match
+    patterns, so DuckDB's first-match regexp_replace equals Spark's
+    global one here)."""
+    from ..functions.url import SECOND_LEVEL, TRACKING_PREFIXES, _AUTH
+
+    veto = " AND ".join(
+        f"NOT starts_with(x, '{p}')" for p in TRACKING_PREFIXES
+    )
+    seconds = ", ".join(f"'{s}'" for s in SECOND_LEVEL)
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.' || source || '-cdn.Example.' ||
+                   CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                             WHEN 'zh' THEN 'com.cn' WHEN 'fr' THEN 'fr'
+                             ELSE 'org' END ||
+                   CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END
+                   || '/articles/' || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                   || '&ref=' || source || '&utm_campaign=x#sec'
+                   || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+                   regexp_extract(url, '{_AUTH}', 1) AS auth,
+                   regexp_extract(url, '{_AUTH}([^?#]*)', 2) AS pth,
+                   regexp_extract(regexp_replace(url, '#.*$', ''),
+                                  '\\?(.*)$', 1) AS q
+            FROM u
+        ),
+        hp AS (
+            SELECT doc_id, sch, auth, pth, q,
+                   lower(regexp_replace(regexp_replace(auth,
+                       '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
+                   regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+                   regexp_extract(auth, '^([^@]*@)', 1) AS userinfo
+            FROM parts
+        ),
+        canon AS (
+            SELECT doc_id, host,
+                   sch || '://' || userinfo
+                   || regexp_replace(host, '^www\\.', '')
+                   || CASE WHEN prt <> '' AND NOT (
+                            (sch = 'https' AND prt = '443') OR
+                            (sch = 'http' AND prt = '80'))
+                       THEN ':' || prt ELSE '' END
+                   || CASE WHEN pth = '' THEN '/' ELSE pth END
+                   || CASE WHEN array_to_string(list_sort(list_filter(
+                            string_split(q, '&'),
+                            x -> x <> '' AND {veto})), '&') <> ''
+                       THEN '?' || array_to_string(list_sort(list_filter(
+                            string_split(q, '&'),
+                            x -> x <> '' AND {veto})), '&')
+                       ELSE '' END AS canonical_url,
+                   string_split(host, '.') AS labels
+            FROM hp
+        )
+        SELECT doc_id, host,
+               CASE WHEN len(labels) >= 3
+                         AND labels[-2] IN ({seconds})
+                         AND length(labels[-1]) = 2
+                    THEN array_to_string(labels[-3:], '.')
+                    WHEN len(labels) >= 2
+                    THEN array_to_string(labels[-2:], '.')
+                    ELSE host END AS domain,
+               canonical_url
+        FROM canon ORDER BY doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q154: URL canonicalization twin — same regex tiers + list ops
+    "q154_url_canonicalization": _url_canonicalization_sql(),
+    # q153: C4 line-cleaning twin — same page, list_filter lambdas
+    "q153_c4_line_cleaning": _c4_line_cleaning_sql(),
     # q152: BPE encode twin — trainer chain + final re-merge + stats
     "q152_bpe_token_stats": _bpe_tokens_sql(8, 20),
     # q151: HTML extraction twin — same regex tiers, RE2 'g' option

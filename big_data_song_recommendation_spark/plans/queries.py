@@ -4576,7 +4576,99 @@ def q152_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/quality.c4_line_filter
+    — Raffel et al. 2020 §2.2): the rule tier between extraction
+    (q151) and the statistical gates (Gopher q70, perplexity q85).
+    Each document is synthesized into a 7-line page where every rule
+    fires at least once (short line, no terminal punctuation,
+    javascript / cookie-policy boilerplate); the operator keeps lines
+    with ≥3 words ending in terminal punctuation and no blacklist
+    phrase, re-joins survivors in order, and gates the document on ≥2
+    kept lines — ALL as one array-lambda projection (no explode, no
+    shuffle; the verdict is emitted, not applied — the q78 audit
+    pattern). DuckDB twin: the same predicates as list_filter lambdas.
+    §2.13 pipeline mandate; no reference twin."""
+    from ..operators.quality import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" of the corpus."),
+        ),
+        F.concat(F.col("text"), F.lit(" tail marker.")),
+        F.concat(F.lit("lang "), F.col("lang")),
+        F.lit("Enable javascript to continue."),
+        F.lit("Short line."),
+        F.lit("See our cookie policy for details."),
+        F.concat(F.lit("source "), F.col("source"), F.lit(" verified entry.")),
+    )
+    return (
+        c4_line_filter(
+            docs.select("doc_id", page.alias("page")),
+            text_col="page",
+            min_words_per_line=3,
+            min_lines_kept=2,
+        )
+        .select("doc_id", "n_lines", "n_kept", "kept_doc", "clean_text")
+        .transform(_ordered, "doc_id")
+    )
+
+
+def q154_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction
+    (functions/url.py): the crawl-dedup key stage — lowercase
+    scheme/host, strip www. and default ports, drop fragments and
+    utm_*/gclid/fbclid tracking params, sort surviving params — plus
+    the co.uk-aware registrable domain (the per-domain rollup /
+    blocklist key). Each document synthesizes a deliberately messy URL
+    (uppercase host, www., an even/odd default-vs-explicit port, two
+    tracking params around real ones, a fragment) over five TLD shapes
+    including two-level suffixes; the DuckDB twin runs the identical
+    regex tiers and the canonical strings hash byte-identical. Pure
+    column expressions — whole-stage codegen, no UDF, no shuffle.
+    §2.13 pipeline mandate; no reference twin."""
+    from ..functions.url import canonical_url, host, registrable_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "co.uk")
+        .when(F.col("lang") == "zh", "com.cn")
+        .when(F.col("lang") == "fr", "fr")
+        .otherwise("org")
+    )
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit("-cdn.Example."),
+        tld,
+        F.when(F.col("doc_id") % 2 == 0, ":443").otherwise(":8443"),
+        F.lit("/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref="),
+        F.col("source"),
+        F.lit("&utm_campaign=x#sec"),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select("doc_id", raw.alias("url"))
+    h = host(F.col("url"))
+    return u.select(
+        "doc_id",
+        h.alias("host"),
+        registrable_domain(h).alias("domain"),
+        canonical_url(F.col("url")).alias("canonical_url"),
+    ).transform(_ordered, "doc_id")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q154_url_canonicalization": q154_url_canonicalization,
+    "q153_c4_line_cleaning": q153_c4_line_cleaning,
     "q152_bpe_token_stats": q152_bpe_token_stats,
     "q151_html_extraction": q151_html_extraction,
     "q150_bloom_membership": q150_bloom_membership,

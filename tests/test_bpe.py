@@ -209,3 +209,19 @@ def test_batched_sequence_equals_sequential(spark, monkeypatch):
     assert fast_rounds * 4 <= seq_rounds, (fast_rounds, seq_rounds)
     overlap = {(l, r) for l, r, _ in seq} & {(l, r) for l, r, _ in fast}
     assert len(overlap) >= 18, sorted(overlap)
+
+
+def test_apply_equals_trainer_final(spark):
+    """bpe_apply(wf, merges) must reproduce the trainer's own final
+    vocabulary exactly — the encode path and the train path share
+    merge_pair_expr, so q152's encode is the q139 chain by
+    construction."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = bpe.word_frequency_table(docs).localCheckpoint(eager=False)
+    merges, final = bpe.bpe_train(wf, n_merges=8)
+    applied = bpe.bpe_apply(wf, merges)
+    a = {r["word"]: r["syms"] for r in applied.collect()}
+    b = {r["word"]: r["syms"] for r in final.collect()}
+    assert a == b

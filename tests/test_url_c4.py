@@ -1,0 +1,126 @@
+"""URL canonicalization (functions/url.py) and C4 line cleaning
+(operators/quality.c4_line_filter) semantics on handcrafted cases;
+cross-engine byte parity lives in the q153/q154 oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.functions import url as U
+from big_data_song_recommendation_spark.operators.quality import (
+    c4_line_filter,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    rows = (
+        df.select(
+            "id",
+            U.canonical_url(F.col("url")).alias("c"),
+            U.registrable_domain(U.host(F.col("url"))).alias("d"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    return [(r["c"], r["d"]) for r in rows]
+
+
+def test_canonicalization_rules(spark):
+    got = _canon(
+        spark,
+        [
+            # case, www., default port, fragment, tracking params, sort
+            "HTTPS://WWW.Example.COM:443/a?utm_source=x&b=2&a=1#top",
+            # non-default port kept; empty path -> /
+            "http://example.com:8080?id=1",
+            # http default port dropped; userinfo preserved
+            "http://user:pw@Example.com:80/x",
+            # all params tracking -> no '?'
+            "https://example.com/p?utm_a=1&gclid=2&fbclid=3",
+        ],
+    )
+    assert got[0][0] == "https://example.com/a?a=1&b=2"
+    assert got[1][0] == "http://example.com:8080/?id=1"
+    assert got[2][0] == "http://user:pw@example.com/x"
+    assert got[3][0] == "https://example.com/p"
+
+
+def test_registrable_domain_heuristic(spark):
+    got = _canon(
+        spark,
+        [
+            "https://a.b.example.com/",
+            "https://shop.example.co.uk/",
+            "https://x.example.com.cn/",
+            "https://localhost/",
+            # 2-letter TLD with a NON-listed second level: 2 labels
+            "https://www.example.de/",
+        ],
+    )
+    assert [d for _, d in got] == [
+        "example.com",
+        "example.co.uk",
+        "example.com.cn",
+        "localhost",
+        "example.de",
+    ]
+
+
+def test_canonical_is_idempotent(spark):
+    urls = [
+        "HTTPS://WWW.Example.COM:443/a?utm_source=x&b=2&a=1#top",
+        "http://example.com:8080?id=1",
+    ]
+    once = [c for c, _ in _canon(spark, urls)]
+    twice = [c for c, _ in _canon(spark, once)]
+    assert once == twice
+
+
+# -- C4 line filter ---------------------------------------------------------
+
+def _clean(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return c4_line_filter(df, **kw).collect()[0]
+
+
+def test_c4_each_rule_fires(spark):
+    text = "\n".join(
+        [
+            "This line survives the filter.",  # kept
+            "too few.",  # < 3 words
+            "no terminal punctuation here",  # no punct
+            "Please enable JavaScript to view.",  # blacklist (ci)
+            'He said "stop".',  # quote counts as terminal
+            "Read our Cookie Policy today.",  # blacklist
+            "function() { return 1; }",  # '{' blacklist
+        ]
+    )
+    r = _clean(spark, text)
+    assert (r["n_lines"], r["n_kept"]) == (7, 2)
+    assert r["clean_text"] == 'This line survives the filter.\nHe said "stop".'
+    assert bool(r["kept_doc"]) is True
+
+
+def test_c4_document_gate_and_options(spark):
+    r = _clean(spark, "Only one good line here.\nbad", min_lines_kept=2)
+    assert bool(r["kept_doc"]) is False and r["n_kept"] == 1
+    # punctuation requirement can be relaxed
+    r = _clean(
+        spark,
+        "three words here\nmore words on this line",
+        require_terminal_punct=False,
+    )
+    assert r["n_kept"] == 2
+
+
+def test_c4_is_single_projection(spark):
+    df = spark.createDataFrame([(1, "a.\nb.")], "doc_id long, text string")
+    out = c4_line_filter(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan
