@@ -429,7 +429,33 @@ def _url_canonicalization_sql() -> str:
     """
 
 
+def _tokenizer_fertility_sql(n_merges: int) -> str:
+    """q155 twin: the trainer chain's final vocabulary joined back to
+    the per-document word stream, per-language exact counts."""
+    ctes = _bpe_base_ctes() + _bpe_round_ctes(n_merges, need_final=True)
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        , dw AS (
+            SELECT lang, tok AS word FROM (
+                SELECT lang, unnest(string_split_regex(lower(text),
+                              '[^a-z0-9]+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+               CAST(SUM(len(v.s)) AS BIGINT) AS n_subword_tokens,
+               (CAST(SUM(len(v.s)) AS BIGINT) * 1000000)
+                   // CAST(COUNT(*) AS BIGINT) AS fertility_micro
+        FROM dw JOIN r{n_merges} v USING (word)
+        GROUP BY lang ORDER BY lang
+    """
+    )
+
+
 ORACLES: dict[str, str] = {
+    # q155: tokenizer fertility twin — final vocab joined to doc words
+    "q155_tokenizer_fertility": _tokenizer_fertility_sql(8),
     # q154: URL canonicalization twin — same regex tiers + list ops
     "q154_url_canonicalization": _url_canonicalization_sql(),
     # q153: C4 line-cleaning twin — same page, list_filter lambdas

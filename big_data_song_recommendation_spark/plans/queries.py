@@ -4666,7 +4666,55 @@ def q154_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "doc_id")
 
 
+def q155_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per word) of
+    the learned BPE — the eval a multilingual pipeline runs before
+    committing to a vocabulary (a tokenizer that fragments one
+    language 2× inflates its training cost 2×). This is the
+    corpus-grain consumer the q152 docstring promises: the corpus is
+    encoded by JOINING the (vocabulary-grain) encoded word table back
+    to the document word stream — the vocabulary broadcasts while it
+    fits (Heaps' law) and degrades to a shuffle join on word beyond
+    that; the corpus itself is never re-encoded per row. Counts are
+    exact int64 (the </w> end mark rides the subword count, same both
+    engines); fertility is integer micro-units (q131 discipline).
+    DuckDB twin: the trainer CTE chain + the same join-back. §2.13
+    pipeline mandate; no reference twin."""
+    from ..functions import text as Ftext
+    from ..operators.bpe import bpe_apply, bpe_train, word_frequency_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequency_table(docs).localCheckpoint(eager=False)
+    merges, _ = bpe_train(wf, n_merges=8)
+    vocab = bpe_apply(wf, merges).select(
+        "word", F.size("syms").cast("long").alias("nt")
+    )
+    words = docs.select(
+        "lang", F.explode(Ftext.tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_word_occurrences"),
+            F.sum("nt").alias("n_subword_tokens"),
+        )
+        .select(
+            "lang",
+            "n_word_occurrences",
+            "n_subword_tokens",
+            F.call_function(
+                "div",
+                F.col("n_subword_tokens") * 1_000_000,
+                F.col("n_word_occurrences"),
+            ).alias("fertility_micro"),
+        )
+        .transform(_ordered, "lang")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q155_tokenizer_fertility": q155_tokenizer_fertility,
     "q154_url_canonicalization": q154_url_canonicalization,
     "q153_c4_line_cleaning": q153_c4_line_cleaning,
     "q152_bpe_token_stats": q152_bpe_token_stats,
