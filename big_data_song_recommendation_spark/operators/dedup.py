@@ -1081,3 +1081,130 @@ def prefix_filter_jaccard_pairs(
         union.alias("n_union"),
         F.round(F.col("n_shared") / union, 6).alias("jaccard"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    span-grain tier of the dedup family: q15 is whole-document, q84
+    fixed chunks, q103 containment; this finds every VERBATIM token
+    run of length ≥ ``k`` that also occurs earlier in the corpus
+    (keep-first semantics), the signal the suffix-array pipeline
+    computes centrally and this operator re-expresses relationally.
+
+    Method: every k-gram occurrence is one row; a k-gram whose global
+    count exceeds 1 flags all occurrences EXCEPT the lexicographically
+    first ``(doc, pos)`` (packed into one int64 so MIN is the
+    tie-break — the winnowing pack trick); flagged positions within a
+    document merge into maximal spans when consecutive starts are
+    ≤ ``k`` apart (gaps-and-islands over a per-doc window). A span of
+    length L > k appears as L−k+1 flagged overlapping k-grams, so the
+    island IS the maximal duplicated run. Returns ONE row per input
+    document (zero-fill — never silently dropping clean docs, the
+    q146 lesson): ``n_tokens``, ``n_dup_spans``, ``dup_tokens``
+    (Σ span token lengths), ``dup_ratio_micro`` (integer micro-units).
+
+    100 TB shape: one tokenize pass (lazily checkpointed — token
+    arrays feed the totals and the occurrence stream), one
+    shingle-hash shuffle for the counts, one join back on the hash,
+    one per-doc window. Everything is grain-bounded: occurrences are
+    ~tokens, the count table is distinct-shingles. The per-doc
+    shingle ordinal must fit the winnowing pos budget (2^20) — fail
+    loudly, chunk upstream."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(Ftext.tokens(text_col), lambda t: t != "").alias("__arr"),
+    ).localCheckpoint(eager=False)
+    tot = base.select(
+        "__id", F.size("__arr").cast("long").alias("n_tokens")
+    )
+    n = F.size("__arr")
+    # raise ONLY on an explicit overflow: a NULL text (NULL size) must
+    # fall through to the empty-shingles branch, not the error
+    guarded_pos = F.when(
+        n - k + 1 >= F.lit(1 << WINNOW_POS_BITS),
+        F.raise_error(
+            F.concat(
+                F.lit("duplicated_spans: doc "),
+                F.col("__id").cast("string"),
+                F.lit(
+                    f" has >= {1 << WINNOW_POS_BITS} shingles (pos"
+                    " overflows its pack bits); chunk upstream"
+                ),
+            )
+        ),
+    ).otherwise(F.lit(1))
+    shingles = F.when(
+        (n >= k) & (guarded_pos == 1),
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                hash60(
+                    F.array_join(F.slice("__arr", i, k), " ")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:long>>"))
+    occ = base.select(
+        "__id", F.explode(shingles).alias("s")
+    ).select("__id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    packed = F.col("__id") * F.lit(1 << WINNOW_POS_BITS) + F.col("pos")
+    g = occ.groupBy("h").agg(
+        F.count("*").alias("__c"),
+        F.min(
+            F.col("__id") * F.lit(1 << WINNOW_POS_BITS) + F.col("pos")
+        ).alias("__first"),
+    )
+    flagged = (
+        occ.join(g, "h")
+        .filter((F.col("__c") > 1) & (packed != F.col("__first")))
+        .select("__id", "pos")
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    isl = flagged.withColumn(
+        "__brk",
+        F.when(F.lag("pos").over(w).isNull(), F.lit(1))
+        .when(F.col("pos") - F.lag("pos").over(w) > k, F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("__id", "__isl").agg(
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("__len")
+    )
+    da = spans.groupBy("__id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("__len").alias("dup_tokens"),
+    )
+    return (
+        tot.join(da, "__id", "left")
+        .na.fill({"n_dup_spans": 0, "dup_tokens": 0})
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.call_function(
+                    "div",
+                    F.col("dup_tokens") * 1_000_000,
+                    F.col("n_tokens"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("dup_ratio_micro"),
+        )
+    )

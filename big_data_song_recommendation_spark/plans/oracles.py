@@ -453,7 +453,72 @@ def _tokenizer_fertility_sql(n_merges: int) -> str:
     )
 
 
+def _duplicated_spans_sql(k: int) -> str:
+    """q156 twin: same k-gram hash counts (md5-60), same packed-int64
+    keep-first tie-break, same gaps-and-islands span merge."""
+    pack = 1 << 20  # WINNOW_POS_BITS — the operators/dedup.py pack
+    sh = _hash60(f"array_to_string(arr[pos:pos + {k - 1}], ' ')")
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), t -> t <> '') AS arr
+            FROM documents
+        ),
+        tot AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM d),
+        pos0 AS (
+            SELECT doc_id, arr,
+                   unnest(range(1, len(arr) - {k} + 2)) AS pos
+            FROM d
+        ),
+        occ AS (SELECT doc_id, pos, {sh} AS h FROM pos0),
+        g AS (
+            SELECT h, COUNT(*) AS c,
+                   MIN(doc_id * {pack} + pos) AS first_packed
+            FROM occ GROUP BY h
+        ),
+        fl AS (
+            SELECT o.doc_id, o.pos
+            FROM occ o JOIN g USING (h)
+            WHERE g.c > 1 AND o.doc_id * {pack} + o.pos <> g.first_packed
+        ),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > {k}
+                        THEN 1 ELSE 0 END AS b
+            FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS i
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, i, MAX(pos) - MIN(pos) + {k} AS len
+            FROM isl GROUP BY doc_id, i
+        ),
+        da AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(len) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_tokens,
+               COALESCE(da.n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(da.dup_tokens, 0) AS dup_tokens,
+               CASE WHEN t.n_tokens > 0
+                    THEN (COALESCE(da.dup_tokens, 0) * 1000000)
+                         // t.n_tokens
+                    ELSE CAST(0 AS BIGINT) END AS dup_ratio_micro
+        FROM tot t LEFT JOIN da USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q156: exact-substring duplicate spans — k-gram islands twin
+    "q156_duplicated_spans": _duplicated_spans_sql(8),
     # q155: tokenizer fertility twin — final vocab joined to doc words
     "q155_tokenizer_fertility": _tokenizer_fertility_sql(8),
     # q154: URL canonicalization twin — same regex tiers + list ops

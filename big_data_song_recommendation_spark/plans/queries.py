@@ -4713,7 +4713,26 @@ def q155_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/dedup.
+    duplicated_spans — Lee et al. 2022): every verbatim ≥8-token run
+    that also occurs earlier in the corpus, merged into maximal spans
+    per document with keep-first semantics — the span-grain tier the
+    dedup family lacked (q15 whole-doc, q84 chunks, q103 containment,
+    q20/q149 set similarity). One row per document (zero-filled), so
+    clean documents are visible, not dropped. DuckDB twin: identical
+    k-gram hash counts, packed-int64 first-occurrence tie-break, and
+    gaps-and-islands. §2.13 pipeline mandate; no reference twin."""
+    from ..operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=8).transform(
+        _ordered, "doc_id"
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q156_duplicated_spans": q156_duplicated_spans,
     "q155_tokenizer_fertility": q155_tokenizer_fertility,
     "q154_url_canonicalization": q154_url_canonicalization,
     "q153_c4_line_cleaning": q153_c4_line_cleaning,

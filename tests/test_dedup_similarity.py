@@ -399,3 +399,80 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     # the symmetric metric misses it at the same bar
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.8)
     assert jac.count() == 0
+
+
+# -- exact-substring duplicate spans (round-8, Lee et al. 2022) -------------
+
+def test_duplicated_spans_semantics(spark):
+    """Keep-first: the earliest (doc,pos) occurrence is NOT flagged;
+    overlapping flagged k-grams merge into one maximal span; clean
+    docs come back zero-filled, not dropped."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"intro words {shared} closing remark"),          # first -> clean
+        (2, f"other preamble {shared} and a different tail"), # copy -> span
+        (3, "completely unrelated text with no repeats here"),
+        (4, f"{shared}"),                                     # exact copy
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=8,
+        ).collect()
+    }
+    assert len(out) == 4  # zero-fill keeps every doc
+    assert out[1]["n_dup_spans"] == 0  # first occurrence kept
+    assert out[3]["n_dup_spans"] == 0
+    # docs 2 and 4 contain the 10-token shared run: 3 overlapping
+    # 8-grams merge into ONE span of exactly 10 tokens
+    for d in (2, 4):
+        assert out[d]["n_dup_spans"] == 1, out[d]
+        assert out[d]["dup_tokens"] == 10, out[d]
+    assert out[4]["dup_ratio_micro"] == 1_000_000  # whole doc duplicated
+
+
+def test_duplicated_spans_distinct_islands(spark):
+    """Two repeated runs separated by MORE than k unique tokens are
+    reported as two spans, not one."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    a = "one two three four five six seven eight"        # 8 tokens
+    b = "red orange yellow green blue indigo violet pink"
+    gap = " ".join(f"u{i}" for i in range(12))
+    gap2 = " ".join(f"v{i}" for i in range(12))
+    rows = [
+        (1, f"{a} {gap} {b}"),
+        (2, f"prefix {a} {gap2} {b} suffix"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=8,
+        ).collect()
+    }
+    assert out[1]["n_dup_spans"] == 0  # doc 1 holds the firsts
+    assert out[2]["n_dup_spans"] == 2
+    assert out[2]["dup_tokens"] == 16
+
+
+def test_duplicated_spans_short_doc_no_shingles(spark):
+    from big_data_song_recommendation_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    out = duplicated_spans(
+        spark.createDataFrame(
+            [(1, "too short"), (2, None)], "doc_id long, text string"
+        ),
+        k=8,
+    ).collect()
+    got = {r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"]) for r in out}
+    assert got == {1: (0, 0), 2: (0, 0)}
