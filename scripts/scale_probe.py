@@ -864,12 +864,62 @@ def r8ops_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def spans_probe(spark, reps: list[int]) -> None:
+    """×r scaling for exact-substring duplicate spans (q156): salted
+    replicas (the r8ops trick — a per-replica token interleaved
+    between original tokens) keep every within-replica duplicate
+    relationship while making cross-replica k-grams disjoint, so
+    flagged spans grow LINEARLY in r and the wall must track the
+    shingle-count shuffle, not a duplicate explosion."""
+    import time
+
+    from big_data_song_recommendation_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    from big_data_song_recommendation_spark.session import (
+        release_query_state,
+    )
+
+    docs0 = load_table(spark, SF_DIR, "documents")
+    for r in reps:
+        salted = (
+            replicate(docs0, r, "doc_id").withColumn(
+                "text",
+                F.expr(
+                    "array_join(flatten(transform("
+                    "  split(lower(text), '[^a-z0-9]+'),"
+                    f"  x -> array(x, concat('zz', doc_id % {r})))), ' ')"
+                ),
+            )
+            if r > 1
+            else docs0
+        ).localCheckpoint()
+        n_docs = salted.count()
+        t0 = time.perf_counter()
+        agg = (
+            duplicated_spans(salted, "doc_id", "text", k=8)
+            .agg(
+                F.sum("n_dup_spans").alias("spans"),
+                F.sum("dup_tokens").alias("dup_toks"),
+                F.count("*").alias("docs"),
+            )
+            .collect()[0]
+        )
+        wall = time.perf_counter() - t0
+        print(
+            f"x{r}: docs={n_docs} dup_spans={agg['spans']}"
+            f" dup_tokens={agg['dup_toks']} wall={wall:.1f}s",
+            flush=True,
+        )
+        release_query_state(spark)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
-        "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops",
+        "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops", "spans",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -914,6 +964,10 @@ def main() -> None:
         return
     if mode == "r8ops":
         r8ops_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "spans":
+        spans_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
