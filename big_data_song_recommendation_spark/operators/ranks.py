@@ -511,6 +511,31 @@ def weighted_quantile(
     over brands × distinct-prices only. One exchange: the value-grain
     aggregate's hash partitioning on ``group`` feeds both windows.
     """
+    return weighted_quantiles(
+        df,
+        value,
+        weight,
+        group=group,
+        qs=[(q_num, q_den, out)],
+        tot_out=tot_out,
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    *,
+    group: list[str] | None = None,
+    qs: list[tuple[int, int, str]],
+    tot_out: str | None = None,
+) -> DataFrame:
+    """Several exact weighted quantiles from ONE value-grain pass:
+    ``qs`` is ``[(q_num, q_den, out_col), …]`` — each is the same
+    integer threshold test as :func:`weighted_quantile`, evaluated as
+    an extra flag column over the shared cumulative window, so a
+    p40/p50/p60 band costs exactly what one quantile costs (one
+    exchange, two windows, one aggregate)."""
     g = list(group or [])
     vg = df.groupBy(*g, value).agg(
         F.sum(F.col(weight).cast("long")).alias("__w")
@@ -522,13 +547,19 @@ def weighted_quantile(
         )
     )
     tot = F.sum("__w").over(wp)
+    flags = [
+        (cum * F.lit(int(q_den)) >= F.lit(int(q_num)) * tot).alias(
+            f"__ok{i}"
+        )
+        for i, (q_num, q_den, _) in enumerate(qs)
+    ]
     flagged = vg.select(
-        *g,
-        F.col(value),
-        (cum * F.lit(int(q_den)) >= F.lit(int(q_num)) * tot).alias("__ok"),
-        tot.alias("__tot"),
+        *g, F.col(value), *flags, tot.alias("__tot")
     )
-    aggs = [F.min(F.when(F.col("__ok"), F.col(value))).alias(out)]
+    aggs = [
+        F.min(F.when(F.col(f"__ok{i}"), F.col(value))).alias(out)
+        for i, (_, _, out) in enumerate(qs)
+    ]
     if tot_out:
         aggs.append(F.max("__tot").alias(tot_out))
     return flagged.groupBy(*g).agg(*aggs)

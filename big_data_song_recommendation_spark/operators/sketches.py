@@ -341,3 +341,53 @@ def bloom_probe(
         .agg((F.count("__set") == params.k_hashes).alias(out))
         .drop("__rid")
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: str,
+    *,
+    group: list[str] | None = None,
+    k: int = 256,
+    seed: str = "qsk",
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic mergeable uniform ROW sample per group: the ``k``
+    rows whose ``hash60(key)`` is smallest — :func:`kmv_sketch`'s
+    two-phase shape at ROW grain (no distinct; ``key`` should be
+    unique per row — a repeated key samples by identity, biasing the
+    sample toward duplicated rows' single representative).
+
+    This is the QUANTILE member of the sketch family: a bottom-k-by-
+    hash sample is a uniform sample whose union rule is "keep the k
+    smallest of the merged sets" — mergeable across partitions, days,
+    or tables exactly like KMV — and any order statistic of the sample
+    estimates the population's (Chaudhuri et al.; the reservoir
+    alternative is NOT mergeable deterministically). Deterministic
+    md5 hashes ⇒ the sample, hence every estimate from it, is
+    bit-identical in any engine.
+
+    100 TB shape: phase 1 ranks within (group, h % shards) so no task
+    ranks a whole group; phase 2 ranks ≤ shards·k survivors. Output
+    ≤ k rows/group, carrying every input column plus ``rnk``."""
+    from pyspark.sql import Window
+
+    from .dedup import hash60
+
+    g = list(group or [])
+    d = df.withColumn(
+        "__h", hash60(F.col(key).cast("string"), seed)
+    )
+    w1 = Window.partitionBy(*g, "__s").orderBy("__h", key)
+    survivors = (
+        d.withColumn("__s", F.col("__h") % F.lit(int(shards)))
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= int(k))
+        .drop("__s", "__r")
+    )
+    w2 = Window.partitionBy(*g).orderBy("__h", key)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= int(k))
+        .drop("__h")
+    )

@@ -516,7 +516,70 @@ def _duplicated_spans_sql(k: int) -> str:
     """
 
 
+def _quantile_sketch_sql(k: int) -> str:
+    """q157 twin: the same deterministic bottom-k-by-hash sample (a
+    global per-group bottom-k equals the operator's two-phase form by
+    construction), the same value-grain integer-threshold quantiles,
+    the same p40/p60 band gate."""
+    h = _hash60("'qsk:' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+        WITH s AS (
+            SELECT o_orderpriority AS pri, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY {h}, o_orderkey) AS rnk
+            FROM orders
+        ),
+        sv AS (
+            SELECT pri, o_totalprice AS v, COUNT(*) AS w
+            FROM s WHERE rnk <= {k} GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT pri, v,
+                   SUM(w) OVER (PARTITION BY pri ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER (PARTITION BY pri) AS tot
+            FROM sv
+        ),
+        est AS (
+            SELECT pri, MIN(CASE WHEN cum * 2 >= tot THEN v END)
+                       AS est_median,
+                   CAST(MAX(tot) AS BIGINT) AS sample_n
+            FROM sc GROUP BY pri
+        ),
+        fv AS (
+            SELECT o_orderpriority AS pri, o_totalprice AS v,
+                   COUNT(*) AS w
+            FROM orders GROUP BY 1, 2
+        ),
+        fc AS (
+            SELECT pri, v,
+                   SUM(w) OVER (PARTITION BY pri ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER (PARTITION BY pri) AS tot
+            FROM fv
+        ),
+        band AS (
+            SELECT pri,
+                   MIN(CASE WHEN cum * 5 >= 2 * tot THEN v END) AS p40,
+                   MIN(CASE WHEN cum * 2 >= tot THEN v END)
+                       AS exact_median,
+                   MIN(CASE WHEN cum * 5 >= 3 * tot THEN v END) AS p60,
+                   CAST(MAX(tot) AS BIGINT) AS n_rows
+            FROM fc GROUP BY pri
+        )
+        -- gate pinned literal TRUE (q142 discipline): estimate
+        -- drift outside the band becomes a hash FAIL, not a silent
+        -- matching-False
+        SELECT band.pri AS o_orderpriority, n_rows, sample_n,
+               est_median, exact_median, p40, p60, TRUE AS in_band
+        FROM est JOIN band USING (pri)
+        ORDER BY 1
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q157: quantile sketch — bottom-k sample + exact band twin
+    "q157_quantile_sketch": _quantile_sketch_sql(1024),
     # q156: exact-substring duplicate spans — k-gram islands twin
     "q156_duplicated_spans": _duplicated_spans_sql(8),
     # q155: tokenizer fertility twin — final vocab joined to doc words

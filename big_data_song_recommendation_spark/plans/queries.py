@@ -4731,7 +4731,66 @@ def q156_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the FIFTH member completing the
+    sketch family (HLL counts, CMS frequencies, KMV intersects, Bloom
+    membership, bottom-k-sample QUANTILES): a deterministic
+    bottom-k-by-hash row sample per order priority
+    (operators/sketches.bottomk_sample — mergeable by 'keep the k
+    smallest of the union', unlike a reservoir), whose sample median
+    estimates the group median. Audited in-query against the exact
+    p40/p60 band (one shared value-grain pass via
+    ranks.weighted_quantiles) with the gate pinned TRUE by the oracle
+    (the q86b/q127/q142 self-gate pattern); the estimate itself is
+    ALSO hash-checked — deterministic md5 sampling makes it bit-equal
+    cross-engine, not just within tolerance."""
+    from ..operators.ranks import weighted_quantile, weighted_quantiles
+    from ..operators.sketches import bottomk_sample
+
+    pri = "o_orderpriority"
+    orders = load_table(spark, sf_dir, "orders").select(
+        pri, "o_orderkey", "o_totalprice"
+    )
+    sample = bottomk_sample(
+        orders, "o_orderkey", group=[pri], k=1024
+    ).withColumn("__one", F.lit(1))
+    est = weighted_quantile(
+        sample,
+        "o_totalprice",
+        "__one",
+        group=[pri],
+        out="est_median",
+        tot_out="sample_n",
+    )
+    band = weighted_quantiles(
+        orders.withColumn("__one", F.lit(1)),
+        "o_totalprice",
+        "__one",
+        group=[pri],
+        qs=[(2, 5, "p40"), (1, 2, "exact_median"), (3, 5, "p60")],
+        tot_out="n_rows",
+    )
+    return (
+        est.join(band, pri)
+        .select(
+            pri,
+            "n_rows",
+            "sample_n",
+            "est_median",
+            "exact_median",
+            "p40",
+            "p60",
+            (
+                (F.col("est_median") >= F.col("p40"))
+                & (F.col("est_median") <= F.col("p60"))
+            ).alias("in_band"),
+        )
+        .transform(_ordered, pri)
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q157_quantile_sketch": q157_quantile_sketch,
     "q156_duplicated_spans": q156_duplicated_spans,
     "q155_tokenizer_fertility": q155_tokenizer_fertility,
     "q154_url_canonicalization": q154_url_canonicalization,

@@ -314,3 +314,76 @@ def test_cms_duplicate_item_rows_keep_multiplicity(spark):
     assert len(rows) == 3
     ests = sorted((r["item"], r["est"]) for r in rows)
     assert ests[0] == ests[1] == ("a", ests[0][1]) and ests[0][1] >= 7
+
+
+# -- bottom-k quantile sketch (round-8, the 5th family member) --------------
+
+def test_bottomk_sample_mergeable(spark):
+    """The union rule: bottom-k of (bottom-k(A) ∪ bottom-k(B)) must
+    equal bottom-k(A ∪ B) — the property that makes the sample a
+    SKETCH (per-partition/day sketches merge without re-scanning)."""
+    from big_data_song_recommendation_spark.operators.sketches import (
+        bottomk_sample,
+    )
+
+    rows = [(i, "g", float(i * 7 % 101)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    a, b = df.filter("k < 200"), df.filter("k >= 200")
+    direct = bottomk_sample(df, "k", group=["g"], k=32)
+    merged = bottomk_sample(
+        bottomk_sample(a, "k", group=["g"], k=32).drop("rnk").unionByName(
+            bottomk_sample(b, "k", group=["g"], k=32).drop("rnk")
+        ),
+        "k",
+        group=["g"],
+        k=32,
+    )
+    got = sorted((r["k"], r["rnk"]) for r in merged.collect())
+    want = sorted((r["k"], r["rnk"]) for r in direct.collect())
+    assert got == want and len(want) == 32
+
+
+def test_bottomk_sample_bounds_and_carry(spark):
+    from big_data_song_recommendation_spark.operators.sketches import (
+        bottomk_sample,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    out = bottomk_sample(df, "k", group=["g"], k=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r)
+        assert {"k", "g", "v", "rnk"} <= set(r.asDict())
+    assert all(len(v) == 10 for v in per.values())
+    # deterministic: second run identical
+    again = bottomk_sample(df, "k", group=["g"], k=10).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_weighted_quantiles_matches_single(spark):
+    from big_data_song_recommendation_spark.operators.ranks import (
+        weighted_quantile,
+        weighted_quantiles,
+    )
+
+    rows = [("a", float(v), w) for v, w in
+            [(1, 3), (2, 1), (5, 4), (9, 2)]] + [
+           ("b", float(v), 1) for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    multi = {
+        r["g"]: (r["p25"], r["p50"], r["p75"])
+        for r in weighted_quantiles(
+            df, "v", "w", group=["g"],
+            qs=[(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")],
+        ).collect()
+    }
+    for num, den, i in ((1, 4, 0), (1, 2, 1), (3, 4, 2)):
+        single = {
+            r["g"]: r["q"]
+            for r in weighted_quantile(
+                df, "v", "w", group=["g"], q_num=num, q_den=den, out="q"
+            ).collect()
+        }
+        for g in ("a", "b"):
+            assert multi[g][i] == single[g], (g, num, den)
