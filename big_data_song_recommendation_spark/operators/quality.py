@@ -539,3 +539,56 @@ def c4_line_filter(
         (F.size(kept) >= int(min_lines_kept)).alias("kept_doc"),
         F.array_join(kept, "\n").alias(out_text),
     )
+
+
+def crawl_front_door(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    url_col: str | None = None,
+    min_lines_kept: int = 2,
+) -> DataFrame:
+    """The crawl preprocessing stage, composed: HTML → text extraction
+    (functions/html.extract_text), C4 line cleaning
+    (:func:`c4_line_filter` — documents failing the kept-lines gate
+    drop here), and, when ``url_col`` is given, URL canonicalization
+    plus within-batch canonical-URL dedup (smallest ``id_col`` wins —
+    deterministic). The output carries ``text`` (the cleaned
+    extraction — replacing any existing text column), ``n_lines``/
+    ``n_kept`` audit counts, and ``canonical_url``.
+
+    One projection + (with url dedup) one window: every stage is
+    column expressions, so the same callable preprocesses a batch
+    table or a streaming micro-batch (plug it into
+    streaming.jobs.CurationSink's ``preprocess`` hook — the content
+    fingerprint store then deduplicates the CLEANED text, which is
+    the right key: chrome differences between mirrors are gone by
+    the time fingerprints are taken)."""
+    from pyspark.sql import Window
+
+    from ..functions.html import extract_text
+
+    cleaned = c4_line_filter(
+        df.withColumn("__x", extract_text(F.col(html_col))),
+        id_col,
+        "__x",
+        min_lines_kept=min_lines_kept,
+        out_text="__clean",
+    )
+    out = (
+        cleaned.filter(F.col("kept_doc"))
+        .withColumn("text", F.col("__clean"))
+        .drop("__x", "__clean", "kept_doc")
+    )
+    if url_col:
+        from ..functions.url import canonical_url
+
+        out = out.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        w = Window.partitionBy("canonical_url").orderBy(id_col)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out

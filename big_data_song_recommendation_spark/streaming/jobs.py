@@ -610,10 +610,18 @@ class CurationSink:
         *,
         quality_threshold: float = 0.5,
         n_shards: int = 4,
+        preprocess=None,
     ):
         self.out_dir = Path(out_dir)
         self.quality_threshold = quality_threshold
         self.n_shards = n_shards
+        #: optional DataFrame → DataFrame stage run on the raw batch
+        #: BEFORE quality/dedup — e.g. operators.quality.
+        #: crawl_front_door (HTML extraction + C4 cleaning + canonical
+        #: URL dedup); pure column expressions, so the same callable
+        #: serves batch tables and micro-batches. Rows it drops count
+        #: as quality failures in the audit.
+        self.preprocess = preprocess
 
     def _store_paths(self, current_epoch: int) -> list[str]:
         d = self.out_dir / "store"
@@ -634,6 +642,8 @@ class CurationSink:
 
         spark = batch_df.sparkSession
         n_in = batch_df.count()
+        if self.preprocess is not None:
+            batch_df = self.preprocess(batch_df)
         passed = batch_df.filter(
             Ftext.quality_score("text") >= self.quality_threshold
         )

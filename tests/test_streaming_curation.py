@@ -97,3 +97,107 @@ def test_curation_sink_epoch_retry_is_idempotent(spark, tmp_path):
     sink(spark.createDataFrame([(9, GOOD_A, "en")], SCHEMA), 1)
     a1 = json.loads((tmp_path / "out" / "audit" / "batch_000001.json").read_text())
     assert a1["n_dup_store"] == 1 and a1["n_accepted"] == 0
+
+
+# -- round-8: crawl front door plugged into the streaming sink --------------
+
+HTML_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def _page(*, chrome: str, lines: list[str]) -> str:
+    body = "".join(f"<p>{ln}.</p>" for ln in lines)
+    return (
+        f"<html><head><script>var x = 1;</script></head><body>"
+        f"<nav>{chrome}</nav><article>{body}</article>"
+        f"<footer>(c) corp</footer></body></html>"
+    )
+
+
+def test_streaming_curation_with_crawl_front_door(spark, tmp_path):
+    """HTML in, curated clean text out: extraction + C4 cleaning +
+    canonical-URL dedup run INSIDE the streaming sink, and the content
+    fingerprint store keys on the CLEANED text — mirror pages with
+    different chrome/URL params still collapse to one admission."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        crawl_front_door,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [
+        # the original
+        (1, _page(chrome="Home | About", lines=[GOOD_A, GOOD_B]),
+         "HTTPS://WWW.Example.com:443/a?utm_source=x&id=1"),
+        # same CONTENT, different chrome and different url -> extraction
+        # removes the chrome, so the content fingerprint collapses them
+        (2, _page(chrome="totally different nav", lines=[GOOD_A, GOOD_B]),
+         "https://mirror.example.org/copy"),
+        # different content but the SAME canonical url as doc 1 ->
+        # within-batch canonical-url dedup drops it before fp dedup
+        (3, _page(chrome="Home", lines=[GOOD_C, GOOD_B]),
+         "https://example.com/a?id=1"),
+        # boilerplate-only page: every line fails C4 -> dropped at the gate
+        (4, _page(chrome="Home", lines=["short", "no punct here at all x"[:-1]]),
+         "https://example.com/junk"),
+    ]
+    spark.createDataFrame(rows1, HTML_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    sink = jobs.CurationSink(
+        out_dir,
+        quality_threshold=0.5,
+        n_shards=2,
+        preprocess=lambda df: crawl_front_door(df, url_col="url"),
+    )
+    stream = (
+        spark.readStream.schema(HTML_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: replay of doc-1 content under a fresh url (must be
+        # dup_store) plus one genuinely new page (must be accepted)
+        rows2 = [
+            (5, _page(chrome="other", lines=[GOOD_A, GOOD_B]),
+             "https://elsewhere.example.net/replay"),
+            (6, _page(chrome="Home", lines=[GOOD_C, GOOD_B]),
+             "https://example.com/fresh"),
+        ]
+        spark.createDataFrame(rows2, HTML_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    audits = sorted((tmp_path / "out" / "audit").glob("batch_*.json"))
+    assert len(audits) == 2
+    a0, a1 = (json.loads(p.read_text()) for p in audits)
+    # batch 1: doc 3 (url dup) + doc 4 (C4 gate) leave before the fp
+    # store; docs 1+2 collapse to one admission via the cleaned-text fp
+    assert a0["n_in"] == 4
+    assert a0["n_accepted"] == 1 and a0["n_dup_batch"] == 1
+    assert a0["n_quality_fail"] == 2
+    # batch 2: the replay is a store dup, the new page is accepted
+    assert a1["n_dup_store"] == 1 and a1["n_accepted"] == 1
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    data = spark.read.parquet(str(tmp_path / "out" / "data" / "epoch=0"))
+    row = data.filter(F.col("doc_id") == 1).collect()[0]
+    # accepted rows carry the CLEANED extraction, not the raw html
+    assert row["text"] == f"{GOOD_A}.\n{GOOD_B}."
+    assert row["canonical_url"] == "https://example.com/a?id=1"
