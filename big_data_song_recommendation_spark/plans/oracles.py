@@ -243,28 +243,31 @@ def _bpe_tokens_sql(n_merges: int, top: int) -> str:
     )
 
 
-def _html_extraction_sql() -> str:
-    """q151 twin: the SAME regex tiers as functions/html.py (patterns
-    generated from one list — Java-regex ∩ RE2 subset), run through
-    DuckDB's RE2 with the 'g' option standing in for Spark's
-    always-global regexp_replace. Byte-identical extracted text is the
-    parity claim."""
+#: the q151 page synthesis (module constant so q158 can reference it)
+_Q151_PAGE = (
+    "'<html><head><title>d</title><style>p{margin:0}</style>"
+    '<script>var a = "<p>not text</p>";</script></head><body>'
+    """<nav><a href="/">Home</a> | <a href="/about">About</a></nav>"""
+    "<article><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'"
+    " || text || ' &amp; more &lt;raw&gt;</p><ul><li>lang: '"
+    " || lang || '</li><li>source: ' || source || "
+    """'</li></ul><a href="/next">next doc</a></article>"""
+    "<footer>&copy; corp</footer></body></html>'"
+)
+
+
+def _extraction_ctes(page: str) -> str:
+    """The functions/html.py tier chain as a reusable CTE fragment
+    ``h → s → m → f`` (f carries ``doc_id, extracted, atxt``) over an
+    arbitrary page-synthesis SQL expression — shared by the q151 twin
+    and the q158 front-door rollup twin (patterns generated from the
+    SAME lists as the Spark side, so the twins cannot drift)."""
     from ..functions.html import (
         _BLOCK_TAGS,
         _ENTITIES,
         noise_block_patterns,
     )
 
-    page = (
-        "'<html><head><title>d</title><style>p{margin:0}</style>"
-        '<script>var a = "<p>not text</p>";</script></head><body>'
-        """<nav><a href="/">Home</a> | <a href="/about">About</a></nav>"""
-        "<article><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'"
-        " || text || ' &amp; more &lt;raw&gt;</p><ul><li>lang: '"
-        " || lang || '</li><li>source: ' || source || "
-        """'</li></ul><a href="/next">next doc</a></article>"""
-        "<footer>&copy; corp</footer></body></html>'"
-    )
     noise = "html"
     for pat in noise_block_patterns():
         noise = f"regexp_replace({noise}, '{pat}', '', 'g')"
@@ -292,13 +295,22 @@ def _html_extraction_sql() -> str:
         "array_to_string(regexp_extract_all(html,"
         " '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), '')"
     )
-    return f"""
-        WITH h AS (SELECT doc_id, {page} AS html FROM documents),
+    return f"""h AS (SELECT doc_id, {page} AS html FROM documents),
         s AS (SELECT doc_id, html, {noise} AS t FROM h),
         m AS (SELECT doc_id, html, {main} AS t FROM s),
         f AS (SELECT doc_id, {flatten('t')} AS extracted,
                      {flatten(anchors)} AS atxt
-              FROM m)
+              FROM m)"""
+
+
+def _html_extraction_sql() -> str:
+    """q151 twin: the SAME regex tiers as functions/html.py (patterns
+    generated from one list — Java-regex ∩ RE2 subset), run through
+    DuckDB's RE2 with the 'g' option standing in for Spark's
+    always-global regexp_replace. Byte-identical extracted text is the
+    parity claim."""
+    return f"""
+        WITH {_extraction_ctes(_Q151_PAGE)}
         SELECT doc_id, extracted,
                CAST(length(extracted) AS BIGINT) AS n_chars_extracted,
                CASE WHEN length(extracted) > 0
@@ -309,10 +321,9 @@ def _html_extraction_sql() -> str:
     """
 
 
-def _c4_line_cleaning_sql() -> str:
-    """q153 twin: the same 7-line page synthesis and the same per-line
-    predicates (word count, terminal punctuation, blacklist) as
-    quality.c4_line_filter, expressed as list_filter lambdas."""
+def _c4_kept(lines_expr: str) -> str:
+    """quality.c4_line_filter's per-line predicate as a list_filter
+    over a line-list SQL expression — shared by q153 and q158."""
     veto = "".join(
         f"\n              AND NOT contains(lower(trim(x)), '{t}')"
         for t in (
@@ -323,6 +334,16 @@ def _c4_line_cleaning_sql() -> str:
             "{",
         )
     )
+    return f"""list_filter({lines_expr}, x ->
+                       len(string_split_regex(trim(x), ' +')) >= 3
+                       AND regexp_matches(trim(x), '[.!?"]$'){veto}
+                   )"""
+
+
+def _c4_line_cleaning_sql() -> str:
+    """q153 twin: the same 7-line page synthesis and the same per-line
+    predicates (word count, terminal punctuation, blacklist) as
+    quality.c4_line_filter, expressed as list_filter lambdas."""
     return f"""
         WITH p AS (
             SELECT doc_id,
@@ -338,11 +359,7 @@ def _c4_line_cleaning_sql() -> str:
         ),
         l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
         k AS (
-            SELECT doc_id, lines,
-                   list_filter(lines, x ->
-                       len(string_split_regex(trim(x), ' +')) >= 3
-                       AND regexp_matches(trim(x), '[.!?"]$'){veto}
-                   ) AS kept
+            SELECT doc_id, lines, {_c4_kept("lines")} AS kept
             FROM l
         )
         SELECT doc_id,
@@ -577,7 +594,51 @@ def _quantile_sketch_sql(k: int) -> str:
     """
 
 
+_Q158_PAGE = (
+    "'<html><head><script>var x = 1;</script></head><body>"
+    """<nav><a href="/">Home</a> | <a href="/about">About</a></nav>"""
+    "<article><p>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || ' of the corpus.</p><p>' || text"
+    " || ' tail marker.</p><p>lang ' || lang ||"
+    " '</p><p>Enable javascript to continue.</p></article>"
+    "<footer>&copy; corp</footer></body></html>'"
+)
+
+
+def _domain_rollup_sql() -> str:
+    """q158 twin: COMPOSED from the same generators as the stage twins
+    — shared extraction CTEs (q151), the shared C4 predicate (q153),
+    and the q154 canonicalization oracle verbatim as a subquery — so
+    the end-to-end front door is oracle-proven, not just its stages.
+    (The front door's within-batch canonical-url dedup is a no-op
+    here: the synthesized urls are unique per doc_id by construction,
+    which the q154 twin reproduces.)"""
+    return f"""
+        WITH {_extraction_ctes(_Q158_PAGE)},
+        c AS (
+            SELECT doc_id,
+                   {_c4_kept("string_split(extracted, chr(10))")} AS kept
+            FROM f
+        ),
+        cl AS (
+            SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM c WHERE len(kept) >= 2
+        ),
+        u AS ({_url_canonicalization_sql()})
+        SELECT u.domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT u.host) AS BIGINT) AS n_hosts,
+               CAST(SUM(cl.n_kept) AS BIGINT) AS kept_lines,
+               CAST(SUM(length(cl.clean_text)) AS BIGINT) AS clean_chars
+        FROM cl JOIN u USING (doc_id)
+        GROUP BY u.domain ORDER BY u.domain
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q158: domain rollup — composed from the q151/q153/q154 twins
+    "q158_domain_curation_rollup": _domain_rollup_sql(),
     # q157: quantile sketch — bottom-k sample + exact band twin
     "q157_quantile_sketch": _quantile_sketch_sql(1024),
     # q156: exact-substring duplicate spans — k-gram islands twin

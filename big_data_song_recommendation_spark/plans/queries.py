@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
@@ -4618,6 +4618,35 @@ def q153_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_url() -> Column:
+    """The deliberately-messy URL synthesis shared by q154 and q158
+    (uppercase host, www., even/odd default-vs-explicit port, tracking
+    params around real ones, a fragment, five TLD shapes including
+    two-level suffixes). The DuckDB twins carry the same expression."""
+    tld = (
+        F.when(F.col("lang") == "en", "com")
+        .when(F.col("lang") == "de", "co.uk")
+        .when(F.col("lang") == "zh", "com.cn")
+        .when(F.col("lang") == "fr", "fr")
+        .otherwise("org")
+    )
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit("-cdn.Example."),
+        tld,
+        F.when(F.col("doc_id") % 2 == 0, ":443").otherwise(":8443"),
+        F.lit("/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref="),
+        F.col("source"),
+        F.lit("&utm_campaign=x#sec"),
+        F.col("doc_id").cast("string"),
+    )
+
+
 def q154_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registrable-domain extraction
     (functions/url.py): the crawl-dedup key stage — lowercase
@@ -4634,29 +4663,7 @@ def q154_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.url import canonical_url, host, registrable_domain
 
     docs = load_table(spark, sf_dir, "documents")
-    tld = (
-        F.when(F.col("lang") == "en", "com")
-        .when(F.col("lang") == "de", "co.uk")
-        .when(F.col("lang") == "zh", "com.cn")
-        .when(F.col("lang") == "fr", "fr")
-        .otherwise("org")
-    )
-    raw = F.concat(
-        F.lit("HTTPS://WWW."),
-        F.col("source"),
-        F.lit("-cdn.Example."),
-        tld,
-        F.when(F.col("doc_id") % 2 == 0, ":443").otherwise(":8443"),
-        F.lit("/articles/"),
-        F.col("doc_id").cast("string"),
-        F.lit("?utm_source=feed&id="),
-        F.col("doc_id").cast("string"),
-        F.lit("&ref="),
-        F.col("source"),
-        F.lit("&utm_campaign=x#sec"),
-        F.col("doc_id").cast("string"),
-    )
-    u = docs.select("doc_id", raw.alias("url"))
+    u = docs.select("doc_id", _synth_url().alias("url"))
     h = host(F.col("url"))
     return u.select(
         "doc_id",
@@ -4789,7 +4796,64 @@ def q157_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_domain_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup through the FULL crawl front door
+    (operators/quality.crawl_front_door — the batch twin of the
+    streaming CurationSink preprocess hook): each document becomes a
+    messy page (q151-style chrome + boilerplate) at a messy URL
+    (q154's synthesis), the front door extracts / C4-cleans /
+    canonicalizes, and the survivors aggregate per registrable domain
+    — the blocklist-decision table a crawl pipeline maintains (docs,
+    hosts, kept lines, clean chars per domain). The DuckDB twin is
+    COMPOSED from the same generators as q151/q153/q154 (shared
+    extraction CTEs, shared C4 predicate, the q154 oracle verbatim as
+    a subquery), so the composed pipeline is oracle-proven end to
+    end, not just its stages. Exact-integer outputs only."""
+    from ..functions.url import host, registrable_domain
+    from ..operators.quality import crawl_front_door
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var x = 1;</script></head><body>"
+            '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+            "<article><p>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(" of the corpus.</p><p>"),
+        F.col("text"),
+        F.lit(" tail marker.</p><p>lang "),
+        F.col("lang"),
+        F.lit(
+            "</p><p>Enable javascript to continue.</p></article>"
+            "<footer>&copy; corp</footer></body></html>"
+        ),
+    )
+    src = docs.select(
+        "doc_id", page.alias("html"), _synth_url().alias("url")
+    )
+    fd = crawl_front_door(src, url_col="url")
+    h = host(F.col("url"))
+    return (
+        fd.select(
+            registrable_domain(h).alias("domain"),
+            h.alias("__host"),
+            "n_kept",
+            F.length("text").cast("long").alias("__chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__host").alias("n_hosts"),
+            F.sum("n_kept").alias("kept_lines"),
+            F.sum("__chars").alias("clean_chars"),
+        )
+        .transform(_ordered, "domain")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q158_domain_curation_rollup": q158_domain_curation_rollup,
     "q157_quantile_sketch": q157_quantile_sketch,
     "q156_duplicated_spans": q156_duplicated_spans,
     "q155_tokenizer_fertility": q155_tokenizer_fertility,
