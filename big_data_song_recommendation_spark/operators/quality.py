@@ -509,17 +509,26 @@ def c4_line_filter(
     markers, matched case-insensitively); keep the DOCUMENT only if
     ≥ ``min_lines_kept`` lines survive.
 
-    The whole operator is ONE projection: the line split, the per-line
-    predicate, the reassembly, and the counts are array lambdas
-    (``F.filter`` / ``F.size`` / ``array_join``) — no explode, no
-    shuffle, no re-keying join to rebuild documents, so at 100 TB it
-    rides the scan like any other map (and whole-stage codegen keeps
-    it JVM-side). Returns the input plus ``n_lines``, ``n_kept``,
-    ``kept_doc`` and ``out_text`` (kept lines re-joined in order);
-    callers filter on ``kept_doc`` — emitting the verdict instead of
-    dropping rows keeps the operator auditable (the q78 PII pattern).
+    The operator is a map-only projection chain: the line split, the
+    per-line predicate, the reassembly, and the counts are array
+    lambdas (``F.filter`` / ``F.size`` / ``array_join``) — no explode,
+    no shuffle, no re-keying join to rebuild documents, so at 100 TB
+    it rides the scan like any other map (and whole-stage codegen
+    keeps it JVM-side). Returns the input plus ``n_lines``,
+    ``n_kept``, ``kept_doc`` and ``out_text`` (kept lines re-joined in
+    order); callers filter on ``kept_doc`` — emitting the verdict
+    instead of dropping rows keeps the operator auditable (the q78
+    PII pattern).
+
+    Plan note: the split array and the filtered array are materialized
+    as STAGED projections, not inlined into each output column —
+    codegen's common-subexpression elimination skips lambda-bearing
+    expressions, so a single-projection form re-evaluates the entire
+    upstream of ``text_col`` (e.g. q158's 20-regex extraction chain)
+    once per derived column; the staging keeps each non-cheap alias
+    multi-referenced, which also stops CollapseProject from undoing
+    it (measured on q158: 2.35 s → single evaluation per row).
     """
-    lines = F.split(F.col(text_col), "\n")
 
     def keep(line: Column) -> Column:
         t = F.trim(line)
@@ -531,14 +540,16 @@ def c4_line_filter(
             cond = cond & ~low.contains(F.lit(term))
         return cond
 
-    kept = F.filter(lines, keep)
-    return df.select(
+    staged = df.select(
+        "*", F.split(F.col(text_col), "\n").alias("__c4_lines")
+    ).select("*", F.filter("__c4_lines", keep).alias("__c4_kept"))
+    return staged.select(
         "*",
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        (F.size(kept) >= int(min_lines_kept)).alias("kept_doc"),
-        F.array_join(kept, "\n").alias(out_text),
-    )
+        F.size("__c4_lines").cast("long").alias("n_lines"),
+        F.size("__c4_kept").cast("long").alias("n_kept"),
+        (F.size("__c4_kept") >= int(min_lines_kept)).alias("kept_doc"),
+        F.array_join("__c4_kept", "\n").alias(out_text),
+    ).drop("__c4_lines", "__c4_kept")
 
 
 def crawl_front_door(
@@ -558,19 +569,32 @@ def crawl_front_door(
     extraction — replacing any existing text column), ``n_lines``/
     ``n_kept`` audit counts, and ``canonical_url``.
 
-    One projection + (with url dedup) one window: every stage is
-    column expressions, so the same callable preprocesses a batch
-    table or a streaming micro-batch (plug it into
-    streaming.jobs.CurationSink's ``preprocess`` hook — the content
-    fingerprint store then deduplicates the CLEANED text, which is
-    the right key: chrome differences between mirrors are gone by
-    the time fingerprints are taken)."""
+    Map-only + (with url dedup) one window: every stage is column
+    expressions, so the same callable preprocesses a batch table or a
+    streaming micro-batch (plug it into streaming.jobs.CurationSink's
+    ``preprocess`` hook — the content fingerprint store then
+    deduplicates the CLEANED text, which is the right key: chrome
+    differences between mirrors are gone by the time fingerprints are
+    taken).
+
+    The extraction output is cut with a lazy localCheckpoint before
+    the C4 stage: the ~20-regex extraction chain is the dominant cost
+    and has FOUR downstream consumers (the kept-gate filter predicate
+    after pushdown, plus the three C4 audit columns — lambda-bearing
+    expressions, which codegen's subexpression elimination skips), so
+    without the cut it re-runs per consumer (measured 4.5 s → ~1 s on
+    q158 at sf0.1). The materialized slice is the doc batch itself —
+    exactly the multi-consumer pattern the roster checkpoints
+    everywhere else."""
     from pyspark.sql import Window
 
     from ..functions.html import extract_text
 
+    ext = df.withColumn(
+        "__x", extract_text(F.col(html_col))
+    ).localCheckpoint(eager=False)
     cleaned = c4_line_filter(
-        df.withColumn("__x", extract_text(F.col(html_col))),
+        ext,
         id_col,
         "__x",
         min_lines_kept=min_lines_kept,
