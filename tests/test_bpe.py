@@ -225,3 +225,74 @@ def test_apply_equals_trainer_final(spark):
     a = {r["word"]: r["syms"] for r in applied.collect()}
     b = {r["word"]: r["syms"] for r in final.collect()}
     assert a == b
+
+
+# -- _safe_batch algebra property (round-8) ---------------------------------
+# The exact_sequence=True claim ("the batched trainer picks EXACTLY the
+# one-at-a-time sequence") rests on the interaction algebra documented
+# in _safe_batch. Property-test it in pure Python against the reference
+# sequential trainer over adversarial tiny alphabets (maximal merge
+# interaction + constant count ties), independent of Spark plumbing.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_page(wf: dict, cap: int) -> list[dict]:
+    """Pure-Python twin of bpe._pair_page: count-sorted pair page with
+    per-pair created-pair bounds from adjacent-triple counts."""
+    pc: Counter = Counter()
+    tc: Counter = Counter()
+    for syms, freq in wf.values():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += freq
+        for a, b, c in zip(syms, syms[1:], syms[2:]):
+            tc[(a, b, c)] += freq
+    newmax: dict = {}
+    for (a, b, c), n in tc.items():
+        newmax[(b, c)] = max(newmax.get((b, c), 0), n)
+        newmax[(a, b)] = max(newmax.get((a, b), 0), n)
+    ordered = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    return [
+        {"left": l, "right": r, "pair_count": n,
+         "newmax": newmax.get((l, r), 0)}
+        for (l, r), n in ordered
+    ]
+
+
+def _py_train_batched(wf: dict, n_merges: int, cap: int):
+    merges = []
+    while len(merges) < n_merges:
+        page = _py_page(wf, cap)
+        if not page:
+            break
+        batch = bpe._safe_batch(page, exact_sequence=True)[
+            : n_merges - len(merges)
+        ]
+        merges.extend(batch)
+        for left, right, _ in batch:
+            wf = {
+                w: (_py_merge(s, left, right), f)
+                for w, (s, f) in wf.items()
+            }
+    return merges
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=8),
+    cap=st.sampled_from([1, 2, 3, 64]),
+)
+def test_safe_batch_equals_sequential_property(words, n_merges, cap):
+    wf = {w: (list(w) + [END], f) for w, f in words}
+    want = _py_train(dict(wf), n_merges)[0]
+    got = _py_train_batched(dict(wf), n_merges, cap)
+    assert got == want
