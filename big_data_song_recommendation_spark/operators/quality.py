@@ -297,6 +297,62 @@ def pack_sequences(
     )
 
 
+def sequence_manifest(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    token_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Concat-then-chunk packing MANIFEST: documents laid head-to-tail
+    per stratum (deterministic ``order_col`` order) and cut into fixed
+    ``budget``-token sequences, emitting one row per (sequence,
+    document) overlap with the exact token span — the loader map GPT-
+    style pretraining uses to fill fixed-length contexts ACROSS
+    document boundaries (:func:`pack_sequences` assigns whole docs to
+    their start pack; this splits the boundary docs).
+
+    Pure integer arithmetic: the stratum window's exclusive cumsum
+    gives each doc its [start, end) interval in the global token
+    stream; the doc overlaps sequences ``start div budget`` through
+    ``(end−1) div budget`` (fan-out ≤ len/budget + 1, bounded), and
+    each overlap's span is a greatest/least clamp. Zero-token docs are
+    excluded (they occupy no stream positions). One stratum-keyed
+    exchange — at petabyte scale swap the window for
+    ranks.bucketed_cumsum (same contract, no whole-stratum task).
+
+    Output: input columns + ``seq_id`` (0-based per stratum),
+    ``doc_from``/``doc_to`` (token offsets WITHIN the doc, [from, to)),
+    ``n_tokens_in_seq``."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    d = df.filter(F.col(token_col) > 0).select(
+        "*", start.alias("__start")
+    )
+    end = F.col("__start") + F.col(token_col).cast("long")
+    first = F.call_function("div", F.col("__start"), F.lit(budget))
+    last = F.call_function("div", end - 1, F.lit(budget))
+    spans = d.select(
+        "*", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    frm = F.greatest(F.col("__start"), F.col("seq_id") * budget)
+    to = F.least(end, (F.col("seq_id") + 1) * budget)
+    return spans.select(
+        *df.columns,
+        "seq_id",
+        (frm - F.col("__start")).alias("doc_from"),
+        (to - F.col("__start")).alias("doc_to"),
+        (to - frm).alias("n_tokens_in_seq"),
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

@@ -637,6 +637,41 @@ def _domain_rollup_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    # q159: concat-then-chunk manifest — same cumsum/div/clamp algebra
+    "q159_sequence_manifest": f"""
+        WITH d AS (
+            SELECT lang, doc_id,
+                   CAST({_TOKEN_COUNT} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, doc_id, n_tokens,
+                   -- window SUM(BIGINT) is HUGEINT: cast back so
+                   -- range()/div stay in int64 (the standing rule)
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS strt
+            FROM d WHERE n_tokens > 0
+        ),
+        e AS (
+            SELECT lang, doc_id, n_tokens, strt,
+                   strt + n_tokens AS fin,
+                   unnest(range(strt // 512,
+                                (strt + n_tokens - 1) // 512 + 1)) AS sq
+            FROM c
+        )
+        SELECT lang, doc_id, n_tokens,
+               CAST(sq AS BIGINT) AS seq_id,
+               CAST(greatest(strt, sq * 512) - strt AS BIGINT)
+                   AS doc_from,
+               CAST(least(fin, (sq + 1) * 512) - strt AS BIGINT)
+                   AS doc_to,
+               CAST(least(fin, (sq + 1) * 512)
+                    - greatest(strt, sq * 512) AS BIGINT)
+                   AS n_tokens_in_seq
+        FROM e ORDER BY lang, seq_id, doc_id
+    """,
     # q158: domain rollup — composed from the q151/q153/q154 twins
     "q158_domain_curation_rollup": _domain_rollup_sql(),
     # q157: quantile sketch — bottom-k sample + exact band twin

@@ -4852,7 +4852,30 @@ def q158_domain_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing manifest (operators/quality.
+    sequence_manifest): documents laid head-to-tail per lang and cut
+    into 512-token training sequences, one row per (sequence, doc)
+    overlap with exact within-doc token spans — the loader map that
+    fills fixed contexts ACROSS document boundaries (q93 packs whole
+    docs to their start pack; this splits the boundary docs — together
+    they are both halves of a pretraining data loader). Whitespace
+    token counts (q64's metric), pure integer arithmetic, one
+    lang-keyed exchange. DuckDB twin: same cumsum/div/clamp algebra.
+    §2.13 pipeline mandate; no reference twin."""
+    from ..operators.quality import sequence_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    return sequence_manifest(
+        d, "lang", "doc_id", "n_tokens", budget=512
+    ).transform(_ordered, "lang", "seq_id", "doc_id")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q159_sequence_manifest": q159_sequence_manifest,
     "q158_domain_curation_rollup": q158_domain_curation_rollup,
     "q157_quantile_sketch": q157_quantile_sketch,
     "q156_duplicated_spans": q156_duplicated_spans,

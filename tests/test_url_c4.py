@@ -124,3 +124,55 @@ def test_c4_is_single_projection(spark):
     assert "Exchange" not in plan and "Generate" not in plan, plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+# -- concat-then-chunk manifest (round-8) ------------------------------------
+
+def test_sequence_manifest_splits_boundary_docs(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        sequence_manifest,
+    )
+
+    rows = [("g", 1, 3), ("g", 2, 8), ("g", 3, 0), ("g", 4, 5)]
+    df = spark.createDataFrame(rows, "s string, doc long, nt long")
+    out = sequence_manifest(df, "s", "doc", "nt", budget=4).collect()
+    got = sorted(
+        (r["doc"], r["seq_id"], r["doc_from"], r["doc_to"],
+         r["n_tokens_in_seq"])
+        for r in out
+    )
+    # stream: doc1 [0,3) doc2 [3,11) doc4 [11,16); budget 4 ->
+    # sequences [0,4) [4,8) [8,12) [12,16); doc3 (0 tokens) vanishes
+    assert got == [
+        (1, 0, 0, 3, 3),
+        (2, 0, 0, 1, 1),
+        (2, 1, 1, 5, 4),
+        (2, 2, 5, 8, 3),
+        (4, 2, 0, 1, 1),
+        (4, 3, 1, 5, 4),
+    ]
+    # invariants: each doc's spans partition [0, nt); every sequence
+    # except the stratum-last holds exactly `budget` tokens
+    per_doc = {}
+    per_seq = {}
+    for d, s, f, t, n in got:
+        per_doc.setdefault(d, []).append((f, t))
+        per_seq[s] = per_seq.get(s, 0) + n
+    for d, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert per_seq == {0: 4, 1: 4, 2: 4, 3: 4}
+
+
+def test_sequence_manifest_strata_independent(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        sequence_manifest,
+    )
+
+    rows = [("a", 1, 5), ("b", 1, 5)]
+    df = spark.createDataFrame(rows, "s string, doc long, nt long")
+    out = sequence_manifest(df, "s", "doc", "nt", budget=4).collect()
+    # each stratum starts its own stream at seq 0
+    assert sorted((r["s"], r["seq_id"], r["n_tokens_in_seq"]) for r in out) \
+        == [("a", 0, 4), ("a", 1, 1), ("b", 0, 4), ("b", 1, 1)]
