@@ -1117,15 +1117,50 @@ def duplicated_spans(
     ~tokens, the count table is distinct-shingles. The per-doc
     shingle ordinal must fit the winnowing pos budget (2^20) — fail
     loudly, chunk upstream."""
+    base, spans = _dup_islands(df, id_col, text_col, k)
+    tot = base.select(
+        "__id", F.size("__arr").cast("long").alias("n_tokens")
+    )
+    da = spans.groupBy("__id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_tokens"),
+    )
+    return (
+        tot.join(da, "__id", "left")
+        .na.fill({"n_dup_spans": 0, "dup_tokens": 0})
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.call_function(
+                    "div",
+                    F.col("dup_tokens") * 1_000_000,
+                    F.col("n_tokens"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("dup_ratio_micro"),
+        )
+    )
+
+
+def _dup_islands(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`duplicated_spans` /
+    :func:`remove_duplicated_spans`: the checkpointed ``(__id, __arr)``
+    token base plus the maximal duplicated token spans per document as
+    ``(__id, __isl, __s, __e)`` — 1-based INCLUSIVE token ranges
+    (``__e`` already extends the last k-gram start by k−1)."""
     from pyspark.sql import Window
 
     base = df.select(
         F.col(id_col).alias("__id"),
         F.filter(Ftext.tokens(text_col), lambda t: t != "").alias("__arr"),
     ).localCheckpoint(eager=False)
-    tot = base.select(
-        "__id", F.size("__arr").cast("long").alias("n_tokens")
-    )
     n = F.size("__arr")
     # raise ONLY on an explicit overflow: a NULL text (NULL size) must
     # fall through to the empty-shingles branch, not the error
@@ -1182,29 +1217,56 @@ def duplicated_spans(
         ),
     )
     spans = isl.groupBy("__id", "__isl").agg(
-        (F.max("pos") - F.min("pos") + k).cast("long").alias("__len")
+        F.min("pos").cast("long").alias("__s"),
+        (F.max("pos") + k - 1).cast("long").alias("__e"),
     )
-    da = spans.groupBy("__id").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum("__len").alias("dup_tokens"),
+    return base, spans
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    out_text: str = "text_dedup",
+) -> DataFrame:
+    """The surgery half of :func:`duplicated_spans` — Lee et al.
+    2022's actual deduplication: CUT every verbatim ≥ ``k``-token run
+    that also occurs earlier in the corpus out of the document,
+    keeping the first occurrence corpus-wide intact. Returns one row
+    per input document (clean docs pass through untouched):
+    ``out_text`` (surviving tokens re-joined — NORMALIZED text, the
+    tokenizer's lowercase/alnum stream, not the raw string),
+    ``n_tokens``, ``n_removed``.
+
+    Same core as the detector (shared :func:`_dup_islands` — one
+    shingle-hash shuffle, keep-first pack tie-break, gaps-and-islands),
+    then the spans collapse to a per-doc bounded list and one
+    in-row ``F.filter`` with the element INDEX drops covered tokens —
+    no explode of the token stream, no second shuffle."""
+    base, spans = _dup_islands(df, id_col, text_col, k)
+    sp = spans.groupBy("__id").agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__spans")
     )
-    return (
-        tot.join(da, "__id", "left")
-        .na.fill({"n_dup_spans": 0, "dup_tokens": 0})
-        .select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            "n_dup_spans",
-            "dup_tokens",
-            F.when(
-                F.col("n_tokens") > 0,
-                F.call_function(
-                    "div",
-                    F.col("dup_tokens") * 1_000_000,
-                    F.col("n_tokens"),
-                ),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("dup_ratio_micro"),
-        )
+    joined = base.join(sp, "__id", "left").withColumn(
+        "__spans",
+        F.coalesce("__spans", F.expr("array()").cast(
+            "array<struct<__s:bigint,__e:bigint>>"
+        )),
+    )
+    # Spark's filter lambda index is 0-based; spans are 1-based
+    # inclusive token ordinals
+    kept = F.filter(
+        "__arr",
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (s["__s"] <= i + 1) & (i + 1 <= s["__e"]),
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.size("__arr").cast("long").alias("n_tokens"),
+        (F.size("__arr") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias(out_text),
     )

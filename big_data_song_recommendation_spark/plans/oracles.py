@@ -470,13 +470,14 @@ def _tokenizer_fertility_sql(n_merges: int) -> str:
     )
 
 
-def _duplicated_spans_sql(k: int) -> str:
-    """q156 twin: same k-gram hash counts (md5-60), same packed-int64
-    keep-first tie-break, same gaps-and-islands span merge."""
+def _dup_span_ctes(k: int) -> str:
+    """Shared CTE core of the q156/q160 twins: token arrays, k-gram
+    hash counts (md5-60), packed-int64 keep-first tie-break,
+    gaps-and-islands — ending at ``spans(doc_id, i, s, e)`` with
+    1-based inclusive token ranges."""
     pack = 1 << 20  # WINNOW_POS_BITS — the operators/dedup.py pack
     sh = _hash60(f"array_to_string(arr[pos:pos + {k - 1}], ' ')")
-    return f"""
-        WITH d AS (
+    return f"""d AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text),
                        '[^a-z0-9]+'), t -> t <> '') AS arr
@@ -513,12 +514,19 @@ def _duplicated_spans_sql(k: int) -> str:
             FROM brk
         ),
         spans AS (
-            SELECT doc_id, i, MAX(pos) - MIN(pos) + {k} AS len
+            SELECT doc_id, i, MIN(pos) AS s, MAX(pos) + {k} - 1 AS e
             FROM isl GROUP BY doc_id, i
-        ),
+        )"""
+
+
+def _duplicated_spans_sql(k: int) -> str:
+    """q156 twin: the shared span core + the per-doc zero-filled
+    report."""
+    return f"""
+        WITH {_dup_span_ctes(k)},
         da AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-                   CAST(SUM(len) AS BIGINT) AS dup_tokens
+                   CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
             FROM spans GROUP BY doc_id
         )
         SELECT t.doc_id, t.n_tokens,
@@ -530,6 +538,45 @@ def _duplicated_spans_sql(k: int) -> str:
                     ELSE CAST(0 AS BIGINT) END AS dup_ratio_micro
         FROM tot t LEFT JOIN da USING (doc_id)
         ORDER BY t.doc_id
+    """
+
+
+def _remove_spans_sql(k: int) -> str:
+    """q160 twin: the shared span core + the in-list surgery —
+    DuckDB's list_filter index is 1-based like the span ordinals, so
+    a token survives iff no span covers its index; clean/NULL docs
+    pass through via the empty-span coalesce."""
+    return f"""
+        WITH {_dup_span_ctes(k)},
+        spl AS (
+            SELECT doc_id,
+                   list(struct_pack(s := s, e := e)) AS sps
+            FROM spans GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.doc_id, d.arr,
+                   COALESCE(spl.sps,
+                            CAST([] AS STRUCT(s BIGINT, e BIGINT)[]))
+                       AS sps
+            FROM d LEFT JOIN spl USING (doc_id)
+        ),
+        kept AS (
+            SELECT doc_id, arr,
+                   list_filter(arr, (x, i) ->
+                       len(list_filter(sps,
+                           sp -> sp.s <= i AND i <= sp.e)) = 0) AS kp
+            FROM j
+        )
+        SELECT doc_id,
+               CAST(len(arr) AS BIGINT) AS n_tokens,
+               CAST(len(arr) - len(kp) AS BIGINT) AS n_removed,
+               -- DuckDB's array_to_string of an EMPTY list is NULL;
+               -- Spark's array_join is '' — align on Spark's contract
+               -- ('' for a fully-removed doc, NULL only for NULL text)
+               CASE WHEN arr IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(kp, ' '), '') END
+                   AS text_dedup
+        FROM kept ORDER BY doc_id
     """
 
 
@@ -637,6 +684,8 @@ def _domain_rollup_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    # q160: exact-substring span REMOVAL — shared span core + surgery
+    "q160_span_removal": _remove_spans_sql(8),
     # q159: concat-then-chunk manifest — same cumsum/div/clamp algebra
     "q159_sequence_manifest": f"""
         WITH d AS (

@@ -4874,7 +4874,26 @@ def q159_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "lang", "seq_id", "doc_id")
 
 
+def q160_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (operators/dedup.
+    remove_duplicated_spans — the surgery half of q156's detector,
+    completing Lee et al. 2022): every verbatim ≥8-token run that also
+    occurs earlier in the corpus is cut out of the document, first
+    occurrence kept corpus-wide; clean documents pass through intact.
+    Shares the detector's span core (one shingle-hash shuffle), then
+    one in-row indexed F.filter does the cutting — the token stream is
+    never exploded. Output text is the normalized token stream.
+    §2.13 pipeline mandate; no reference twin."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "doc_id", "text", k=8).transform(
+        _ordered, "doc_id"
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q160_span_removal": q160_span_removal,
     "q159_sequence_manifest": q159_sequence_manifest,
     "q158_domain_curation_rollup": q158_domain_curation_rollup,
     "q157_quantile_sketch": q157_quantile_sketch,

@@ -476,3 +476,32 @@ def test_duplicated_spans_short_doc_no_shingles(spark):
     ).collect()
     got = {r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"]) for r in out}
     assert got == {1: (0, 0), 2: (0, 0)}
+
+
+def test_remove_duplicated_spans_surgery(spark):
+    """Removal is the detector's complement: the first occurrence
+    keeps its full text, later occurrences lose EXACTLY the dup_tokens
+    the detector counted, and clean docs pass through untouched."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"intro words {shared} closing remark"),
+        (2, f"other preamble {shared} and a different tail"),
+        (3, "completely unrelated text with no repeats here"),
+        (4, shared),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rem = {r["doc_id"]: r for r in
+           remove_duplicated_spans(df, k=8).collect()}
+    det = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
+    for d in (1, 2, 3, 4):
+        assert rem[d]["n_removed"] == det[d]["dup_tokens"], d
+    assert rem[1]["text_dedup"] == f"intro words {shared} closing remark"
+    assert rem[2]["text_dedup"] == "other preamble and a different tail"
+    assert rem[4]["text_dedup"] == ""  # fully duplicated -> empty
+    assert rem[5]["text_dedup"] is None and rem[5]["n_removed"] is None
