@@ -194,6 +194,12 @@ def _safe_batch(
     2. STOP when a candidate's count is not STRICTLY above every
        selected pair's ``newmax`` — a created pair could tie it, and
        the tie-break against an unknown symbol is undecidable.
+    2b. STOP at a candidate whose left or right STRING equals a
+       symbol an earlier selection creates (``left+right``): pair
+       counts are keyed by string and the same string can arise via
+       two merge paths, so an EXISTING pair keyed on a just-created
+       string can GAIN count — the one case the absorb/create algebra
+       above doesn't cover.
     3. Otherwise select; counts of selected pairs are invariant under
        all earlier selected merges, so sequential picks them in
        exactly this (count desc, left, right) order.
@@ -220,6 +226,7 @@ def _safe_batch(
     """
     lefts: set[str] = set()
     rights: set[str] = set()
+    created: set[str] = set()
     selected: list[tuple[str, str, int]] = []
     bound = -1
     for row in page:
@@ -228,11 +235,24 @@ def _safe_batch(
             if exact_sequence:
                 break
             continue
+        # Aliasing guard: pair counts are keyed by symbol STRING, and
+        # the same string can arise via two merge paths ('aba' from
+        # (ab,a) and from (a,ba)). A candidate whose endpoint equals a
+        # symbol an earlier selection CREATES is therefore not
+        # count-invariant — an EXISTING pair keyed on that string can
+        # gain occurrences from the newly minted symbol, a case rules
+        # 1/2 don't model. Treat it like rule 1: end the exact batch,
+        # skip in standard mode.
+        if left in created or right in created:
+            if exact_sequence:
+                break
+            continue
         if exact_sequence and selected and cnt <= bound:
             break
         selected.append((left, right, cnt))
         lefts.add(left)
         rights.add(right)
+        created.add(left + right)
         bound = max(bound, int(row["newmax"]))
     if not selected and page:
         r = page[0]

@@ -1100,8 +1100,8 @@ def duplicated_spans(
 
     Method: every k-gram occurrence is one row; a k-gram whose global
     count exceeds 1 flags all occurrences EXCEPT the lexicographically
-    first ``(doc, pos)`` (packed into one int64 so MIN is the
-    tie-break — the winnowing pack trick); flagged positions within a
+    first ``(doc, pos)`` (MIN over ``struct(doc, pos)`` — orderable
+    for numeric AND string document ids); flagged positions within a
     document merge into maximal spans when consecutive starts are
     ≤ ``k`` apart (gaps-and-islands over a per-doc window). A span of
     length L > k appears as L−k+1 flagged overlapping k-grams, so the
@@ -1171,8 +1171,8 @@ def _dup_islands(
                 F.lit("duplicated_spans: doc "),
                 F.col("__id").cast("string"),
                 F.lit(
-                    f" has >= {1 << WINNOW_POS_BITS} shingles (pos"
-                    " overflows its pack bits); chunk upstream"
+                    f" has >= {1 << WINNOW_POS_BITS} shingles (exceeds"
+                    " the per-doc shingle budget); chunk upstream"
                 ),
             )
         ),
@@ -1192,16 +1192,19 @@ def _dup_islands(
     occ = base.select(
         "__id", F.explode(shingles).alias("s")
     ).select("__id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    packed = F.col("__id") * F.lit(1 << WINNOW_POS_BITS) + F.col("pos")
+    # keep-first tie-break: MIN over struct(__id, pos) — lexicographic
+    # struct ordering works for ANY orderable id type (string crawl
+    # ids included), unlike the former id*2^20+pos int pack, which
+    # silently NULLed on non-numeric ids under non-ANSI mode and
+    # dropped every flagged row
+    occ_key = F.struct(F.col("__id"), F.col("pos"))
     g = occ.groupBy("h").agg(
         F.count("*").alias("__c"),
-        F.min(
-            F.col("__id") * F.lit(1 << WINNOW_POS_BITS) + F.col("pos")
-        ).alias("__first"),
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first"),
     )
     flagged = (
         occ.join(g, "h")
-        .filter((F.col("__c") > 1) & (packed != F.col("__first")))
+        .filter((F.col("__c") > 1) & (occ_key != F.col("__first")))
         .select("__id", "pos")
     )
     w = Window.partitionBy("__id").orderBy("pos")

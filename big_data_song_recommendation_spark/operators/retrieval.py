@@ -200,8 +200,15 @@ def build_bm25_index(
     ).write.format("parquet").mode("overwrite").saveAsTable(
         tables["totals"]
     )
-    # one round-trip sanity: the planner must see the bucket spec
-    assert spark.catalog.tableExists(tables["postings"])
+    # one round-trip sanity: the planner must see the bucket spec.
+    # Explicit raise (not assert): this is a library WRITE path and
+    # must fail loudly under `python -O` too.
+    if not spark.catalog.tableExists(tables["postings"]):
+        raise RuntimeError(
+            f"build_bm25_index: bucketed postings table "
+            f"{tables['postings']!r} missing from the catalog after "
+            "write — check the warehouse dir / catalog config"
+        )
     return tables
 
 

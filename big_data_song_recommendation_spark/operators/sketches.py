@@ -132,6 +132,7 @@ def cms_estimate(
     *,
     params: CMSParams = CMSParams(),
     out: str = "est",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Point-estimate (min over the ``depth`` counter rows) for each
     item in ``items`` against a :func:`cms_counters` table. The
@@ -140,15 +141,25 @@ def cms_estimate(
     absent from the sketch estimate 0 (their cells may still be
     occupied by colliders — the estimate stays an upper bound).
     Output multiplicity matches input exactly: the re-gather after
-    the depth-explode groups on a generated per-row id, so duplicate
-    item rows (or distinct probes sharing every carried value) each
-    keep their own output row. ``params`` must be the SAME object the
-    counters were built with (see :class:`CMSParams`)."""
+    the depth-explode groups on ``key_col`` when the caller supplies
+    a unique per-row key, else on a generated
+    ``monotonically_increasing_id`` — note the generated id is
+    recompute-sensitive (a stage retry over a NONDETERMINISTIC
+    upstream can reassign ids across the explode boundary and
+    mis-group probe rows), so pass ``key_col`` whenever the items
+    frame has a natural unique key or a nondeterministic lineage.
+    ``params`` must be the SAME object the counters were built with
+    (see :class:`CMSParams`)."""
     from .dedup import hash60
 
     v = F.col(col).cast("string")
+    keyed = (
+        items.withColumn("__rid", F.col(key_col))
+        if key_col is not None
+        else items.withColumn("__rid", F.monotonically_increasing_id())
+    )
     probes = (
-        items.withColumn("__rid", F.monotonically_increasing_id())
+        keyed
         .select(
             "*",
             F.explode(F.sequence(F.lit(0), F.lit(params.depth - 1))).alias(
@@ -291,23 +302,35 @@ def bloom_probe(
     *,
     params: BloomParams = BloomParams(),
     out: str = "maybe_member",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Membership probe: an item is a possible member iff ALL
     ``k_hashes`` of its bit positions are set. No false negatives by
     construction; false-positive rate ≈ (1 − e^{−kn/m})^k. The bits
     table is bounded (≤ m_bits rows) so it broadcasts; the probe is a
     map-side join however large ``items`` is. The re-gather groups on
-    a generated per-row id, so duplicate probe rows each keep their
-    own (correct) verdict and output multiplicity matches input —
-    never a collapsed group whose matched-bit count overshoots
-    ``k_hashes`` into a false negative. ``params`` must be the SAME
-    object the bits were built with (see :class:`BloomParams`).
+    ``key_col`` when the caller supplies a unique per-row key, else
+    on a generated ``monotonically_increasing_id``, so duplicate
+    probe rows each keep their own (correct) verdict and output
+    multiplicity matches input — never a collapsed group whose
+    matched-bit count overshoots ``k_hashes`` into a false negative.
+    The generated id is recompute-sensitive (a stage retry over a
+    NONDETERMINISTIC upstream can reassign ids across the explode
+    boundary and mis-group probe rows) — pass ``key_col`` whenever
+    the items frame has a natural unique key or a nondeterministic
+    lineage. ``params`` must be the SAME object the bits were built
+    with (see :class:`BloomParams`).
     """
     from .dedup import hash60
 
     v = F.col(col).cast("string")
+    keyed = (
+        items.withColumn("__rid", F.col(key_col))
+        if key_col is not None
+        else items.withColumn("__rid", F.monotonically_increasing_id())
+    )
     probes = (
-        items.withColumn("__rid", F.monotonically_increasing_id())
+        keyed
         .select(
             "*",
             F.explode(F.sequence(F.lit(0), F.lit(params.k_hashes - 1))).alias(
