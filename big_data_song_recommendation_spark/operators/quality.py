@@ -615,6 +615,8 @@ def crawl_front_door(
     html_col: str = "html",
     url_col: str | None = None,
     min_lines_kept: int = 2,
+    quality_weights: tuple[list[int], int] | None = None,
+    min_score_micro: int | None = None,
 ) -> DataFrame:
     """The crawl preprocessing stage, composed: HTML → text extraction
     (functions/html.extract_text), C4 line cleaning
@@ -631,7 +633,11 @@ def crawl_front_door(
     ``preprocess`` hook — the content fingerprint store then
     deduplicates the CLEANED text, which is the right key: chrome
     differences between mirrors are gone by the time fingerprints are
-    taken).
+    taken). With ``quality_weights=(weights_micro, bias_micro)`` the
+    committed learned classifier (``ml.quality_clf``) scores the
+    cleaned text as a final map-only stage — appending ``n_bigrams``/
+    ``score_micro``/``is_quality`` and, when ``min_score_micro`` is
+    set, dropping below-threshold documents.
 
     The extraction output is cut with a lazy localCheckpoint before
     the C4 stage: the ~20-regex extraction chain is the dominant cost
@@ -671,4 +677,117 @@ def crawl_front_door(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    if quality_weights is not None:
+        # learned curation stage (CCNet/GPT-3/LLaMA): score the CLEANED
+        # text with the committed linear model — still map-only; when
+        # min_score_micro is set, below-threshold docs drop here
+        weights_micro, bias_micro = quality_weights
+        scored = quality_model_scores(
+            out,
+            weights_micro,
+            bias_micro,
+            id_col=id_col,
+            text_col="text",
+            carry_cols=[c for c in out.columns if c != id_col],
+        )
+        out = scored
+        if min_score_micro is not None:
+            out = out.filter(F.col("score_micro") >= int(min_score_micro))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (CCNet / GPT-3 / LLaMA curation stage)
+# ---------------------------------------------------------------------------
+
+QCLF_N_FEATURES = 256
+QCLF_SEED = "qclf"
+
+
+def bigram_buckets(
+    text_col: Column | str,
+    *,
+    n_features: int = QCLF_N_FEATURES,
+    seed: str = QCLF_SEED,
+) -> Column:
+    """Hashed-bigram bucket stream of a text column, IN-ROW: the
+    token array's adjacent pairs (``zip_with`` against its own
+    1-shifted slice — no explode, no window), each hashed with the
+    engine's replayable md5-60 discipline (F6/F15, same as
+    :func:`dsir_scores`) mod ``n_features``. NULL text yields an
+    empty array (zero-fill discipline), so downstream ``aggregate``
+    folds see a well-typed empty stream, never NULL."""
+    from .dedup import hash60
+
+    toks = F.filter(Ftext.tokens(text_col), lambda t: t != F.lit(""))
+    bigs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.coalesce(
+        F.transform(
+            bigs, lambda g: hash60(g, seed) % F.lit(int(n_features))
+        ),
+        F.expr("array()").cast("array<bigint>"),
+    )
+
+
+def quality_model_scores(
+    df: DataFrame,
+    weights_micro: list[int],
+    bias_micro: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+    seed: str = QCLF_SEED,
+) -> DataFrame:
+    """Score every document with a TRAINED linear quality classifier
+    (``ml.quality_clf.train_quality_classifier``) as a pure column
+    expression — the learned complement to the rule tiers (q22
+    heuristics, q153 C4): CCNet / GPT-3 / LLaMA-style model-based
+    curation, the standard stage between rule filters and dedup.
+
+    The linear model's decision function over hashed-bigram COUNT
+    features factorizes per occurrence:
+    ``margin = b + Σ_buckets w[k]·count[k] = b + Σ_grams w[bucket(g)]``
+    — so scoring needs NO feature vector at all, just one in-row fold
+    over the gram stream adding the (broadcast-literal, integer
+    micro-unit) weight of each gram's bucket. ``score_micro`` is an
+    exact int64 both engines (the q131 DSIR integer-surrogate
+    discipline: never hash raw double sums), ``is_quality`` is the
+    sign of the margin.
+
+    100 TB shape: MAP-ONLY — zero shuffles, zero Python; the weight
+    table rides the plan as a constant-folded literal array (256
+    ints), not even a broadcast join. Output: one row per input row
+    (zero-bigram docs score the bare bias — never dropped):
+    ``id_col``, ``carry_cols``, ``n_bigrams``, ``score_micro``,
+    ``is_quality``.
+    """
+    carry = list(carry_cols or [])
+    n = len(weights_micro)
+    w_arr = F.array(*[F.lit(int(w)) for w in weights_micro])
+    # staged projection: the bucket array has two consumers (size +
+    # fold) and lambda-bearing exprs are skipped by codegen CSE —
+    # multi-referenced alias keeps the tokenize chain single-run
+    staged = df.withColumn(
+        "__qclf_bk", bigram_buckets(text_col, n_features=n, seed=seed)
+    )
+    score = F.aggregate(
+        F.col("__qclf_bk"),
+        F.lit(int(bias_micro)).cast("long"),
+        lambda acc, x: acc
+        + F.element_at(w_arr, (x + 1).cast("int")).cast("long"),
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.size("__qclf_bk").cast("long").alias("n_bigrams"),
+        score.alias("score_micro"),
+        (score > 0).alias("is_quality"),
+    )

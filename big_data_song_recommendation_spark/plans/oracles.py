@@ -683,7 +683,49 @@ def _domain_rollup_sql() -> str:
     """
 
 
+def _qclf_sql() -> str:
+    """q161 twin: the committed integer micro-unit weights embedded as
+    a DuckDB list literal (parallel unnests zip positionally), the
+    identical md5-60 bigram bucketing as q131, and the per-occurrence
+    weight sum — exact int64 both engines. LEFT JOIN from documents
+    zero-fills bigram-less docs at the bare bias, matching the Spark
+    fold's empty-array init."""
+    from ..ml.quality_weights import QCLF_BIAS_MICRO, QCLF_WEIGHTS_MICRO
+
+    n = len(QCLF_WEIGHTS_MICRO)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+            FROM (SELECT doc_id,
+                         string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM documents)
+        ),
+        grams AS (
+            SELECT doc_id,
+                   {_hash60("'qclf:' || t[i] || ' ' || t[i+1]")} % {n} AS b
+            FROM toks WHERE i < len(t) AND t[i] <> ''
+        ),
+        w AS (
+            SELECT unnest(range(0, {n})) AS b,
+                   unnest({QCLF_WEIGHTS_MICRO!r}) AS wt
+        ),
+        sums AS (
+            SELECT g.doc_id, COUNT(*) AS nb, SUM(w.wt) AS s
+            FROM grams g JOIN w USING (b) GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(sums.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST({QCLF_BIAS_MICRO} + COALESCE(sums.s, 0) AS BIGINT)
+                   AS score_micro,
+               ({QCLF_BIAS_MICRO} + COALESCE(sums.s, 0)) > 0 AS is_quality
+        FROM documents d LEFT JOIN sums USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q161: model-based quality classifier scoring, committed weights
+    "q161_quality_classifier": _qclf_sql(),
     # q160: exact-substring span REMOVAL — shared span core + surgery
     "q160_span_removal": _remove_spans_sql(8),
     # q159: concat-then-chunk manifest — same cumsum/div/clamp algebra

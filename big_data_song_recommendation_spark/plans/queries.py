@@ -4892,7 +4892,32 @@ def q160_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/quality.
+    quality_model_scores): every document scored by the COMMITTED
+    hashed-bigram logistic regression (ml/quality_weights.py — trained
+    once by scripts/gen_quality_weights.py on the rule-tier teacher
+    label, holdout AUC 0.93), the CCNet/GPT-3/LLaMA learned-curation
+    stage complementing q22's heuristics and q153's C4 rules. The
+    linear margin factorizes per gram occurrence, so scoring is ONE
+    map-only in-row fold over the hashed-bigram stream against a
+    constant-folded integer weight array — zero shuffles, zero Python,
+    exact int64 cross-engine (q131 discipline). Learned upgrade of the
+    reference's rule CASE (ref src/data_processor.py:164-186)."""
+    from ..ml.quality_weights import QCLF_BIAS_MICRO, QCLF_WEIGHTS_MICRO
+    from ..operators.quality import quality_model_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_model_scores(
+        docs,
+        QCLF_WEIGHTS_MICRO,
+        QCLF_BIAS_MICRO,
+        carry_cols=["lang"],
+    ).transform(_ordered, "doc_id")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q161_quality_classifier": q161_quality_classifier,
     "q160_span_removal": q160_span_removal,
     "q159_sequence_manifest": q159_sequence_manifest,
     "q158_domain_curation_rollup": q158_domain_curation_rollup,
