@@ -967,59 +967,19 @@ def containment_pairs(
     )
 
 
-def prefix_filter_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    k: int = 3,
-    threshold_num: int = 1,
-    threshold_den: int = 2,
-    checkpoint: bool = True,
-    widen_input: bool = True,
+def _prefix_candidates(
+    sets: DataFrame, n_: int, d_: int, *, positional: bool = True
 ) -> DataFrame:
-    """Exact Jaccard ≥ ``threshold_num/threshold_den`` pairs via
-    PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al.
-    AllPairs, WWW'07) — the exact-threshold set-similarity join that
-    completes the dedup family: :func:`ngram_jaccard_pairs` is the
-    full self-join baseline (fan-out Σ df(sh)²), MinHash LSH is
-    approximate; this is EXACT at sub-self-join cost.
-
-    The filter: order shingles by ascending global document frequency
-    (rarest first, ties by shingle); a set of size L keeps only its
-    first ``L − ceil(t·L) + 1`` shingles as join keys. Two sets with
-    Jaccard ≥ t must share at least one PREFIX shingle under any
-    consistent total order (if all shared shingles sat past both
-    prefixes, the unshared prefix mass alone would push the union
-    below t) — so the candidate equi-join on prefix shingles is
-    LOSSLESS, and rare-first ordering makes it small (the join key
-    distribution is the df distribution of the rarest shingles).
-    A length filter (``num·max(L) ≤ den·min(L)``) prunes candidates
-    before verification; the survivors verify with exact integer
-    arithmetic — ``i·(num+den) ≥ num·(L_a+L_b)  ⇔  Jaccard ≥
-    num/den`` — no float threshold boundary to disagree on.
-
-    100 TB shape: shingle-grain shuffles only; verification touches
-    candidate pairs (post-filter), never the all-pairs space, and
-    computes |A∩B| with ``array_intersect`` over per-doc SORTED
-    shingle arrays — two id-keyed joins and a codegen expression per
-    pair, instead of re-exploding every candidate's full set through
-    a shuffle join (measured 2.6× on the 310k-candidate sf0.1
-    corpus). Requires each doc's shingle set to fit in a row —
-    true for documents (shingles ∝ tokens); for set columns of
-    unbounded size fall back to the row-join verify of
-    :func:`jaccard_pairs_from_sets`. ``checkpoint`` cuts the
-    shingle-set lineage once for its three consumers (df table,
-    prefix ranks, arrays).
+    """Candidate pairs ``(id_a, id_b, la, lb)`` for the prefix-filter
+    join over ``sets`` (columns ``sid``, ``sh``): rare-first prefix
+    equi-join + length filter, then either a plain ``distinct()``
+    (``positional=False``, the AllPairs baseline) or the PPJoin
+    positional-filter ``groupBy`` (see
+    :func:`prefix_filter_jaccard_pairs` for the soundness argument).
+    Factored out so scale probes can count candidates per tier.
     """
     from pyspark.sql import Window
 
-    n_, d_ = int(threshold_num), int(threshold_den)
-    if not (0 < n_ <= d_):
-        raise ValueError("threshold must be a fraction in (0, 1]")
-    sets = _shingle_sets(df, id_col, text_col, k, None, widen_input=widen_input)
-    if checkpoint:
-        sets = sets.localCheckpoint(eager=False)
     sizes = sets.groupBy("sid").agg(F.count("*").alias("L"))
     dfreq = sets.groupBy("sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("sid").orderBy(F.asc("__df"), F.asc("sh"))
@@ -1032,10 +992,10 @@ def prefix_filter_jaccard_pairs(
         .withColumn("__r", F.row_number().over(w))
         .join(sizes, "sid")
         .filter(F.col("__r") <= plen)
-        .select("sid", "sh", "L")
+        .select("sid", "sh", "L", "__r")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    matches = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -1046,13 +1006,105 @@ def prefix_filter_jaccard_pairs(
             F.col("b.sid").alias("id_b"),
             F.col("a.L").alias("la"),
             F.col("b.L").alias("lb"),
+            F.col("a.__r").alias("__pa"),
+            F.col("b.__r").alias("__pb"),
         )
         .filter(
             F.lit(n_) * F.greatest("la", "lb")
             <= F.lit(d_) * F.least("la", "lb")
         )
-        .distinct()
     )
+    if not positional:
+        return matches.select("id_a", "id_b", "la", "lb").distinct()
+    # PPJoin positional filter: positions of matched prefix shingles
+    # rise together (shared global order), so max(__pa)/max(__pb) land
+    # on the SAME (last) matched shingle; overlap ≤ m + min suffix.
+    bound = F.col("__m") + F.least(
+        F.col("la") - F.col("__pmax_a"), F.col("lb") - F.col("__pmax_b")
+    )
+    return (
+        matches.groupBy("id_a", "id_b", "la", "lb")
+        .agg(
+            F.count("*").alias("__m"),
+            F.max("__pa").alias("__pmax_a"),
+            F.max("__pb").alias("__pmax_b"),
+        )
+        .filter(
+            bound * F.lit(n_ + d_) >= F.lit(n_) * (F.col("la") + F.col("lb"))
+        )
+        .select("id_a", "id_b", "la", "lb")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    checkpoint: bool = True,
+    widen_input: bool = True,
+    positional: bool = True,
+) -> DataFrame:
+    """Exact Jaccard ≥ ``threshold_num/threshold_den`` pairs via
+    PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al.
+    AllPairs, WWW'07) with the PPJoin POSITIONAL filter (Xiao et al.
+    WWW'08) — the exact-threshold set-similarity join that completes
+    the dedup family: :func:`ngram_jaccard_pairs` is the full
+    self-join baseline (fan-out Σ df(sh)²), MinHash LSH is
+    approximate; this is EXACT at sub-self-join cost.
+
+    The prefix filter: order shingles by ascending global document
+    frequency (rarest first, ties by shingle); a set of size L keeps
+    only its first ``L − ceil(t·L) + 1`` shingles as join keys. Two
+    sets with Jaccard ≥ t must share at least one PREFIX shingle
+    under any consistent total order (if all shared shingles sat past
+    both prefixes, the unshared prefix mass alone would push the
+    union below t) — so the candidate equi-join on prefix shingles is
+    LOSSLESS, and rare-first ordering makes it small (the join key
+    distribution is the df distribution of the rarest shingles).
+    A length filter (``num·max(L) ≤ den·min(L)``) prunes candidates
+    before verification; the survivors verify with exact integer
+    arithmetic — ``i·(num+den) ≥ num·(L_a+L_b)  ⇔  Jaccard ≥
+    num/den`` — no float threshold boundary to disagree on.
+
+    The positional filter (``positional=True``): each prefix shingle
+    carries its 1-based rank within the set's rare-first order. For a
+    candidate pair, positions of matched shingles increase TOGETHER
+    (both sets sort by the same global order), so with ``m`` matched
+    prefix shingles whose last match sits at positions ``(p, q)``,
+    every shared shingle ≤ the last match is itself a prefix-prefix
+    match (a shared shingle earlier than a match in one set is
+    earlier than the SAME match in the other, hence inside both
+    prefixes), giving the exact left-overlap ``m``; shared shingles
+    after it number at most ``min(L_a − p, L_b − q)``.  Hence
+    ``|A∩B| ≤ m + min(L_a − p, L_b − q)`` — a LOSSLESS upper bound
+    checked in integer arithmetic BEFORE the verify join, replacing
+    the plain ``distinct()`` with a same-shuffle ``groupBy`` while
+    pruning candidates that cannot reach the threshold.
+
+    100 TB shape: shingle-grain shuffles only; verification touches
+    positional-surviving candidate pairs (post-filter), never the
+    all-pairs space, and computes |A∩B| with ``array_intersect`` over
+    per-doc SORTED shingle arrays — two id-keyed joins and a codegen
+    expression per pair, instead of re-exploding every candidate's
+    full set through a shuffle join (measured 2.6× on the
+    310k-candidate sf0.1 corpus). Requires each doc's shingle set to
+    fit in a row — true for documents (shingles ∝ tokens); for set
+    columns of unbounded size fall back to the row-join verify of
+    :func:`jaccard_pairs_from_sets`. ``checkpoint`` cuts the
+    shingle-set lineage once for its three consumers (df table,
+    prefix ranks, arrays).
+    """
+    n_, d_ = int(threshold_num), int(threshold_den)
+    if not (0 < n_ <= d_):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    sets = _shingle_sets(df, id_col, text_col, k, None, widen_input=widen_input)
+    if checkpoint:
+        sets = sets.localCheckpoint(eager=False)
+    cand = _prefix_candidates(sets, n_, d_, positional=positional)
     arrs = sets.groupBy("sid").agg(
         F.sort_array(F.collect_list("sh")).alias("__arr")
     )

@@ -785,6 +785,17 @@ def r8ops_probe(spark, reps: list[int]) -> None:
             salted, "doc_id", "text", k=3, threshold_num=1, threshold_den=2
         ).count()
         t_pf = time.perf_counter() - t0
+        # candidate tiers: AllPairs baseline vs PPJoin positional
+        from big_data_song_recommendation_spark.operators.dedup import (
+            _prefix_candidates,
+            _shingle_sets,
+        )
+
+        _sets = _shingle_sets(
+            salted, "doc_id", "text", 3, None
+        ).localCheckpoint()
+        c_base = _prefix_candidates(_sets, 1, 2, positional=False).count()
+        c_pos = _prefix_candidates(_sets, 1, 2, positional=True).count()
 
         orders = (
             replicate(ord0, r, "o_orderkey").withColumn(
@@ -856,6 +867,7 @@ def r8ops_probe(spark, reps: list[int]) -> None:
 
         print(
             f"x{r}: docs={n_docs} jaccard_pairs={n_pairs} prefix={t_pf:.1f}s"
+            f" cand_base={c_base} cand_pos={c_pos}"
             f" | orders={n_ord} cust={n_cust} m_bits={bp.m_bits}"
             f" fp={row['fp']}/{row['n']} bloom={t_bl:.1f}s"
             f" | bpe[{'; '.join(bpe_line)}]",

@@ -76,6 +76,44 @@ def test_bad_threshold_raises(spark):
         )
 
 
+def test_positional_filter_is_lossless_and_prunes(spark):
+    """PPJoin positional filter: identical output to the AllPairs
+    baseline (positional=False) on a corpus with near-dups at several
+    similarity grades, while the candidate tier shrinks. Uses a
+    varied mix so matched-prefix positions actually differ."""
+    import random
+
+    from big_data_song_recommendation_spark.operators.dedup import (
+        _prefix_candidates,
+        _shingle_sets,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(60)]
+    texts = []
+    for i in range(30):
+        base = rng.sample(vocab, 12)
+        texts.append(" ".join(base))
+        if i % 3 == 0:  # a near-dup with a mutated tail
+            mutated = base[:-2] + rng.sample(vocab, 2)
+            texts.append(" ".join(mutated))
+    docs = _docs(spark, texts)
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    got = key(prefix_filter_jaccard_pairs(docs, "doc_id", "text").collect())
+    want = key(
+        prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", positional=False
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    sets = _shingle_sets(docs, "doc_id", "text", 3, None).localCheckpoint()
+    n_base = _prefix_candidates(sets, 1, 2, positional=False).count()
+    n_pos = _prefix_candidates(sets, 1, 2, positional=True).count()
+    assert n_pos <= n_base
+    # every surviving candidate superset must still include the truth
+    assert n_pos >= len(got)
+
+
 def test_stop_shingle_corpus_rejected_without_false_positives(spark):
     """A corpus sharing one common shingle everywhere: the naive join
     sees every pair as a candidate; the verified output must still be
