@@ -360,6 +360,15 @@ def srp_knn(
         F.col("n").alias("nn"),
         "bucket",
     )
+    return _srp_rerank(p, c, dim, k)
+
+
+def _srp_rerank(p: DataFrame, c: DataFrame, dim: int, k: int) -> DataFrame:
+    """Exact-cosine re-rank of bucket-joined SRP candidates — the
+    shared tail of :func:`srp_knn` and :func:`srp_knn_indexed`, so the
+    persisted-index server returns identical neighbors by
+    construction. ``p``: (query_id, qv, qn, bucket); ``c``:
+    (neighbor_id, nv, nn, bucket)."""
     sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -419,6 +428,16 @@ def srp_hard_negatives(
         F.col("lbl").alias("negative_label"),
         "bucket",
     )
+    return _srp_negatives_rerank(p, c, dim, k)
+
+
+def _srp_negatives_rerank(
+    p: DataFrame, c: DataFrame, dim: int, k: int
+) -> DataFrame:
+    """Label-aware re-rank tail shared by :func:`srp_hard_negatives`
+    and :func:`srp_hard_negatives_indexed`. ``p``: (anchor_id, qv, qn,
+    anchor_label, bucket); ``c``: (negative_id, nv, nn,
+    negative_label, bucket)."""
     sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("sim"), F.asc("negative_id")
@@ -434,6 +453,172 @@ def srp_hard_negatives(
             "sim", "rnk",
         )
     )
+
+
+def build_srp_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    planes: int = 16,
+    name: str = "srp_idx",
+    n_buckets: int = 8,
+) -> dict[str, str]:
+    """Persist the SRP-LSH layout ANN serving reads instead of
+    re-hashing the corpus per query — the vector twin of
+    :func:`~..operators.retrieval.build_bm25_index` (same nightly-
+    precompute discipline; the reference recomputes its similarity
+    matrix per request, ref ``src/training_service.py:622-623``):
+
+    - ``{name}_by_bucket`` — ``(id, v, n, bucket[, lbl])`` BUCKETED and
+      sorted by ``bucket``: an IN filter on the probes' buckets
+      bucket-prunes the candidate scan, so per-query IO is the probed
+      buckets' rows, not the corpus.
+    - ``{name}_by_id`` — same rows bucketed by the id: the probe-row
+      lookup (id → vector, norm, bucket) is itself bucket-pruned.
+    - ``{name}_meta`` — 1 row ``(planes, dim, id_col, has_label)``.
+
+    The stored vector is the RAW embedding column (no recoding) and
+    ``n`` its precomputed L2 norm — the exact inputs the in-session
+    re-rank uses, so indexed scores are bit-identical. Pass
+    ``label_col`` to also serve :func:`srp_hard_negatives_indexed`
+    from the same layout. Signature cost (the explode+groupBy GEMM)
+    is paid ONCE here. Returns the table names.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    spark = corpus.sparkSession
+    dim = vectors.infer_dim(corpus, vec_col)
+    sigs = srp_signatures(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes
+    )
+    cols = [
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
+    ]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("lbl"))
+    rows = corpus.select(*cols).join(sigs, id_col)
+    tables = {
+        "by_bucket": f"{name}_by_bucket",
+        "by_id": f"{name}_by_id",
+        "meta": f"{name}_meta",
+    }
+    write_bucketed(rows, tables["by_bucket"], "bucket", n_buckets=n_buckets)
+    write_bucketed(rows, tables["by_id"], id_col, n_buckets=n_buckets)
+    spark.createDataFrame(
+        [(planes, dim, id_col, label_col is not None)],
+        "planes int, dim int, id_col string, has_label boolean",
+    ).write.format("parquet").mode("overwrite").saveAsTable(tables["meta"])
+    for t in ("by_bucket", "by_id"):
+        if not spark.catalog.tableExists(tables[t]):
+            raise RuntimeError(
+                f"build_srp_index: bucketed table {tables[t]!r} missing "
+                "from the catalog after write — check the warehouse dir"
+            )
+    _srp_meta_memo.pop((id(spark), name), None)  # rebuilt: drop stale meta
+    return tables
+
+
+#: per-(session, index-name) metadata memo — the meta table is one
+#: immutable row per build; re-collecting it per request would add a
+#: whole scheduling round trip to every serving call. Rebuilding an
+#: index under the same name in the same session invalidates the memo
+#: (build_srp_index pops the key).
+_srp_meta_memo: dict = {}
+
+
+def _srp_meta(spark, name: str):
+    key = (id(spark), name)
+    if key not in _srp_meta_memo:
+        _srp_meta_memo[key] = spark.table(f"{name}_meta").collect()[0]
+    return _srp_meta_memo[key]
+
+
+def _srp_probe_rows(spark, probe_ids: list, name: str):
+    """Look up probe rows and their bucket ids from a persisted SRP
+    index. Returns ``(probe_df, bucket_literals, dim, has_label,
+    id_col)``. The bucket-id collect is bounded by ``len(probe_ids)``
+    — the same per-query driver grain as BM25's term list — and
+    dedups driver-side (a ``distinct()`` here would add a shuffle to
+    every serving call for a handful of rows)."""
+    if not probe_ids:
+        raise ValueError("srp serving: probe_ids must be non-empty")
+    meta = _srp_meta(spark, name)
+    by_id = spark.table(f"{name}_by_id")
+    probes = by_id.filter(F.col(meta["id_col"]).isin(list(probe_ids)))
+    buckets = sorted(
+        {r["bucket"] for r in probes.select("bucket").collect()}
+    )
+    return probes, buckets, meta["dim"], meta["has_label"], meta["id_col"]
+
+
+def srp_knn_indexed(
+    spark, probe_ids: list, *, name: str = "srp_idx", k: int = 3
+) -> DataFrame:
+    """Serve ANN top-``k`` from the persisted SRP layout
+    (:func:`build_srp_index`). Same output contract — and identical
+    neighbors/sims (shared :func:`_srp_rerank` tail over the stored
+    raw vectors and norms) — as :func:`srp_knn`, but per-query work is
+    two bucket-pruned reads (probe rows by id, candidates by bucket):
+    independent of corpus size."""
+    probes, buckets, dim, _, idc = _srp_probe_rows(spark, probe_ids, name)
+    if not buckets:
+        probes = probes.limit(0)  # no probe found: empty, stable schema
+    p = probes.select(
+        F.col(idc).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        "bucket",
+    )
+    c = (
+        spark.table(f"{name}_by_bucket")
+        .filter(F.col("bucket").isin(buckets) if buckets else F.lit(False))
+        .select(
+            F.col(idc).alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("n").alias("nn"),
+            "bucket",
+        )
+    )
+    return _srp_rerank(p, c, dim, k)
+
+
+def srp_hard_negatives_indexed(
+    spark, probe_ids: list, *, name: str = "srp_idx", k: int = 3
+) -> DataFrame:
+    """Serve hard-negative mining from the persisted SRP layout built
+    with ``label_col`` — identical rows to :func:`srp_hard_negatives`
+    (shared :func:`_srp_negatives_rerank` tail), bucket-pruned reads."""
+    probes, buckets, dim, has_label, idc = _srp_probe_rows(
+        spark, probe_ids, name
+    )
+    if not has_label:
+        raise ValueError(
+            f"srp_hard_negatives_indexed: index {name!r} was built "
+            "without label_col"
+        )
+    p = probes.select(
+        F.col(idc).alias("anchor_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        F.col("lbl").alias("anchor_label"),
+        "bucket",
+    )
+    c = (
+        spark.table(f"{name}_by_bucket")
+        .filter(F.col("bucket").isin(buckets) if buckets else F.lit(False))
+        .select(
+            F.col(idc).alias("negative_id"),
+            F.col("v").alias("nv"),
+            F.col("n").alias("nn"),
+            F.col("lbl").alias("negative_label"),
+            "bucket",
+        )
+    )
+    return _srp_negatives_rerank(p, c, dim, k)
 
 
 def edit_distance_pairs(

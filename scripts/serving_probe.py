@@ -194,6 +194,36 @@ def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    # ---- SRP ANN: in-session bucket join vs persisted index -------
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_srp_index,
+        srp_knn,
+        srp_knn_indexed,
+    )
+
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    srp_tables = build_srp_index(
+        emb_raw, label_col="label", planes=6, name="probe_srp", n_buckets=8
+    )
+    report["srp_index_build_s"] = round(time.perf_counter() - t0, 2)
+    try:
+        n_vec = emb_raw.count()
+        id_reqs = [[(7 * i) % n_vec] for i in range(n_req)]
+
+        def srp_in_session(ids):
+            probes = emb_raw.filter(F.col("vec_id").isin(ids))
+            srp_knn(emb_raw, probes, planes=6, k=3).collect()
+
+        def srp_indexed(ids):
+            srp_knn_indexed(spark, ids, name="probe_srp", k=3).collect()
+
+        report["srp_in_session"] = _timed(srp_in_session, id_reqs)
+        report["srp_indexed"] = _timed(srp_indexed, id_reqs)
+    finally:
+        for t in srp_tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     ratings.unpersist()
     emb.unpersist()
     return report
