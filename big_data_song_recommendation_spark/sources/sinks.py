@@ -125,6 +125,109 @@ def export_training_shards(
     )
 
 
+def export_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    seed: str | int,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> None:
+    """Seeded DETERMINISTIC global shuffle for training exports: the
+    complement of :func:`export_training_shards` (which preserves key
+    order for streaming readers). Training loaders need a reproducible
+    epoch permutation — the same ``(seed, corpus)`` must yield the
+    same shard files in the same row order on every run, cluster
+    layout, and engine, while a new seed (e.g. ``f"{base}-{epoch}"``
+    per epoch) yields an unrelated permutation.
+
+    Mechanism: ``shuffle_key = md5-60(seed || '|' || id)`` — a seeded
+    uniform permutation keyed on the stable id, no RNG state — and
+    ``shard = shuffle_key mod n_shards``. Shards are written as
+    ``shard=k`` hive partitions, each sorted by ``(shuffle_key, id)``
+    so the within-file row order is part of the determinism contract
+    (NOT range-sampled: ``repartitionByRange`` picks split points from
+    a data sample, which this layout deliberately avoids — split
+    points here are pure arithmetic). md5 uniformity keeps shard sizes
+    balanced at ≈N/n_shards. One shuffle, map-side sort, parallel
+    writers; ``_shuffle_meta`` (underscore-hidden from readers)
+    records seed/n_shards/id_col for the audit trail.
+
+    NULL ids would all collide on the seed-only key and silently pile
+    into one position — they fail the write in-plan instead (same
+    guard as :func:`export_training_shards`).
+    """
+    from ..operators.dedup import hash60
+
+    if n_shards < 1:
+        raise ValueError("export_shuffled_shards: n_shards must be >= 1")
+    guard = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"export_shuffled_shards: NULL {id_col} key; drop or "
+                "fill NULLs upstream"
+            )
+        ).cast(dict(df.dtypes)[id_col]),
+    ).otherwise(F.col(id_col))
+    key = hash60(
+        F.concat_ws("|", F.lit(str(seed)), guard.cast("string"))
+    )
+    out = (
+        df.withColumn("shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+    )
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", F.col(id_col))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    df.sparkSession.createDataFrame(
+        [(str(seed), int(n_shards), id_col)],
+        "seed string, n_shards int, id_col string",
+    ).coalesce(1).write.mode(mode).json(path + "/_shuffle_meta")
+
+
+def shuffled_shard_manifest(spark, path: str) -> DataFrame:
+    """Audit manifest of an :func:`export_shuffled_shards` output: the
+    recorded seed plus one row per shard with row count and a content
+    fingerprint, so two exports can be compared for layout identity
+    without reading each other's bytes. The fingerprint is an
+    associative sum of per-row md5-60 hashes over ``(shuffle_key,
+    id)`` — bounded per-task state at any shard size — which pins the
+    multiset, and the within-file ROW ORDER is a pure function of that
+    multiset (the writer sorts by ``(shuffle_key, id)``), so multiset
+    identity ⇒ layout identity."""
+    from ..operators.dedup import hash60
+
+    meta = spark.read.json(path + "/_shuffle_meta").collect()[0]
+    df = spark.read.parquet(path)
+    row_h = hash60(
+        F.concat_ws(
+            "|",
+            F.col("shuffle_key").cast("string"),
+            F.col(meta["id_col"]).cast("string"),
+        )
+    )
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            # decimal(38,0) accumulator: int64 would overflow at
+            # ~2^3 rows of 60-bit hashes; decimal holds to ~10^20 rows
+            F.sum(row_h.cast("decimal(38,0)")).alias("content_fp"),
+        )
+        .withColumn("seed", F.lit(meta["seed"]))
+        .withColumn("n_shards", F.lit(int(meta["n_shards"])))
+        .orderBy("shard")
+    )
+
+
 def shard_manifest(spark, path: str, *, key: str) -> DataFrame:
     """Manifest of an :func:`export_training_shards` output: one row
     per shard file with row count and key range — the audit artifact a
