@@ -724,6 +724,55 @@ def _qclf_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    # q162: IVM refresh — same two-batch summary algebra, both gates
+    "q162_incremental_view_refresh": """
+        WITH base AS (
+            SELECT l_returnflag, l_orderkey,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem
+        ),
+        ini AS (
+            SELECT l_returnflag, COUNT(*) AS n, SUM(qty) AS s,
+                   MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+            FROM base WHERE l_orderkey % 5 <> 0 GROUP BY 1
+        ),
+        del AS (
+            SELECT l_returnflag, COUNT(*) AS n, SUM(qty) AS s,
+                   MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+            FROM base WHERE l_orderkey % 5 = 0 GROUP BY 1
+        ),
+        mv1 AS (
+            SELECT l_returnflag, SUM(n) AS n, SUM(s) AS s,
+                   MIN(mn) AS mn, MAX(mx) AS mx
+            FROM (SELECT * FROM ini UNION ALL SELECT * FROM del)
+            GROUP BY 1
+        ),
+        fl AS (
+            SELECT l_returnflag, COUNT(*) AS n, SUM(qty) AS s,
+                   MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+            FROM base GROUP BY 1
+        ),
+        mv2 AS (
+            SELECT l_returnflag, SUM(n) AS n, SUM(s) AS s
+            FROM (SELECT l_returnflag, n, s FROM mv1
+                  UNION ALL
+                  SELECT l_returnflag, -n, -s FROM del)
+            GROUP BY 1
+        )
+        SELECT mv1.l_returnflag,
+               CAST(mv1.n AS BIGINT) AS n_rows,
+               CAST(mv1.s AS BIGINT) AS sum_qty,
+               mv1.mn AS min_ok, mv1.mx AS max_ok,
+               (mv1.n = fl.n AND mv1.s = fl.s AND mv1.mn = fl.mn
+                AND mv1.mx = fl.mx) AS matches_full,
+               (mv2.n = ini.n AND mv2.s = ini.s)
+                   AS retract_matches_initial
+        FROM mv1
+        JOIN fl USING (l_returnflag)
+        JOIN ini USING (l_returnflag)
+        JOIN mv2 USING (l_returnflag)
+        ORDER BY mv1.l_returnflag
+    """,
     # q161: model-based quality classifier scoring, committed weights
     "q161_quality_classifier": _qclf_sql(),
     # q160: exact-substring span REMOVAL — shared span core + surgery

@@ -4916,7 +4916,100 @@ def q161_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "doc_id")
 
 
+def q162_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh, composed end-to-end
+    (operators/aggregates.summarize + merge_summaries — each
+    property-tested, here composed as a roster query): a per-returnflag
+    lineitem summary is maintained through a simulated INSERT batch
+    (orderkey % 5 == 0 arrives as the delta) and then a RETRACTION of
+    the same batch (negated additive measures), with both IVM
+    invariants proven IN-QUERY:
+
+    - ``matches_full``  — initial ⊕ delta == full recompute, every key
+      and measure (sum/count/min/max);
+    - ``retract_matches_initial`` — ⊖ delta recovers the additive
+      initial state (min/max excluded: not retractable, the documented
+      merge_summaries contract).
+
+    Both gates must hash TRUE against the DuckDB twin, which builds
+    the same two-batch refresh from scratch. 100 TB shape: refresh
+    cost ∝ delta key set (two summary-grain unions), never a base
+    rescan; all measures pure int64."""
+    from ..operators.aggregates import merge_summaries, summarize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    keys = ["l_returnflag"]
+    measures = {
+        "n_rows": ("count", "qty"),
+        "sum_qty": ("sum", "qty"),
+        "min_ok": ("min", "l_orderkey"),
+        "max_ok": ("max", "l_orderkey"),
+    }
+    additive = {"n_rows": ("count", "qty"), "sum_qty": ("sum", "qty")}
+    initial = summarize(base.filter(F.col("l_orderkey") % 5 != 0), keys, measures)
+    delta = summarize(base.filter(F.col("l_orderkey") % 5 == 0), keys, measures)
+    mv1 = merge_summaries(initial, delta, keys, measures)
+    full = summarize(base, keys, measures)
+    retract = delta.select(
+        "l_returnflag",
+        (-F.col("n_rows")).alias("n_rows"),
+        (-F.col("sum_qty")).alias("sum_qty"),
+    )
+    mv2 = merge_summaries(
+        mv1.select("l_returnflag", "n_rows", "sum_qty"),
+        retract,
+        keys,
+        additive,
+    )
+    f = full.select(
+        "l_returnflag",
+        F.col("n_rows").alias("f_n"),
+        F.col("sum_qty").alias("f_s"),
+        F.col("min_ok").alias("f_mn"),
+        F.col("max_ok").alias("f_mx"),
+    )
+    i = initial.select(
+        "l_returnflag",
+        F.col("n_rows").alias("i_n"),
+        F.col("sum_qty").alias("i_s"),
+    )
+    r = mv2.select(
+        "l_returnflag",
+        F.col("n_rows").alias("r_n"),
+        F.col("sum_qty").alias("r_s"),
+    )
+    return (
+        mv1.join(f, "l_returnflag")
+        .join(i, "l_returnflag")
+        .join(r, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "sum_qty",
+            "min_ok",
+            "max_ok",
+            (
+                (F.col("n_rows") == F.col("f_n"))
+                & (F.col("sum_qty") == F.col("f_s"))
+                & (F.col("min_ok") == F.col("f_mn"))
+                & (F.col("max_ok") == F.col("f_mx"))
+            ).alias("matches_full"),
+            (
+                (F.col("r_n") == F.col("i_n"))
+                & (F.col("r_s") == F.col("i_s"))
+            ).alias("retract_matches_initial"),
+        )
+        .transform(_ordered, "l_returnflag")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q162_incremental_view_refresh": q162_incremental_view_refresh,
     "q161_quality_classifier": q161_quality_classifier,
     "q160_span_removal": q160_span_removal,
     "q159_sequence_manifest": q159_sequence_manifest,

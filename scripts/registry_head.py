@@ -204,6 +204,50 @@ def other_source_changed(base: str) -> list[str]:
     return sorted(hits)
 
 
+def queries_for_module_change(base: str, path: str, qsrc: str) -> set[str]:
+    """Map changed lines in a non-plans package module → queries whose
+    source calls a changed top-level function (directly or via one
+    level of same-module callers).  E.g. a change inside
+    ``operators/dedup.prefix_filter_jaccard_pairs`` (or a private tail
+    it extracted) puts every query calling that function at the
+    registry head, so the driver's first-50 gate sees the round's
+    operator edits, not only its queries.py edits."""
+    lines = changed_new_lines(base, path)
+    if not lines:
+        return set()
+    try:
+        with open(path) as fh:
+            msrc = fh.read()
+        tree = ast.parse(msrc)
+    except (OSError, SyntaxError):
+        return set()
+    fns = _functions(tree)
+    changed_fns = {
+        f.name
+        for f in fns
+        if any(_span(f)[0] <= ln <= _span(f)[1] for ln in lines)
+    }
+    # one-level same-module closure: callers of a changed function
+    # also behave differently
+    for f in fns:
+        seg = ast.get_source_segment(msrc, f) or ""
+        if any(
+            re.search(rf"\b{re.escape(c)}\s*\(", seg) for c in set(changed_fns)
+        ):
+            changed_fns.add(f.name)
+    qtree = ast.parse(qsrc)
+    hit: set[str] = set()
+    for qf in _functions(qtree):
+        if not _QNAME.match(qf.name):
+            continue
+        seg = ast.get_source_segment(qsrc, qf) or ""
+        if any(
+            re.search(rf"\b{re.escape(c)}\s*\(", seg) for c in changed_fns
+        ):
+            hit.add(qf.name)
+    return hit
+
+
 def changed_queries(base: str) -> tuple[set[str], bool, list[str]]:
     """(query names changed since base, fully_mapped, other changed
     package files).  ``fully_mapped=False`` or a non-empty third element
@@ -218,7 +262,10 @@ def changed_queries(base: str) -> tuple[set[str], bool, list[str]]:
     qhit, qmap = queries_for_lines(qsrc, ql) if ql else (set(), True)
     ohit, omap = oracles_for_lines(osrc, ol) if ol else (set(), True)
     other = other_source_changed(base)
-    return qhit | ohit, qmap and omap, other
+    mhit: set[str] = set()
+    for rel in other:
+        mhit |= queries_for_module_change(base, os.path.join(REPO, rel), qsrc)
+    return qhit | ohit | mhit, qmap and omap, other
 
 
 def write_head(names: set[str] | None) -> None:
