@@ -723,7 +723,154 @@ def _qclf_sql() -> str:
     """
 
 
+def _langid_ctes() -> tuple[str, str]:
+    """Scoring CTE chain of the q163/q164 twins, GENERATED from the
+    committed Bernoulli weights (``ml/langid_weights.py``) so the twin
+    cannot drift from the scorer: padded-boundary char trigrams →
+    distinct md5-60 buckets per doc → per-class weight sums + biases →
+    argmax with the alphabetical tie-break. Returns ``(ctes_sql,
+    final_cte_name)`` with the final CTE exposing
+    ``(doc_id, lang, pred_lang)``."""
+    from ..ml.langid_weights import LID_BIASES_MICRO, LID_WEIGHTS_MICRO
+
+    classes = sorted(LID_WEIGHTS_MICRO)
+    n = len(LID_WEIGHTS_MICRO[classes[0]])
+    w_cols = ",\n                   ".join(
+        f"unnest({LID_WEIGHTS_MICRO[c]!r}) AS w_{i}"
+        for i, c in enumerate(classes)
+    )
+    sums = ", ".join(f"SUM(w.w_{i}) AS s_{i}" for i in range(len(classes)))
+    scores = ",\n                   ".join(
+        f"{LID_BIASES_MICRO[c]} + COALESCE(ls.s_{i}, 0) AS sc_{i}"
+        for i, c in enumerate(classes)
+    )
+    best = (
+        "greatest(" + ", ".join(f"sc_{i}" for i in range(len(classes))) + ")"
+        if len(classes) > 1
+        else "sc_0"
+    )
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN sc_{i} = best THEN '{c}'" for i, c in enumerate(classes)
+        )
+        + " END"
+    )
+    ctes = f"""lid_nrm AS (
+            SELECT doc_id, {_NORMALIZED_TEXT} AS nrm FROM documents
+        ),
+        lid_tri AS (
+            SELECT DISTINCT doc_id,
+                   {_hash60("'lid:' || substr(s, i, 3)")} % {n} AS b
+            FROM (
+                SELECT doc_id, ' ' || nrm || ' ' AS s,
+                       unnest(range(1, len(nrm) + 1)) AS i
+                FROM lid_nrm WHERE len(nrm) > 0
+            )
+        ),
+        lid_w AS (
+            SELECT unnest(range(0, {n})) AS b,
+                   {w_cols}
+        ),
+        lid_sums AS (
+            SELECT t.doc_id, {sums}
+            FROM lid_tri t JOIN lid_w w USING (b) GROUP BY 1
+        ),
+        lid_scored AS (
+            SELECT d.doc_id, d.lang,
+                   {scores}
+            FROM documents d LEFT JOIN lid_sums ls USING (doc_id)
+        ),
+        lid_pred AS (
+            SELECT doc_id, lang, {pred} AS pred_lang
+            FROM (SELECT *, {best} AS best FROM lid_scored)
+        )"""
+    return ctes, "lid_pred"
+
+
+def _langid_confusion_sql() -> str:
+    """q163 twin: model vs heuristic vs labeled-lang confusion with
+    the corpus-wide agreement gate (integer micro division)."""
+    ctes, pred_cte = _langid_ctes()
+    agree = (
+        "SUM(CASE WHEN pred_lang = heur_lang THEN n_docs ELSE 0 END)"
+        " OVER ()"
+    )
+    total = "SUM(n_docs) OVER ()"
+    return f"""
+        WITH {ctes},
+        lid_heur AS (
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN vde = best THEN 'de'
+                        WHEN ven = best THEN 'en'
+                        WHEN ves = best THEN 'es'
+                        WHEN vfr = best THEN 'fr'
+                        ELSE 'und' END AS heur_lang
+            FROM (
+                SELECT doc_id, vde, ven, ves, vfr,
+                       greatest(vde, ven, ves, vfr) AS best
+                FROM (
+                    SELECT doc_id,
+                           {_votes("de")} AS vde,
+                           {_votes("en")} AS ven,
+                           {_votes("es")} AS ves,
+                           {_votes("fr")} AS vfr
+                    FROM documents
+                )
+            )
+        ),
+        conf AS (
+            SELECT p.lang, p.pred_lang, h.heur_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM {pred_cte} p JOIN lid_heur h USING (doc_id)
+            GROUP BY 1, 2, 3
+        )
+        SELECT lang, pred_lang, heur_lang, n_docs,
+               CAST(({agree} * 1000000) // {total} AS BIGINT)
+                   AS agreement_micro,
+               (({agree} * 1000000) // {total}) >= 950000
+                   AS gate_agreement
+        FROM conf
+        ORDER BY lang, pred_lang, heur_lang
+    """
+
+
+def _fertility_by_model_lang_sql(n_merges: int) -> str:
+    """q164 twin: the q155 fertility computation grouped by the
+    LEARNED language label (the lid CTE chain) instead of the labeled
+    column — the model's labels driving a downstream eval."""
+    lid_ctes, pred_cte = _langid_ctes()
+    ctes = _bpe_base_ctes() + _bpe_round_ctes(n_merges, need_final=True)
+    return (
+        "WITH " + ",\n        ".join(ctes) + f""",
+        {lid_ctes},
+        dw AS (
+            SELECT doc_id, tok AS word FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text),
+                              '[^a-z0-9]+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        )
+        SELECT p.pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+               CAST(SUM(len(v.s)) AS BIGINT) AS n_subword_tokens,
+               (CAST(SUM(len(v.s)) AS BIGINT) * 1000000)
+                   // CAST(COUNT(*) AS BIGINT) AS fertility_micro
+        FROM dw
+        JOIN {pred_cte} p USING (doc_id)
+        JOIN r{n_merges} v USING (word)
+        GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
 ORACLES: dict[str, str] = {
+    # q164: fertility eval consuming the LEARNED language labels
+    "q164_fertility_by_model_lang": _fertility_by_model_lang_sql(8),
+    # q163: model-based language ID (Bernoulli NB, committed weights)
+    # vs heuristic vs labeled lang, with the agreement gate
+    "q163_langid_model": _langid_confusion_sql(),
     # q162: IVM refresh — same two-batch summary algebra, both gates
     "q162_incremental_view_refresh": """
         WITH base AS (

@@ -5008,7 +5008,103 @@ def q162_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q163_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based language ID (operators/langid.langid_model_scores):
+    every document scored by the COMMITTED Bernoulli naive-Bayes over
+    hashed boundary-padded char trigrams (ml/langid_weights.py —
+    trained once by scripts/gen_langid_weights.py distilling the
+    stopword heuristic, holdout agreement 0.98 vs 0.91 majority), the
+    learned upgrade of q23's stopword votes (the directive's
+    fastText-lid-style curation stage, trained on the corpus itself —
+    no external model). Output: model vs heuristic vs labeled-lang
+    confusion counts plus the corpus-wide model↔heuristic agreement
+    (integer micro-units) and its self-gate (≥ 0.95, pinned TRUE by
+    the oracle hash — the q86b pattern). Scoring is MAP-ONLY constant-
+    folded folds; the confusion agg + one single-partition window over
+    ≤|classes|² rows are the only exchanges."""
+    from ..ml.langid_weights import LID_BIASES_MICRO, LID_WEIGHTS_MICRO
+    from ..operators.langid import langid_model_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("heur_lang", text.lang_id("text"))
+    scored = langid_model_scores(
+        staged,
+        LID_WEIGHTS_MICRO,
+        LID_BIASES_MICRO,
+        carry_cols=["lang", "heur_lang"],
+    )
+    g = scored.groupBy("lang", "pred_lang", "heur_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    agree = F.sum(
+        F.when(
+            F.col("pred_lang") == F.col("heur_lang"), F.col("n_docs")
+        ).otherwise(F.lit(0))
+    ).over(w)
+    total = F.sum("n_docs").over(w)
+    agreement = F.call_function("div", agree * F.lit(1_000_000), total)
+    return g.select(
+        "lang",
+        "pred_lang",
+        "heur_lang",
+        "n_docs",
+        agreement.alias("agreement_micro"),
+        (agreement >= F.lit(950_000)).alias("gate_agreement"),
+    ).transform(_ordered, "lang", "pred_lang", "heur_lang")
+
+
+def q164_fertility_by_model_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility grouped by the LEARNED language label —
+    q155's eval consuming q163's model predictions instead of the
+    labeled column: the composition a real curation pipeline runs
+    (its corpora are unlabeled; every per-language eval downstream of
+    LID consumes model labels). Same exact-integer BPE join-back as
+    q155; the language column is a MAP-ONLY scoring fold, so the plan
+    shape is q155's plus zero exchanges. DuckDB twin: the trainer CTE
+    chain + the generated lid scoring CTEs (cannot drift from either
+    model)."""
+    from ..functions import text as Ftext
+    from ..ml.langid_weights import LID_BIASES_MICRO, LID_WEIGHTS_MICRO
+    from ..operators.bpe import bpe_apply, bpe_train, word_frequency_table
+    from ..operators.langid import langid_model_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequency_table(docs).localCheckpoint(eager=False)
+    merges, _ = bpe_train(wf, n_merges=8)
+    vocab = bpe_apply(wf, merges).select(
+        "word", F.size("syms").cast("long").alias("nt")
+    )
+    scored = langid_model_scores(
+        docs, LID_WEIGHTS_MICRO, LID_BIASES_MICRO, carry_cols=["text"]
+    )
+    words = scored.select(
+        "pred_lang", F.explode(Ftext.tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_word_occurrences"),
+            F.sum("nt").alias("n_subword_tokens"),
+        )
+        .select(
+            "pred_lang",
+            "n_word_occurrences",
+            "n_subword_tokens",
+            F.call_function(
+                "div",
+                F.col("n_subword_tokens") * 1_000_000,
+                F.col("n_word_occurrences"),
+            ).alias("fertility_micro"),
+        )
+        .transform(_ordered, "pred_lang")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q164_fertility_by_model_lang": q164_fertility_by_model_lang,
+    "q163_langid_model": q163_langid_model,
     "q162_incremental_view_refresh": q162_incremental_view_refresh,
     "q161_quality_classifier": q161_quality_classifier,
     "q160_span_removal": q160_span_removal,
