@@ -617,6 +617,8 @@ def crawl_front_door(
     min_lines_kept: int = 2,
     quality_weights: tuple[list[int], int] | None = None,
     min_score_micro: int | None = None,
+    langid_weights: tuple[dict[str, list[int]], dict[str, int]] | None = None,
+    allowed_langs: list[str] | None = None,
 ) -> DataFrame:
     """The crawl preprocessing stage, composed: HTML → text extraction
     (functions/html.extract_text), C4 line cleaning
@@ -693,6 +695,36 @@ def crawl_front_door(
         out = scored
         if min_score_micro is not None:
             out = out.filter(F.col("score_micro") >= int(min_score_micro))
+    if langid_weights is not None:
+        # learned language gate (the fastText-lid stage of CCNet-style
+        # pipelines): label the CLEANED text with the committed
+        # Bernoulli NB — another map-only fold appending ``pred_lang``;
+        # when allowed_langs is set, off-language documents drop here.
+        # The quality stage's score_micro is renamed around the scorer
+        # (whose own score_micro/n_trigrams are discarded) so both
+        # stages stay map-only — no collision join.
+        from .langid import langid_model_scores
+
+        w_micro, b_micro = langid_weights
+        staged = out.withColumnsRenamed(
+            {"score_micro": "__q_score", "n_bigrams": "__q_nb"}
+        )
+        out = (
+            langid_model_scores(
+                staged,
+                w_micro,
+                b_micro,
+                id_col=id_col,
+                text_col="text",
+                carry_cols=[c for c in staged.columns if c != id_col],
+            )
+            .drop("n_trigrams", "score_micro")
+            .withColumnsRenamed(
+                {"__q_score": "score_micro", "__q_nb": "n_bigrams"}
+            )
+        )
+        if allowed_langs:
+            out = out.filter(F.col("pred_lang").isin(list(allowed_langs)))
     return out
 
 

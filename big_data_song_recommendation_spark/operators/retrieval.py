@@ -237,6 +237,109 @@ def bm25_topk_indexed(
     return _score_topk(tf_dl, df_, totals, id_col=id_col, k=k)
 
 
+def _bucket_count(spark, table: str) -> int:
+    """Bucket count of a catalog table (DESCRIBE EXTENDED), so merges
+    can match the existing spec instead of trusting a caller param."""
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            return int(r["data_type"])
+    raise RuntimeError(f"_bucket_count: {table!r} is not bucketed")
+
+
+def merge_bm25_index(
+    delta_docs: DataFrame,
+    *,
+    name: str = "bm25_idx",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    check_new_ids: bool = True,
+) -> None:
+    """Fold a batch of NEW documents into a persisted BM25 index —
+    insert-only incremental view maintenance (the
+    ``aggregates.merge_summaries`` discipline applied to the retrieval
+    layout), so a daily crawl increment never re-tokenizes the corpus:
+
+    - ``{name}_postings``: the delta's ``(tok, id, tf, dl)`` rows
+      APPEND into the bucketed table with the EXISTING bucket spec
+      (bucket pruning is preserved — each bucket just gains files;
+      compact with ``sources.layout`` on the usual cadence);
+    - ``{name}_terms``: per-token df ADDS — union + re-aggregate at
+      delta-vocabulary grain, written to a staging table and swapped
+      in by a metadata-only rename (Spark refuses to overwrite a
+      table its own plan reads);
+    - ``{name}_totals``: one-row add, same staging swap.
+
+    Post-merge scores are IDENTICAL to a full rebuild on the union
+    corpus by construction: every quantity ``_score_topk`` reads
+    (per-doc tf/dl, per-token df, corpus totals) is additive over
+    disjoint document sets. That additivity REQUIRES delta ids to be
+    new — re-ingesting an id would silently double its postings — so
+    by default the merge anti-checks delta ids against the index and
+    raises on overlap. The check scans the postings id column (the
+    table is bucketed by ``tok``, not id); pipelines with an upstream
+    dedup store (the curation front door) can pass
+    ``check_new_ids=False``. Updates/deletes are NOT expressible as
+    negative postings here (rank windows are not retractable the way
+    sums are): rebuild the affected docs via filtered rebuild instead.
+    """
+    spark = delta_docs.sparkSession
+    tables = {s: f"{name}_{s}" for s in ("postings", "terms", "totals")}
+    for t in tables.values():
+        if not spark.catalog.tableExists(t):
+            raise RuntimeError(
+                f"merge_bm25_index: {t!r} missing — build_bm25_index first"
+            )
+    n_buckets = _bucket_count(spark, tables["postings"])
+    if check_new_ids:
+        dup = (
+            spark.table(tables["postings"])
+            .select(id_col)
+            .join(delta_docs.select(id_col), id_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_bm25_index: delta contains ids already indexed — "
+                "insert-only IVM would double their postings; dedup "
+                "upstream or rebuild"
+            )
+    toks = _tokenized(delta_docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    postings_delta = tf.join(dl, id_col).select("tok", id_col, "tf", "dl")
+    (
+        postings_delta.write.format("parquet")
+        .mode("append")
+        .bucketBy(n_buckets, "tok")
+        .sortBy("tok")
+        .saveAsTable(tables["postings"])
+    )
+    delta_terms = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    merged_terms = (
+        spark.table(tables["terms"])
+        .unionByName(delta_terms)
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    delta_totals = dl.agg(
+        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
+    )
+    merged_totals = (
+        spark.table(tables["totals"])
+        .unionByName(delta_totals)
+        .agg(
+            F.sum("s_tokens").alias("s_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+    )
+    for t, df_new in (("terms", merged_terms), ("totals", merged_totals)):
+        stage = f"{tables[t]}_stage"
+        df_new.write.format("parquet").mode("overwrite").saveAsTable(stage)
+        spark.sql(f"DROP TABLE {tables[t]}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {tables[t]}")
+
+
 def rrf_fuse(
     rankings: list[tuple[str, DataFrame]],
     *,

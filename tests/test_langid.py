@@ -151,6 +151,60 @@ def test_mismatched_classes_raise(spark):
         )
 
 
+def test_front_door_language_gate(spark):
+    """crawl_front_door's learned language stage: labels ride the
+    cleaned text, off-language docs drop, and composing with the
+    quality stage keeps both contracts (score_micro AND pred_lang)
+    with no shuffle join between the two map-only stages."""
+    from big_data_song_recommendation_spark.ml.quality_weights import (
+        QCLF_BIAS_MICRO,
+        QCLF_WEIGHTS_MICRO,
+    )
+    from big_data_song_recommendation_spark.operators.quality import (
+        crawl_front_door,
+    )
+
+    # corpus-realistic texts, picked by the model itself: a synthetic
+    # off-vocabulary sentence can collide novel trigrams into marker
+    # buckets (happened: 'rk '/'p o' collided with 'and'/' th'), which
+    # tests the hash, not the gate
+    docs = load_table(spark, SF_DIR, "documents")
+    preds = {
+        r["pred_lang"]: r["text"]
+        for r in langid_model_scores(
+            docs, LID_WEIGHTS_MICRO, LID_BIASES_MICRO, carry_cols=["text"]
+        )
+        .filter(F.col("pred_lang").isin(["en", "und"]))
+        .orderBy("doc_id")
+        .collect()
+    }
+    assert {"en", "und"} <= set(preds)
+    wrap = "<html><body><p>{}.</p></body></html>".format
+    df = spark.createDataFrame(
+        [(1, wrap(preds["en"])), (2, wrap(preds["und"]))],
+        "doc_id long, html string",
+    )
+    out = crawl_front_door(
+        df,
+        min_lines_kept=1,
+        langid_weights=(LID_WEIGHTS_MICRO, LID_BIASES_MICRO),
+        allowed_langs=["en"],
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["pred_lang"] == "en"
+    both = crawl_front_door(
+        df,
+        min_lines_kept=1,
+        quality_weights=(QCLF_WEIGHTS_MICRO, QCLF_BIAS_MICRO),
+        langid_weights=(LID_WEIGHTS_MICRO, LID_BIASES_MICRO),
+    )
+    assert {"score_micro", "is_quality", "pred_lang"} <= set(both.columns)
+    rows = {r["doc_id"]: r for r in both.collect()}
+    assert rows[1]["pred_lang"] == "en" and rows[2]["pred_lang"] == "und"
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_train_langid_metrics_shape(spark):
     docs = load_table(spark, SF_DIR, "documents")
     m = train_langid(docs, n_features=64, min_rate_gap=0.5)
