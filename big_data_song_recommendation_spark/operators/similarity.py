@@ -14,7 +14,7 @@ Three tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
@@ -330,13 +330,19 @@ def srp_knn(
     vec_col: str = "embedding",
     planes: int = 16,
     k: int = 3,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k restricted to each probe's SRP bucket: candidates come
     from a bucket EQUI-join (the sub-linear step — at scale the corpus
     signatures are computed once and bucketed on disk), exact cosine
     re-ranks the candidates. Probes whose bucket holds no other member
     return no rows — the recall/latency trade every LSH makes; raise
-    recall with more probes per query (multi-probe) or fewer planes.
+    recall with fewer planes, or with ``multiprobe=True``, which also
+    probes every Hamming-distance-1 bucket (each sign bit flipped —
+    the Lv et al. VLDB'07 multi-probe idea in its deterministic
+    all-flips form): candidate volume rises ×(planes+1) worst case
+    while recall can only grow (the candidate set is a superset, and
+    the exact re-rank keeps correctness — recall gates live in q165).
     """
     # probe and corpus branches below both read the signatures —
     # uncached, each branch re-runs the explode+double-groupBy pipeline
@@ -354,6 +360,8 @@ def srp_knn(
         F.col("n").alias("qn"),
         "bucket",
     ).join(probes.select(F.col(id_col).alias("query_id")), "query_id", "left_semi")
+    if multiprobe:
+        p = p.withColumn("bucket", F.explode(_hamming1_buckets(planes)))
     c = with_sig.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("nv"),
@@ -361,6 +369,20 @@ def srp_knn(
         "bucket",
     )
     return _srp_rerank(p, c, dim, k)
+
+
+def _hamming1_buckets(planes: int) -> Column:
+    """Array of the probe's own bucket plus every Hamming-1 flip —
+    distinct values by construction (each flips a different bit), so
+    the downstream bucket equi-join matches a candidate at most once
+    (a corpus vector has exactly one bucket)."""
+    return F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(planes)
+        ],
+    )
 
 
 def _srp_rerank(p: DataFrame, c: DataFrame, dim: int, k: int) -> DataFrame:
@@ -556,13 +578,20 @@ def _srp_probe_rows(spark, probe_ids: list, name: str):
 
 
 def srp_knn_indexed(
-    spark, probe_ids: list, *, name: str = "srp_idx", k: int = 3
+    spark,
+    probe_ids: list,
+    *,
+    name: str = "srp_idx",
+    k: int = 3,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Serve ANN top-``k`` from the persisted SRP layout
     (:func:`build_srp_index`). Same output contract — and identical
     neighbors/sims (shared :func:`_srp_rerank` tail over the stored
-    raw vectors and norms) — as :func:`srp_knn`, but per-query work is
-    two bucket-pruned reads (probe rows by id, candidates by bucket):
+    raw vectors and norms) — as :func:`srp_knn` (including
+    ``multiprobe``: the candidate read's IN-list widens to the
+    Hamming-1 flips, still bucket-pruned), but per-query work is two
+    bucket-pruned reads (probe rows by id, candidates by bucket):
     independent of corpus size."""
     probes, buckets, dim, _, idc = _srp_probe_rows(spark, probe_ids, name)
     if not buckets:
@@ -573,6 +602,13 @@ def srp_knn_indexed(
         F.col("n").alias("qn"),
         "bucket",
     )
+    if multiprobe:
+        planes = int(_srp_meta(spark, name)["planes"])
+        p = p.withColumn("bucket", F.explode(_hamming1_buckets(planes)))
+        buckets = sorted(
+            set(buckets)
+            | {b ^ (1 << i) for b in buckets for i in range(planes)}
+        )
     c = (
         spark.table(f"{name}_by_bucket")
         .filter(F.col("bucket").isin(buckets) if buckets else F.lit(False))

@@ -866,6 +866,104 @@ def _fertility_by_model_lang_sql(n_merges: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    # q165: multi-probe SRP recall vs single-probe vs brute force —
+    # same bit-exact hyperplane replay as q119, plus Hamming-1 flips
+    "q165_multiprobe_recall": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM vecs
+        ),
+        elx AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM el
+        ),
+        planes AS (SELECT unnest(range(0, 6)) AS p),
+        proj AS (
+            SELECT vec_id, p,
+                   SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS proj
+            FROM elx CROSS JOIN planes
+            GROUP BY 1, 2
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        ),
+        pb AS (
+            SELECT vec_id,
+                   CASE WHEN j = 6 THEN bucket
+                        ELSE xor(bucket, CAST(1 AS BIGINT) << j) END
+                       AS bucket
+            FROM bucket, (SELECT unnest(range(0, 7)) AS j)
+            WHERE vec_id < 8
+        ),
+        approx_s AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pv.v, cv.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM bucket p
+                JOIN bucket c ON p.bucket = c.bucket
+                             AND c.vec_id <> p.vec_id
+                JOIN vecs pv ON pv.vec_id = p.vec_id
+                JOIN vecs cv ON cv.vec_id = c.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        approx_m AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pv.v, cv.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM pb p
+                JOIN bucket c ON p.bucket = c.bucket
+                             AND c.vec_id <> p.vec_id
+                JOIN vecs pv ON pv.vec_id = p.vec_id
+                JOIN vecs cv ON cv.vec_id = c.vec_id
+            ) WHERE rnk <= 3
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        p.v, c.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        hs AS (
+            SELECT e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits_single
+            FROM exact e LEFT JOIN approx_s a
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        ),
+        hm AS (
+            SELECT e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits_multi
+            FROM exact e LEFT JOIN approx_m a
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT query_id, n_hits_single, n_hits_multi,
+               n_hits_multi >= n_hits_single AS gate_no_worse
+        FROM hs JOIN hm USING (query_id)
+        ORDER BY query_id
+    """,
     # q164: fertility eval consuming the LEARNED language labels
     "q164_fertility_by_model_lang": _fertility_by_model_lang_sql(8),
     # q163: model-based language ID (Bernoulli NB, committed weights)

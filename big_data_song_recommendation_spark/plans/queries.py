@@ -5102,7 +5102,68 @@ def q164_fertility_by_model_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q165_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall gate (operators/similarity.srp_knn
+    ``multiprobe=True`` — Lv et al. VLDB'07, deterministic all-flips
+    form): per probe, recall@3 hits of single-bucket SRP vs
+    Hamming-1 multi-probe against brute-force truth, with the
+    superset invariant gated IN-QUERY (``gate_no_worse`` — multi-probe
+    candidates ⊇ single-probe candidates, so hits cannot drop; pinned
+    TRUE by the oracle hash). The recall lever every LSH deployment
+    reaches for before re-tuning planes; same bit-reproducible
+    hyperplanes as q75/q119, so the DuckDB twin replays all three
+    sides exactly."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_knn(emb, probes, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    single = similarity.srp_knn(emb, probes, planes=6, k=3).select(
+        F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sn")
+    )
+    multi = similarity.srp_knn(
+        emb, probes, planes=6, k=3, multiprobe=True
+    ).select(
+        F.col("query_id").alias("mq"), F.col("neighbor_id").alias("mn")
+    )
+    hs = (
+        exact.join(
+            single,
+            (F.col("query_id") == F.col("sq"))
+            & (F.col("neighbor_id") == F.col("sn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("sn").alias("n_hits_single"))
+    )
+    hm = (
+        exact.join(
+            multi,
+            (F.col("query_id") == F.col("mq"))
+            & (F.col("neighbor_id") == F.col("mn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("mn").alias("n_hits_multi"))
+    )
+    return (
+        hs.join(hm, "query_id")
+        .select(
+            "query_id",
+            "n_hits_single",
+            "n_hits_multi",
+            (F.col("n_hits_multi") >= F.col("n_hits_single")).alias(
+                "gate_no_worse"
+            ),
+        )
+        .transform(_ordered, "query_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q165_multiprobe_recall": q165_multiprobe_recall,
     "q164_fertility_by_model_lang": q164_fertility_by_model_lang,
     "q163_langid_model": q163_langid_model,
     "q162_incremental_view_refresh": q162_incremental_view_refresh,

@@ -58,6 +58,27 @@ def test_indexed_knn_matches_in_session(spark, srp_index):
     assert got == want and len(got) > 0
 
 
+def test_indexed_multiprobe_matches_in_session(spark, srp_index):
+    """multiprobe=True must agree between the in-session join and the
+    persisted index (flips widen the IN-list, same rerank tail)."""
+    emb, _ = srp_index
+    ids = [0, 1, 2, 3]
+    probes = emb.filter(emb.vec_id < 4)
+    want = sorted(
+        tuple(r)
+        for r in srp_knn(
+            emb, probes, planes=PLANES, k=3, multiprobe=True
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in srp_knn_indexed(
+            spark, ids, name="t_srp", k=3, multiprobe=True
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_indexed_hard_negatives_match_in_session(spark, srp_index):
     emb, _ = srp_index
     ids = [0, 1, 2, 3, 4, 5, 6, 7]
