@@ -611,6 +611,7 @@ class CurationSink:
         quality_threshold: float = 0.5,
         n_shards: int = 4,
         preprocess=None,
+        bm25_index: str | None = None,
     ):
         self.out_dir = Path(out_dir)
         self.quality_threshold = quality_threshold
@@ -622,6 +623,22 @@ class CurationSink:
         #: serves batch tables and micro-batches. Rows it drops count
         #: as quality failures in the audit.
         self.preprocess = preprocess
+        #: optional name of a persisted BM25 layout (operators/
+        #: retrieval.build_bm25_index) to maintain INCREMENTALLY: each
+        #: epoch's accepted docs merge into the postings/terms/totals
+        #: tables (merge_bm25_index), so the retrieval index trails the
+        #: training lake by one micro-batch with delta-grain cost.
+        #: Epoch replays are guarded by `index_epochs/` marker files
+        #: (tiny atomic renames, written AFTER the merge): a replayed
+        #: epoch skips the merge instead of double-appending postings.
+        #: The one non-transactional window — a crash between the merge
+        #: and its marker — double-merges on replay; a transactional
+        #: table format (Delta/Iceberg) closes it in deployment, and
+        #: the audit row records `indexed` so the gap is observable.
+        #: id-newness (merge precondition) comes from the fingerprint
+        #: store: accepted docs are content-new, and the pipeline's id
+        #: discipline keys docs uniquely.
+        self.bm25_index = bm25_index
 
     def _store_paths(self, current_epoch: int) -> list[str]:
         d = self.out_dir / "store"
@@ -674,6 +691,23 @@ class CurationSink:
                 .write.mode("overwrite")
                 .parquet(str(self.out_dir / "store" / f"epoch={epoch_id}"))
             )
+            indexed = False
+            if self.bm25_index and counts.get("accept", 0):
+                marker_dir = self.out_dir / "index_epochs"
+                marker = marker_dir / f"epoch={epoch_id}"
+                if not marker.exists():
+                    from ..operators.retrieval import merge_bm25_index
+
+                    merge_bm25_index(
+                        accepted.select("doc_id", "text"),
+                        name=self.bm25_index,
+                        check_new_ids=False,
+                    )
+                    marker_dir.mkdir(parents=True, exist_ok=True)
+                    tmp_m = marker_dir / f"epoch={epoch_id}.tmp"
+                    tmp_m.write_text("merged")
+                    tmp_m.replace(marker)
+                    indexed = True
             audit = {
                 "epoch": epoch_id,
                 "n_in": n_in,
@@ -682,6 +716,7 @@ class CurationSink:
                 "n_dup_store": counts.get("dup_store", 0),
                 "n_dup_batch": counts.get("dup_batch", 0),
                 "n_accepted": counts.get("accept", 0),
+                "indexed": indexed,
             }
             audit_dir = self.out_dir / "audit"
             audit_dir.mkdir(parents=True, exist_ok=True)

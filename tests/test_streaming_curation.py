@@ -92,11 +92,79 @@ def test_curation_sink_epoch_retry_is_idempotent(spark, tmp_path):
     assert first == retry == {
         "epoch": 0, "n_in": 2, "n_quality_fail": 0,
         "n_dup_store": 0, "n_dup_batch": 0, "n_accepted": 2,
+        "indexed": False,
     }
     # a LATER epoch replaying the content is rejected against the store
     sink(spark.createDataFrame([(9, GOOD_A, "en")], SCHEMA), 1)
     a1 = json.loads((tmp_path / "out" / "audit" / "batch_000001.json").read_text())
     assert a1["n_dup_store"] == 1 and a1["n_accepted"] == 0
+
+
+def test_curation_sink_maintains_bm25_index(spark, tmp_path):
+    """Streaming retrieval-index maintenance: each epoch's accepted
+    docs merge into a persisted BM25 layout; the merged index equals
+    a rebuild over initial+accepted corpus; an epoch REPLAY skips the
+    merge (marker files), so postings never double."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    out_dir = str(tmp_path / "out")
+    initial = spark.createDataFrame([(100, GOOD_C, "en")], SCHEMA)
+    tables = build_bm25_index(
+        initial.select("doc_id", "text"), name="t_cur_idx", n_buckets=2
+    )
+    try:
+        sink = jobs.CurationSink(out_dir, n_shards=1, bm25_index="t_cur_idx")
+        batch = spark.createDataFrame(
+            [(1, GOOD_A, "en"), (2, GOOD_B, "en"), (3, JUNK, "en")], SCHEMA
+        )
+        sink(batch, 0)
+        audit = json.loads(
+            (tmp_path / "out" / "audit" / "batch_000000.json").read_text()
+        )
+        assert audit["indexed"] is True and audit["n_accepted"] == 2
+        terms_before = {
+            r["tok"]: r["df"] for r in spark.table("t_cur_idx_terms").collect()
+        }
+        sink(batch, 0)  # epoch replay: merge must be SKIPPED
+        replay = json.loads(
+            (tmp_path / "out" / "audit" / "batch_000000.json").read_text()
+        )
+        assert replay["indexed"] is False
+        terms_after = {
+            r["tok"]: r["df"] for r in spark.table("t_cur_idx_terms").collect()
+        }
+        assert terms_before == terms_after
+        # merged index == rebuild over initial + the accepted docs
+        union = initial.select("doc_id", "text").unionByName(
+            spark.createDataFrame(
+                [(1, GOOD_A), (2, GOOD_B)], "doc_id long, text string"
+            )
+        )
+        rebuilt = build_bm25_index(union, name="t_cur_ref", n_buckets=2)
+        try:
+            for terms in (["the", "fox"], ["document"], ["data"]):
+                got = [
+                    tuple(r)
+                    for r in bm25_topk_indexed(
+                        spark, terms, name="t_cur_idx", k=5
+                    ).collect()
+                ]
+                want = [
+                    tuple(r)
+                    for r in bm25_topk_indexed(
+                        spark, terms, name="t_cur_ref", k=5
+                    ).collect()
+                ]
+                assert got == want, terms
+        finally:
+            for t in rebuilt.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 # -- round-8: crawl front door plugged into the streaming sink --------------
