@@ -5075,9 +5075,13 @@ def q164_fertility_by_model_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bpe_apply(wf, merges).select(
         "word", F.size("syms").cast("long").alias("nt")
     )
+    # lazy checkpoint: projection collapse would inline the per-doc
+    # scoring fold below the token explode and re-evaluate it PER
+    # TOKEN; materializing the doc-grain labels once keeps the scorer
+    # at doc grain (0.9 s vs 3.7 s at sf0.1)
     scored = langid_model_scores(
         docs, LID_WEIGHTS_MICRO, LID_BIASES_MICRO, carry_cols=["text"]
-    )
+    ).localCheckpoint(eager=False)
     words = scored.select(
         "pred_lang", F.explode(Ftext.tokens("text")).alias("word")
     ).filter(F.col("word") != "")

@@ -876,6 +876,69 @@ def r8ops_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def r9ops_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the round-9 incremental BM25 index merge
+    (merge_bm25_index): corpus ×r, delta held at 10% of it — the merge
+    wall must track the DELTA (flat-to-slow growth in r) while a full
+    rebuild tracks the corpus, and the merged index must equal the
+    rebuild on a probe query at every point. The claim the operator
+    docstring makes ('never a corpus re-tokenization'), measured.
+    (Multi-probe SRP recall is covered per-SF by q165's oracle, and
+    its candidate growth is bounded ×(planes+1) by construction.)
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+    from big_data_song_recommendation_spark.session import (
+        release_query_state,
+    )
+
+    docs0 = load_table(spark, SF_DIR, "documents")
+    for r in reps:
+        docs = (
+            replicate(docs0, r, "doc_id") if r > 1 else docs0
+        ).localCheckpoint()
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        n_base, n_delta = base.count(), delta.count()
+        t0 = time.perf_counter()
+        tables = build_bm25_index(base, name="probe_r9_idx", n_buckets=8)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merge_bm25_index(delta, name="probe_r9_idx", check_new_ids=False)
+        t_merge = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rebuilt = build_bm25_index(docs, name="probe_r9_ref", n_buckets=8)
+        t_rebuild = time.perf_counter() - t0
+        got = [
+            tuple(x)
+            for x in bm25_topk_indexed(
+                spark, ["dup", "key"], name="probe_r9_idx", k=10
+            ).collect()
+        ]
+        want = [
+            tuple(x)
+            for x in bm25_topk_indexed(
+                spark, ["dup", "key"], name="probe_r9_ref", k=10
+            ).collect()
+        ]
+        assert got == want, f"x{r}: merged != rebuilt"
+        for t in list(tables.values()) + list(rebuilt.values()):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        print(
+            f"x{r}: base={n_base} delta={n_delta} build={t_build:.1f}s"
+            f" merge={t_merge:.1f}s rebuild={t_rebuild:.1f}s topk_equal=True",
+            flush=True,
+        )
+        release_query_state(spark)
+
+
 def spans_probe(spark, reps: list[int]) -> None:
     """×r scaling for exact-substring duplicate spans (q156): salted
     replicas (the r8ops trick — a per-replica token interleaved
@@ -931,7 +994,7 @@ def main() -> None:
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
-        "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops", "spans",
+        "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops", "spans", "r9ops",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -980,6 +1043,10 @@ def main() -> None:
         return
     if mode == "spans":
         spans_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r9ops":
+        r9ops_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
