@@ -1016,6 +1016,14 @@ def _prefix_candidates(
     )
     if not positional:
         return matches.select("id_a", "id_b", "la", "lb").distinct()
+    # (Evaluated and rejected: a per-ROW positional prune before the
+    # pair shuffle — overlap ≤ min(pa,pb) + min(La−pa, Lb−pb) holds
+    # for every matched row, so filtering on it is lossless AND keeps
+    # m intact for qualifying pairs. But at t = 1/2 the prefix spans
+    # half the set and the bound ≈ L rarely dips below α = 2L/3:
+    # measured 1,334 of 328,628 match rows pruned (0.4%) at sf0.1 —
+    # under the per-row expression cost. Revisit for high thresholds
+    # (t ≥ 0.8), where the prefix is short and the bound bites.)
     # PPJoin positional filter: positions of matched prefix shingles
     # rise together (shared global order), so max(__pa)/max(__pb) land
     # on the SAME (last) matched shingle; overlap ≤ m + min suffix.
