@@ -38,21 +38,12 @@ B_X100 = 75  # b = 0.75
 SCALE = 1_000_000  # micro-unit flooring for the integer score sum
 
 
-def _score_topk(
-    tf_dl: DataFrame,
-    df_: DataFrame,
-    totals: DataFrame,
-    *,
-    id_col: str,
-    k: int,
-) -> DataFrame:
-    """Shared BM25 scoring tail: ``tf_dl`` at ``(id, tok, tf, dl)``
-    grain joins the broadcast per-term ``df`` and 1-row corpus
-    ``totals``, scores in the exact-rational/int64-micro-unit
-    discipline, and TakeOrders the top ``k``. Both the scan form
-    (:func:`bm25_topk`) and the postings-index form
-    (:func:`bm25_topk_indexed`) end here, so the two are
-    score-identical by construction."""
+def _s_int_expr() -> "F.Column":
+    """The per-(doc, term) BM25 contribution in int64 micro-units —
+    the ONE expression every serving form scores with (single-query
+    scan, single-query index, batch index), so scores cannot drift
+    across forms. Expects ``tf``, ``dl``, ``df``, ``s_tokens``,
+    ``n_docs`` columns in scope."""
     num = 22 * F.col("tf") * F.col("s_tokens")
     den = (
         10 * F.col("tf") * F.col("s_tokens")
@@ -68,18 +59,30 @@ def _score_topk(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
+    return F.floor(
+        idf * num.cast("double") / den.cast("double") * F.lit(float(SCALE))
+    ).cast("long")
+
+
+def _score_topk(
+    tf_dl: DataFrame,
+    df_: DataFrame,
+    totals: DataFrame,
+    *,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: ``tf_dl`` at ``(id, tok, tf, dl)``
+    grain joins the broadcast per-term ``df`` and 1-row corpus
+    ``totals``, scores in the exact-rational/int64-micro-unit
+    discipline, and TakeOrders the top ``k``. Both the scan form
+    (:func:`bm25_topk`) and the postings-index form
+    (:func:`bm25_topk_indexed`) end here, so the two are
+    score-identical by construction."""
     scored = (
         tf_dl.join(F.broadcast(df_), "tok")
         .join(F.broadcast(totals))
-        .withColumn(
-            "s_int",
-            F.floor(
-                idf
-                * num.cast("double")
-                / den.cast("double")
-                * F.lit(float(SCALE))
-            ).cast("long"),
-        )
+        .withColumn("s_int", _s_int_expr())
     )
     return (
         scored.groupBy(id_col)
@@ -235,6 +238,71 @@ def bm25_topk_indexed(
     df_ = spark.table(f"{name}_terms").filter(F.col("tok").isin(terms))
     totals = spark.table(f"{name}_totals")
     return _score_topk(tf_dl, df_, totals, id_col=id_col, k=k)
+
+
+def bm25_topk_indexed_many(
+    spark,
+    queries: dict[str, list[str]],
+    *,
+    name: str = "bm25_idx",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """BATCH serving from the postings layout: N queries scored in ONE
+    job — one bucket-pruned postings read over the UNION of all query
+    terms, a broadcast (query_id, tok) join to fan each posting to the
+    queries that want it, one (query_id, doc) aggregate, one rank
+    window per query. Per-query results are IDENTICAL to
+    :func:`bm25_topk_indexed` (same :func:`_s_int_expr` contribution,
+    same tie-break) — test-pinned.
+
+    This is the real service shape: request batching amortizes the
+    per-job scheduling floor across the batch, so p50-per-query drops
+    well below the single-request path (serving-probe pinned). Output:
+    ``query_id``, ``id_col``, ``rank``, ``score``, ``n_terms_hit``.
+    100 TB shape: postings IO ∝ the batch's distinct terms; the
+    (query, term) table is broadcast (bounded by the batch); the only
+    shuffle is the (query, doc) aggregate over matched postings.
+    """
+    if not queries:
+        raise ValueError("bm25_topk_indexed_many: queries must be non-empty")
+    qt = []
+    for qid, ts in queries.items():
+        if not ts:
+            raise ValueError(
+                f"bm25_topk_indexed_many: query {qid!r} has no terms"
+            )
+        qt.extend((qid, t) for t in sorted({t.lower() for t in ts}))
+    all_terms = sorted({t for _, t in qt})
+    qdf = spark.createDataFrame(qt, "query_id string, tok string")
+    tf_dl = spark.table(f"{name}_postings").filter(F.col("tok").isin(all_terms))
+    df_ = spark.table(f"{name}_terms").filter(F.col("tok").isin(all_terms))
+    totals = spark.table(f"{name}_totals")
+    scored = (
+        tf_dl.join(F.broadcast(qdf), "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(F.broadcast(totals))
+        .withColumn("s_int", _s_int_expr())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.groupBy("query_id", id_col)
+        .agg(
+            F.sum("s_int").alias("__s"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            id_col,
+            "rank",
+            (F.col("__s") / F.lit(float(SCALE))).alias("score"),
+            "n_terms_hit",
+        )
+    )
 
 
 def _bucket_count(spark, table: str) -> int:

@@ -190,6 +190,22 @@ def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
 
         report["bm25_scan"] = _timed(bm25_scan, term_reqs)
         report["bm25_indexed"] = _timed(bm25_indexed, term_reqs)
+
+        # batch serving: the whole request set in ONE job — report the
+        # amortized per-query latency next to the sequential p50s
+        from big_data_song_recommendation_spark.operators.retrieval import (
+            bm25_topk_indexed_many,
+        )
+
+        batch = {f"q{i}": ts for i, ts in enumerate(term_reqs)}
+        t0 = time.perf_counter()
+        bm25_topk_indexed_many(spark, batch, name="probe_bm25", k=10).collect()
+        wall = (time.perf_counter() - t0) * 1000
+        report["bm25_indexed_batch"] = {
+            "n_queries": len(batch),
+            "batch_ms": round(wall, 1),
+            "per_query_ms": round(wall / len(batch), 1),
+        }
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -183,6 +183,47 @@ def test_indexed_plan_prunes_buckets_and_never_tokenizes(spark, bm25_index):
     assert int(m.group(1)) < int(m.group(2)), m.group(0)
 
 
+def test_batch_indexed_matches_single_query_form(spark, bm25_index):
+    """bm25_topk_indexed_many must return, per query id, the EXACT
+    rows of the single-query indexed form — shared _s_int_expr
+    contribution and tie-break."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        bm25_topk_indexed_many,
+    )
+
+    qs = {
+        "a": ["dup", "key", "vector"],
+        "b": ["dup"],
+        "c": ["the", "zebra"],
+    }
+    rows = bm25_topk_indexed_many(spark, qs, name="t_bm25", k=10).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rank"], r["score"], r["n_terms_hit"])
+        )
+    for qid, terms in qs.items():
+        want = [
+            (r["doc_id"], r["rank"], r["score"], r["n_terms_hit"])
+            for r in bm25_topk_indexed(
+                spark, terms, name="t_bm25", k=10
+            ).collect()
+        ]
+        assert sorted(got.get(qid, []), key=lambda x: x[1]) == want, qid
+
+
+def test_batch_indexed_rejects_bad_input(spark, bm25_index):
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed_many,
+    )
+
+    with pytest.raises(ValueError):
+        bm25_topk_indexed_many(spark, {}, name="t_bm25")
+    with pytest.raises(ValueError):
+        bm25_topk_indexed_many(spark, {"a": []}, name="t_bm25")
+
+
 def test_index_empty_query_raises(spark):
     from big_data_song_recommendation_spark.operators.retrieval import (
         bm25_topk_indexed,
