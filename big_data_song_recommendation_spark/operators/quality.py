@@ -608,6 +608,67 @@ def c4_line_filter(
     ).drop("__c4_lines", "__c4_kept")
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    normalize: bool = True,
+    out_text: str = "dedup_text",
+) -> DataFrame:
+    """Intra-document repeated-line removal (keep-FIRST occurrence) —
+    the curation stage between C4's per-line rules
+    (:func:`c4_line_filter`) and cross-document span dedup
+    (``operators/dedup.duplicated_spans``): boilerplate that repeats
+    WITHIN one page (nav bars top and bottom, duplicated footers,
+    scraper stutter) never reaches the cross-doc stages, which key on
+    content that repeats ACROSS documents.
+
+    Keep-first on the line's comparison key — ``lower(trim(line))``
+    when ``normalize`` (mirror headers differing only in case/padding
+    collapse; repeated blank lines collapse to the first), the raw
+    line otherwise. Survivors are re-joined in original order.
+
+    Map-only, like the C4 stage it follows: the split, the normalized
+    twin array, the keep-first filter, and the reassembly are all
+    array lambdas — no explode, no shuffle, no re-keying join, so at
+    100 TB it rides the scan. The keep-first test is
+    ``array_position(norm, norm[i]) == i+1`` — O(lines²) per document
+    in the worst case, fine at page grain (tens-to-hundreds of lines);
+    a document with ≥10⁵ lines should be chunked upstream first
+    (``operators/quality.pack_sequences`` note applies).
+
+    Emits, never drops (the q78/q153 audit pattern): input columns
+    plus ``n_lines``, ``n_kept_lines``, ``n_removed``, ``out_text``.
+
+    No reference twin (ref's corpus is curated song metadata,
+    src/data_processor.py:58-79 cleans fields, not pages); this is a
+    §2.13 pipeline mandate op.
+    """
+    key = (lambda c: F.lower(F.trim(c))) if normalize else (lambda c: c)
+    # staged projections (not inlined) — codegen skips CSE for
+    # lambda-bearing expressions, the c4_line_filter plan note
+    staged = df.select(
+        "*", F.split(F.col(text_col), "\n").alias("__dl_lines")
+    ).select("*", F.transform("__dl_lines", key).alias("__dl_norm"))
+    kept = F.filter(
+        "__dl_lines",
+        lambda x, i: F.array_position(
+            F.col("__dl_norm"), F.get("__dl_norm", i)
+        )
+        == (i + F.lit(1)).cast("long"),
+    )
+    staged = staged.select("*", kept.alias("__dl_kept"))
+    return staged.select(
+        "*",
+        F.size("__dl_lines").cast("long").alias("n_lines"),
+        F.size("__dl_kept").cast("long").alias("n_kept_lines"),
+        (F.size("__dl_lines") - F.size("__dl_kept"))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join("__dl_kept", "\n").alias(out_text),
+    ).drop("__dl_lines", "__dl_norm", "__dl_kept")
+
+
 def crawl_front_door(
     df: DataFrame,
     *,

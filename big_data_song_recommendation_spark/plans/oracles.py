@@ -866,6 +866,50 @@ def _fertility_by_model_lang_sql(n_merges: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    # q166: intra-document keep-first line dedup — positional unnest
+    # + row_number keep-first + ordered string_agg replays the
+    # operator's array_position(norm, norm[i]) == i+1 filter exactly
+    "q166_line_dedup": """
+        WITH pages AS (
+            SELECT doc_id,
+                   'Home | About | Contact.' || chr(10) ||
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                       || chr(10) ||
+                   'lang ' || lang || ' entry.' || chr(10) ||
+                   'Home | About | Contact.' || chr(10) ||
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                       || chr(10) ||
+                   'Copyright 2026.' || chr(10) ||
+                   'copyright 2026. ' || chr(10) ||
+                   'lang ' || lang || ' entry.' AS page
+            FROM documents
+        ),
+        arr AS (
+            SELECT doc_id, string_split(page, chr(10)) AS lines
+            FROM pages
+        ),
+        lines AS (
+            SELECT doc_id, unnest(lines) AS line,
+                   unnest(range(1, len(lines) + 1)) AS pos
+            FROM arr
+        ),
+        ranked AS (
+            SELECT doc_id, line, pos,
+                   row_number() OVER (
+                       PARTITION BY doc_id, lower(trim(line))
+                       ORDER BY pos) AS rn
+            FROM lines
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                   AS n_kept_lines,
+               CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE rn = 1), '') AS dedup_text
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
     # q165: multi-probe SRP recall vs single-probe vs brute force —
     # same bit-exact hyperplane replay as q119, plus Hamming-1 flips
     "q165_multiprobe_recall": f"""

@@ -5166,7 +5166,50 @@ def q165_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal
+    (operators/quality.dedup_lines_within_doc): keep-first dedup of
+    each page's lines on the normalized (lower+trim) key — the
+    curation stage between C4 line rules (q153) and cross-document
+    span dedup (q156/q160), catching boilerplate that repeats WITHIN
+    a page (nav top+bottom, duplicated footers, scraper stutter).
+    Each document is synthesized into an 8-line page where the nav,
+    the body line, the lang line, and a case-variant footer each
+    repeat; the operator keeps 4. Map-only — split, normalized twin
+    array, keep-first filter, reassembly are all array lambdas (no
+    explode, no shuffle). DuckDB twin: positional unnest +
+    row_number() keep-first + ordered string_agg. §2.13 pipeline
+    mandate; no reference twin."""
+    from ..operators.quality import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    nav = F.lit("Home | About | Contact.")
+    body = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(": "), F.col("text")
+    )
+    langline = F.concat(F.lit("lang "), F.col("lang"), F.lit(" entry."))
+    page = F.concat_ws(
+        "\n",
+        nav,
+        body,
+        langline,
+        nav,
+        body,
+        F.lit("Copyright 2026."),
+        F.lit("copyright 2026. "),
+        langline,
+    )
+    return (
+        dedup_lines_within_doc(
+            docs.select("doc_id", page.alias("page")), text_col="page"
+        )
+        .select("doc_id", "n_lines", "n_kept_lines", "n_removed", "dedup_text")
+        .transform(_ordered, "doc_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q166_line_dedup": q166_line_dedup,
     "q165_multiprobe_recall": q165_multiprobe_recall,
     "q164_fertility_by_model_lang": q164_fertility_by_model_lang,
     "q163_langid_model": q163_langid_model,
