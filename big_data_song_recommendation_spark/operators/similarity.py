@@ -552,6 +552,96 @@ def build_srp_index(
 _srp_meta_memo: dict = {}
 
 
+def merge_srp_index(
+    delta: DataFrame,
+    *,
+    name: str = "srp_idx",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    check_new_ids: bool = True,
+) -> None:
+    """Fold a batch of NEW vectors into a persisted SRP serving layout
+    (:func:`build_srp_index`) — insert-only incremental maintenance,
+    the ``retrieval.merge_bm25_index`` discipline on the vector side,
+    so a daily embedding increment never re-hashes the corpus.
+
+    Simpler than BM25 by construction: the BM25 scorer reads CORPUS
+    aggregates (per-token df, totals) that a merge must re-aggregate
+    and staging-swap, but every stored SRP row ``(id, v, n, bucket
+    [, lbl])`` is a pure function of its OWN vector and the fixed
+    deterministic hyperplanes (md5 signs keyed by the meta row's
+    ``planes`` — no RNG state to carry forward). So the merge is just
+    two bucketed APPENDs under the existing bucket specs: pruning is
+    preserved (each bucket gains files; compact on the
+    ``sources.layout`` cadence), and merged == rebuilt holds
+    BIT-EXACTLY — test-pinned, not only argued.
+
+    Insert-only: a re-ingested id would come back twice from the
+    candidate read, so delta ids are anti-checked against
+    ``{name}_by_id`` by default; pass ``check_new_ids=False`` when an
+    upstream dedup store owns that invariant. Updates/deletes have no
+    retraction story in this layout — rebuild the affected vectors.
+    """
+    from .retrieval import _bucket_count
+
+    spark = delta.sparkSession
+    tables = {s: f"{name}_{s}" for s in ("by_bucket", "by_id", "meta")}
+    for t in tables.values():
+        if not spark.catalog.tableExists(t):
+            raise RuntimeError(
+                f"merge_srp_index: {t!r} missing — build_srp_index first"
+            )
+    meta = _srp_meta(spark, name)
+    idc = meta["id_col"]
+    if idc not in delta.columns:
+        raise ValueError(
+            f"merge_srp_index: delta lacks the index id column {idc!r}"
+        )
+    dim = vectors.infer_dim(delta, vec_col)
+    if dim != int(meta["dim"]):
+        raise ValueError(
+            f"merge_srp_index: delta dim {dim} != index dim {meta['dim']}"
+        )
+    if bool(meta["has_label"]) != (label_col is not None):
+        raise ValueError(
+            "merge_srp_index: label_col must match the built index "
+            f"(has_label={bool(meta['has_label'])})"
+        )
+    if check_new_ids:
+        dup = (
+            spark.table(tables["by_id"])
+            .select(idc)
+            .join(delta.select(idc), idc, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_srp_index: delta contains ids already indexed — "
+                "insert-only maintenance would duplicate candidates; "
+                "dedup upstream or rebuild"
+            )
+    sigs = srp_signatures(
+        delta, id_col=idc, vec_col=vec_col, planes=int(meta["planes"])
+    )
+    cols = [
+        F.col(idc),
+        F.col(vec_col).alias("v"),
+        F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
+    ]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("lbl"))
+    rows = delta.select(*cols).join(sigs, idc)
+    for t, key in (("by_bucket", "bucket"), ("by_id", idc)):
+        (
+            rows.write.format("parquet")
+            .mode("append")
+            .bucketBy(_bucket_count(spark, tables[t]), key)
+            .sortBy(key)
+            .saveAsTable(tables[t])
+        )
+
+
 def _srp_meta(spark, name: str):
     key = (id(spark), name)
     if key not in _srp_meta_memo:

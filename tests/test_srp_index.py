@@ -136,3 +136,90 @@ def test_unlabeled_index_rejects_hard_negative_serving(spark, srp_index):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestMergeSrpIndex:
+    """Insert-only incremental maintenance: merged == rebuilt must hold
+    BIT-exactly (every stored row is a pure function of its own vector
+    and the fixed hyperplanes), pruning must survive the append, and
+    the failure modes must be loud."""
+
+    @pytest.fixture()
+    def split_corpus(self, spark):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(emb.vec_id % 2 == 0)
+        new = emb.filter(emb.vec_id % 2 == 1)
+        yield emb, old, new
+        for base in ("t_srp_m", "t_srp_full"):
+            for s in ("by_bucket", "by_id", "meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {base}_{s}")
+
+    def test_merged_equals_rebuilt(self, spark, split_corpus):
+        from big_data_song_recommendation_spark.operators.similarity import (
+            merge_srp_index,
+        )
+
+        emb, old, new = split_corpus
+        build_srp_index(
+            old, label_col="label", planes=PLANES, name="t_srp_m", n_buckets=4
+        )
+        merge_srp_index(new, name="t_srp_m", label_col="label")
+        build_srp_index(
+            emb, label_col="label", planes=PLANES, name="t_srp_full",
+            n_buckets=4,
+        )
+        ids = [0, 1, 2, 3, 4, 5, 6, 7]
+        got = sorted(
+            tuple(r)
+            for r in srp_knn_indexed(spark, ids, name="t_srp_m", k=3).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in srp_knn_indexed(
+                spark, ids, name="t_srp_full", k=3
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        # stored rows themselves are identical, not only the top-k view
+        a = sorted(
+            tuple(r) for r in spark.table("t_srp_m_by_bucket").collect()
+        )
+        b = sorted(
+            tuple(r) for r in spark.table("t_srp_full_by_bucket").collect()
+        )
+        assert a == b
+        # pruning survives the append: the merged table still reads
+        # selected buckets only
+        plan = (
+            srp_knn_indexed(spark, [0], name="t_srp_m", k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        matches = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert matches and any(int(x) < int(y) for x, y in matches), plan
+
+    def test_id_overlap_and_contract_violations_raise(
+        self, spark, split_corpus
+    ):
+        from big_data_song_recommendation_spark.operators.similarity import (
+            merge_srp_index,
+        )
+        from pyspark.sql import functions as F
+
+        emb, old, new = split_corpus
+        build_srp_index(
+            old, label_col="label", planes=PLANES, name="t_srp_m", n_buckets=4
+        )
+        with pytest.raises(ValueError, match="already indexed"):
+            merge_srp_index(old.limit(3), name="t_srp_m", label_col="label")
+        with pytest.raises(ValueError, match="label_col"):
+            merge_srp_index(new, name="t_srp_m")
+        with pytest.raises(ValueError, match="dim"):
+            merge_srp_index(
+                new.withColumn("embedding", F.slice("embedding", 1, 3)),
+                name="t_srp_m",
+                label_col="label",
+            )
+        with pytest.raises(RuntimeError, match="build_srp_index first"):
+            merge_srp_index(new, name="t_srp_absent", label_col="label")
