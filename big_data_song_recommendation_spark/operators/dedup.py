@@ -1333,3 +1333,318 @@ def remove_duplicated_spans(
         (F.size("__arr") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias(out_text),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup admission serving: persisted MinHash band index
+# ---------------------------------------------------------------------------
+
+
+def _band_key_rows(sig: DataFrame, id_col: str, *, num_hashes: int, bands: int) -> DataFrame:
+    """(sid, key) band rows of a signature table: key = md5 over the
+    band INDEX plus its r consecutive hash values, so distinct bands
+    can never alias and a single-column equi-join suffices (the
+    in-session :func:`minhash_lsh_pairs` keeps band separate because
+    its self-join wants the struct; the serving layout wants one
+    bucketable key)."""
+    r = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",", F.lit(b), *[F.col(f"h{b * r + j}") for j in range(r)]
+            )
+        ).alias(f"k{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("sid"), F.explode(F.array(*band_cols)).alias("key")
+    )
+
+
+#: per-(session, index-name) metadata memo — one immutable row per
+#: build; the _srp_meta_memo discipline (rebuilds pop the key).
+_mh_meta_memo: dict = {}
+
+
+def _mh_meta(spark, name: str):
+    key = (id(spark), name)
+    if key not in _mh_meta_memo:
+        _mh_meta_memo[key] = spark.table(f"{name}_meta").collect()[0]
+    return _mh_meta_memo[key]
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    name: str = "mh_idx",
+    n_buckets: int = 8,
+) -> dict[str, str]:
+    """Persist the MinHash-LSH layout near-dup ADMISSION reads — the
+    dedup family's serving story, completing the triad (BM25 postings
+    for retrieval, SRP buckets for ANN, band buckets for near-dup):
+    "is this incoming document a near-duplicate of anything already in
+    the corpus?" answered WITHOUT re-shingling the corpus.
+
+    - ``{name}_bands`` — ``(id, key)`` BUCKETED and sorted by ``key``
+      (band-index salted into the md5, see :func:`_band_key_rows`):
+      the probe side joins on ``key`` and, the table being bucketed on
+      it, the corpus side never shuffles — per-probe work scales with
+      the probe batch, not the corpus.
+    - ``{name}_sigs`` — ``(id, h0..h{n-1})`` bucketed by the id: the
+      agreement re-rank (estimated Jaccard) reads stored signatures.
+    - ``{name}_meta`` — 1 row ``(num_hashes, bands, k, id_col)``; the
+      probe derives ITS signatures from this, so probe and corpus can
+      never disagree on the hash family.
+
+    Signature cost (shingle explode + N affine mins) is paid once
+    here; :func:`merge_minhash_index` folds daily increments in.
+    Ref parity anchor: the reference dedups titles exactly
+    (src/data_processor.py:71); this is the near-dup upgrade at
+    corpus scale.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    if num_hashes % bands:
+        raise ValueError("build_minhash_index: bands must divide num_hashes")
+    spark = corpus.sparkSession
+    sig = minhash_signatures(
+        corpus, id_col, text_col, num_hashes=num_hashes, k=k
+    ).cache()
+    tables = {
+        "bands": f"{name}_bands",
+        "sigs": f"{name}_sigs",
+        "meta": f"{name}_meta",
+    }
+    write_bucketed(
+        _band_key_rows(sig, id_col, num_hashes=num_hashes, bands=bands).select(
+            F.col("sid").alias(id_col), "key"
+        ),
+        tables["bands"],
+        "key",
+        n_buckets=n_buckets,
+    )
+    write_bucketed(sig, tables["sigs"], id_col, n_buckets=n_buckets)
+    spark.createDataFrame(
+        [(num_hashes, bands, k, id_col)],
+        "num_hashes int, bands int, k int, id_col string",
+    ).write.format("parquet").mode("overwrite").saveAsTable(tables["meta"])
+    sig.unpersist()
+    for t in ("bands", "sigs"):
+        if not spark.catalog.tableExists(tables[t]):
+            raise RuntimeError(
+                f"build_minhash_index: bucketed table {tables[t]!r} missing "
+                "from the catalog after write — check the warehouse dir"
+            )
+    _mh_meta_memo.pop((id(spark), name), None)
+    return tables
+
+
+def near_dup_probe(
+    new_docs: DataFrame,
+    *,
+    name: str = "mh_idx",
+    text_col: str = "text",
+    threshold_micro: int = 500_000,
+    probe_id_out: str = "probe_id",
+    corpus_id_out: str = "corpus_id",
+) -> DataFrame:
+    """Probe a batch of INCOMING documents against a persisted MinHash
+    index (:func:`build_minhash_index`): returns
+    ``(probe_id, corpus_id, est_jaccard_micro)`` for every
+    (probe, corpus) pair sharing ≥1 LSH band whose ESTIMATED Jaccard —
+    the signature agreement fraction, an unbiased estimator with
+    stderr ≈ sqrt(J(1-J)/num_hashes) — clears ``threshold_micro``
+    (integer micro-units: exact arithmetic, cross-engine stable).
+
+    Plan shape: the probe batch is shingled and signed with the META
+    row's family (never the caller's guess), its band rows join the
+    bands table on the single md5 key — the corpus side is bucketed on
+    it, so only the PROBE side shuffles — and the agreement re-rank
+    joins stored signatures by id. Per-probe work ∝ probe batch +
+    collided band rows; the corpus is never re-shingled.
+
+    The estimate is the ADMISSION grain (gate at ingest, the
+    streaming.CurationSink use); for an exact-Jaccard verdict feed the
+    survivors to :func:`jaccard_pairs_from_sets` or the prefix-filter
+    join — the q20 two-tier discipline.
+    """
+    spark = new_docs.sparkSession
+    meta = _mh_meta(spark, name)
+    idc, nh = meta["id_col"], int(meta["num_hashes"])
+    if idc not in new_docs.columns:
+        raise ValueError(f"near_dup_probe: probe batch lacks id col {idc!r}")
+    sig_p = minhash_signatures(
+        new_docs, idc, text_col, num_hashes=nh, k=int(meta["k"])
+    ).localCheckpoint(eager=False)  # band + agreement consumers
+    bands_p = _band_key_rows(
+        sig_p, idc, num_hashes=nh, bands=int(meta["bands"])
+    ).select(F.col("sid").alias(probe_id_out), "key")
+    return _mh_agreement_pairs(
+        bands_p,
+        sig_p,
+        spark.table(f"{name}_bands"),
+        spark.table(f"{name}_sigs"),
+        idc=idc,
+        nh=nh,
+        threshold_micro=threshold_micro,
+        probe_id_out=probe_id_out,
+        corpus_id_out=corpus_id_out,
+    )
+
+
+def _mh_agreement_pairs(
+    bands_p: DataFrame,
+    sig_p: DataFrame,
+    bands_c: DataFrame,
+    sig_c: DataFrame,
+    *,
+    idc: str,
+    nh: int,
+    threshold_micro: int,
+    probe_id_out: str,
+    corpus_id_out: str,
+) -> DataFrame:
+    """Shared probe tail (band-key candidates → signature-agreement
+    estimate): :func:`near_dup_probe` feeds it the persisted tables,
+    :func:`near_dup_pairs_vs_corpus` the in-session frames — one
+    code path, so indexed == in-session holds by construction (and is
+    test-pinned). ``bands_p`` carries (``probe_id_out``, key); the
+    corpus frames carry the index id column ``idc``."""
+    cand = (
+        bands_p.join(bands_c, "key")
+        .select(probe_id_out, F.col(idc).alias(corpus_id_out))
+        .distinct()
+    )
+    agree = sum(
+        (F.col(f"p.h{i}") == F.col(f"c.h{i}")).cast("long") for i in range(nh)
+    )
+    est = F.expr(f"CAST((__agree * 1000000) DIV {nh} AS BIGINT)")
+    return (
+        cand.join(
+            sig_p.alias("p"),
+            F.col(probe_id_out) == F.col(f"p.{idc}"),
+        )
+        .join(sig_c.alias("c"), F.col(corpus_id_out) == F.col(f"c.{idc}"))
+        .select(
+            probe_id_out,
+            corpus_id_out,
+            agree.alias("__agree"),
+        )
+        .select(
+            probe_id_out,
+            corpus_id_out,
+            est.alias("est_jaccard_micro"),
+        )
+        .filter(F.col("est_jaccard_micro") >= int(threshold_micro))
+    )
+
+
+def near_dup_pairs_vs_corpus(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold_micro: int = 500_000,
+    probe_id_out: str = "probe_id",
+    corpus_id_out: str = "corpus_id",
+) -> DataFrame:
+    """In-session form of :func:`near_dup_probe` — same banding, same
+    agreement estimate, same output contract, computed against a
+    corpus DataFrame instead of the persisted layout (the
+    ``srp_knn`` / ``srp_knn_indexed`` pairing, for pipelines that
+    haven't built the index or for oracle checking). Shares
+    :func:`_mh_agreement_pairs`, so the two forms cannot drift."""
+    if num_hashes % bands:
+        raise ValueError("near_dup_pairs_vs_corpus: bands must divide num_hashes")
+    sig_c = minhash_signatures(
+        corpus, id_col, text_col, num_hashes=num_hashes, k=k
+    ).localCheckpoint(eager=False)
+    sig_p = minhash_signatures(
+        probes, id_col, text_col, num_hashes=num_hashes, k=k
+    ).localCheckpoint(eager=False)
+    return _mh_agreement_pairs(
+        _band_key_rows(sig_p, id_col, num_hashes=num_hashes, bands=bands).select(
+            F.col("sid").alias(probe_id_out), "key"
+        ),
+        sig_p,
+        _band_key_rows(sig_c, id_col, num_hashes=num_hashes, bands=bands).select(
+            F.col("sid").alias(id_col), "key"
+        ),
+        sig_c,
+        idc=id_col,
+        nh=num_hashes,
+        threshold_micro=threshold_micro,
+        probe_id_out=probe_id_out,
+        corpus_id_out=corpus_id_out,
+    )
+
+
+def merge_minhash_index(
+    delta_docs: DataFrame,
+    *,
+    name: str = "mh_idx",
+    text_col: str = "text",
+    check_new_ids: bool = True,
+) -> None:
+    """Fold NEW documents into a persisted MinHash index — insert-only
+    incremental maintenance (the merge_bm25_index / merge_srp_index
+    discipline): signatures and band rows are pure functions of each
+    document and the meta row's fixed hash family, so the merge is two
+    bucketed APPENDs under the existing specs and merged == rebuilt
+    holds bit-exactly (test-pinned). Delta ids are anti-checked
+    against ``{name}_sigs`` by default (an id re-ingested would
+    double-report candidates); updates/deletes → rebuild affected
+    docs."""
+    from .retrieval import _bucket_count
+
+    spark = delta_docs.sparkSession
+    tables = {s: f"{name}_{s}" for s in ("bands", "sigs", "meta")}
+    for t in tables.values():
+        if not spark.catalog.tableExists(t):
+            raise RuntimeError(
+                f"merge_minhash_index: {t!r} missing — build_minhash_index first"
+            )
+    meta = _mh_meta(spark, name)
+    idc, nh = meta["id_col"], int(meta["num_hashes"])
+    if check_new_ids:
+        dup = (
+            spark.table(tables["sigs"])
+            .select(idc)
+            .join(delta_docs.select(idc), idc, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_minhash_index: delta contains ids already indexed — "
+                "insert-only maintenance would double-report candidates; "
+                "dedup upstream or rebuild"
+            )
+    sig = minhash_signatures(
+        delta_docs, idc, text_col, num_hashes=nh, k=int(meta["k"])
+    ).localCheckpoint(eager=False)
+    (
+        _band_key_rows(sig, idc, num_hashes=nh, bands=int(meta["bands"]))
+        .select(F.col("sid").alias(idc), "key")
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(_bucket_count(spark, tables["bands"]), "key")
+        .sortBy("key")
+        .saveAsTable(tables["bands"])
+    )
+    (
+        sig.write.format("parquet")
+        .mode("append")
+        .bucketBy(_bucket_count(spark, tables["sigs"]), idc)
+        .sortBy(idc)
+        .saveAsTable(tables["sigs"])
+    )

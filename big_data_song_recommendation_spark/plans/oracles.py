@@ -865,7 +865,81 @@ def _fertility_by_model_lang_sql(n_merges: int) -> str:
     )
 
 
+def _near_dup_admission_sql(
+    nh: int = 16, bands: int = 8, thr: int = 500_000
+) -> str:
+    """q167 twin: the full MinHash admission chain — normalization,
+    distinct 3-shingles, the affine signature family (q18's twin),
+    band-index-salted md5 keys (dedup._band_key_rows), candidate
+    banding join, and the integer agreement estimate — replayed for
+    the corpus side (even docs) and the probe side (odd docs with an
+    appended tail + every-10th mirror re-ingest)."""
+    r = nh // bands
+    sig_cols = ",\n               ".join(
+        f"MIN(({2 * i + 1} * ({_hash60('s')} % {_MINHASH_P}) "
+        f"+ {1_000_003 * i + 12_345}) % {_MINHASH_P}) AS h{i}"
+        for i in range(nh)
+    )
+    band_keys = ", ".join(
+        "md5('%d' %s)"
+        % (
+            b,
+            " ".join(
+                f"|| ',' || CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN p.h{i} = c.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+
+    def sets(src: str) -> str:
+        return f"""
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM (SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM ({src}))
+        )"""
+
+    src_c = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+    src_p = """
+        SELECT doc_id + 1000000 AS doc_id,
+               text || ' appended tail note.' AS text
+        FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    """
+    return f"""
+        WITH sets_c AS ({sets(src_c)}),
+        sig_c AS (SELECT doc_id, {sig_cols} FROM sets_c GROUP BY doc_id),
+        sets_p AS ({sets(src_p)}),
+        sig_p AS (SELECT doc_id, {sig_cols} FROM sets_p GROUP BY doc_id),
+        bands_c AS (SELECT doc_id, unnest([{band_keys}]) AS key FROM sig_c),
+        bands_p AS (SELECT doc_id, unnest([{band_keys}]) AS key FROM sig_p),
+        cand AS (
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+            FROM bands_p p JOIN bands_c c USING (key)
+        )
+        SELECT probe_id, corpus_id,
+               CAST((({agree}) * 1000000) // {nh} AS BIGINT)
+                   AS est_jaccard_micro
+        FROM cand
+        JOIN sig_p p ON probe_id = p.doc_id
+        JOIN sig_c c ON corpus_id = c.doc_id
+        WHERE (({agree}) * 1000000) // {nh} >= {thr}
+        ORDER BY probe_id, corpus_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q167: near-dup admission probe — full MinHash banding +
+    # agreement replay, corpus/probe split in-SQL
+    "q167_near_dup_admission": _near_dup_admission_sql(),
     # q166: intra-document keep-first line dedup — positional unnest
     # + row_number keep-first + ordered string_agg replays the
     # operator's array_position(norm, norm[i]) == i+1 filter exactly

@@ -5208,7 +5208,39 @@ def q166_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ADMISSION probe (operators/dedup.near_dup_pairs_vs_
+    corpus — the in-session form of the persisted MinHash band index,
+    one shared `_mh_agreement_pairs` tail so the two cannot drift):
+    "is this incoming batch a near-duplicate of the existing corpus?"
+    Corpus = even docs; probe batch = odd docs with an appended tail
+    (near-dups) plus every 10th doc re-ingested verbatim under a new
+    id (exact mirrors — est 1.0). Estimated Jaccard = MinHash
+    signature agreement in integer micro-units (unbiased, stderr
+    ≈ sqrt(J(1-J)/16)); candidates via banded md5 keys (band index
+    salted in), never all-pairs. DuckDB twin replays normalization,
+    shingling, the affine MinHash family, banding, and the agreement
+    division exactly. §2.13 admission-control mandate; ref parity:
+    exact-title dedup at src/data_processor.py:71, upgraded to
+    near-dup at corpus scale."""
+    from ..operators.dedup import near_dup_pairs_vs_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    mutated = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail note.")).alias("text"),
+    )
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return near_dup_pairs_vs_corpus(
+        old, mutated.unionByName(mirror)
+    ).transform(_ordered, "probe_id", "corpus_id")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q167_near_dup_admission": q167_near_dup_admission,
     "q166_line_dedup": q166_line_dedup,
     "q165_multiprobe_recall": q165_multiprobe_recall,
     "q164_fertility_by_model_lang": q164_fertility_by_model_lang,

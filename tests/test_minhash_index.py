@@ -1,0 +1,130 @@
+"""Persisted MinHash near-dup admission index (operators/dedup.py
+build_minhash_index / near_dup_probe / merge_minhash_index): indexed
+probe == in-session form, merged == rebuilt bit-exactly, loud failure
+modes, exact mirrors estimate 1.0."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_song_recommendation_spark.operators.dedup import (
+    build_minhash_index,
+    merge_minhash_index,
+    near_dup_pairs_vs_corpus,
+    near_dup_probe,
+)
+from big_data_song_recommendation_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+def _corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    probes = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail.")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return old, probes
+
+
+@pytest.fixture()
+def mh_tables(spark):
+    yield
+    for base in ("t_mh", "t_mh_m", "t_mh_full"):
+        for s in ("bands", "sigs", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {base}_{s}")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_indexed_probe_matches_in_session(spark, mh_tables):
+    old, probes = _corpus(spark)
+    build_minhash_index(old, num_hashes=16, bands=8, name="t_mh", n_buckets=4)
+    got = _rows(near_dup_probe(probes, name="t_mh"))
+    want = _rows(near_dup_pairs_vs_corpus(old, probes))
+    assert got == want and len(got) > 0
+
+
+def test_exact_mirror_estimates_full_agreement(spark, mh_tables):
+    old, probes = _corpus(spark)
+    build_minhash_index(old, num_hashes=16, bands=8, name="t_mh", n_buckets=4)
+    res = near_dup_probe(probes, name="t_mh")
+    mirrors = res.filter(
+        (F.col("probe_id") >= 2000000)
+        & (F.col("probe_id") - 2000000 == F.col("corpus_id"))
+    )
+    n = mirrors.count()
+    assert n > 0
+    assert (
+        mirrors.filter(F.col("est_jaccard_micro") == 1_000_000).count() == n
+    )
+
+
+def test_merged_equals_rebuilt(spark, mh_tables):
+    old, probes = _corpus(spark)
+    first = old.filter(F.col("doc_id") % 4 == 0)
+    second = old.filter(F.col("doc_id") % 4 == 2)
+    build_minhash_index(
+        first, num_hashes=16, bands=8, name="t_mh_m", n_buckets=4
+    )
+    merge_minhash_index(second, name="t_mh_m")
+    build_minhash_index(
+        old, num_hashes=16, bands=8, name="t_mh_full", n_buckets=4
+    )
+    # stored rows identical, not only the probe view
+    for s in ("bands", "sigs"):
+        assert _rows(spark.table(f"t_mh_m_{s}")) == _rows(
+            spark.table(f"t_mh_full_{s}")
+        )
+    assert _rows(near_dup_probe(probes, name="t_mh_m")) == _rows(
+        near_dup_probe(probes, name="t_mh_full")
+    )
+
+
+def test_probe_reads_are_bucketed(spark, mh_tables):
+    old, probes = _corpus(spark)
+    build_minhash_index(old, num_hashes=16, bands=8, name="t_mh", n_buckets=4)
+    plan = (
+        near_dup_probe(probes.limit(5), name="t_mh")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bands table (the corpus-sized side of the candidate join)
+    # must read through the bucketed scan path - it joins on its
+    # bucket key without re-shuffling. The sigs join is free to
+    # broadcast instead (the planner disables bucketing when the
+    # other side is broadcast - equally shuffle-free for the corpus).
+    bands_scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "t_mh_bands" in line
+    )
+    assert "Bucketed: true" in bands_scan, bands_scan
+    assert "SelectedBucketsCount" in bands_scan, bands_scan
+
+
+def test_failure_modes(spark, mh_tables):
+    old, probes = _corpus(spark)
+    with pytest.raises(RuntimeError, match="build_minhash_index first"):
+        merge_minhash_index(old, name="t_mh_absent")
+    with pytest.raises(ValueError, match="bands must divide"):
+        build_minhash_index(old, num_hashes=16, bands=5, name="t_mh")
+    build_minhash_index(old, num_hashes=16, bands=8, name="t_mh", n_buckets=4)
+    with pytest.raises(ValueError, match="already indexed"):
+        merge_minhash_index(old.limit(3), name="t_mh")
+    with pytest.raises(ValueError, match="lacks id col"):
+        near_dup_probe(
+            probes.withColumnRenamed("doc_id", "other_id"), name="t_mh"
+        )
