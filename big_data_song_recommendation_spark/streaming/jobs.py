@@ -612,6 +612,8 @@ class CurationSink:
         n_shards: int = 4,
         preprocess=None,
         bm25_index: str | None = None,
+        minhash_index: str | None = None,
+        near_dup_threshold_micro: int = 800_000,
     ):
         self.out_dir = Path(out_dir)
         self.quality_threshold = quality_threshold
@@ -639,6 +641,24 @@ class CurationSink:
         #: store: accepted docs are content-new, and the pipeline's id
         #: discipline keys docs uniquely.
         self.bm25_index = bm25_index
+        #: optional name of a persisted MinHash band layout
+        #: (operators/dedup.build_minhash_index): the NEAR-dup
+        #: admission gate. The fingerprint store rejects exact
+        #: re-ingests; this rejects paraphrase-grade mirrors — each
+        #: epoch's exact-accepted docs are probed against the index
+        #: (near_dup_probe, signature-agreement estimate ≥
+        #: ``near_dup_threshold_micro``) and matches drop BEFORE
+        #: export; survivors then merge into the index
+        #: (merge_minhash_index, ``mh_index_epochs/`` markers — the
+        #: bm25 replay discipline). Replay-exactness: the first
+        #: attempt persists its rejected-id set under
+        #: ``neardup/epoch=N``; a replayed epoch reloads that set
+        #: instead of re-probing (by then the index already contains
+        #: the epoch's own docs, so a re-probe would self-match).
+        #: Same non-transactional crash window as bm25 (merge→marker),
+        #: same observability (`mh_indexed` audit field).
+        self.minhash_index = minhash_index
+        self.near_dup_threshold_micro = int(near_dup_threshold_micro)
 
     def _store_paths(self, current_epoch: int) -> list[str]:
         d = self.out_dir / "store"
@@ -679,6 +699,36 @@ class CurationSink:
                 .collect()
             }
             accepted = verdicts.filter(F.col("verdict") == "accept")
+            n_near_dup = 0
+            if self.minhash_index and counts.get("accept", 0):
+                from ..operators.dedup import near_dup_probe
+
+                nd_path = str(self.out_dir / "neardup" / f"epoch={epoch_id}")
+                mh_marker = (
+                    self.out_dir / "mh_index_epochs" / f"epoch={epoch_id}"
+                )
+                if not mh_marker.exists():
+                    pairs = near_dup_probe(
+                        accepted.select("doc_id", "text"),
+                        name=self.minhash_index,
+                        threshold_micro=self.near_dup_threshold_micro,
+                    )
+                    (
+                        pairs.filter(
+                            F.col("probe_id") != F.col("corpus_id")
+                        )
+                        .select(F.col("probe_id").alias("doc_id"))
+                        .distinct()
+                        .write.mode("overwrite")
+                        .parquet(nd_path)
+                    )
+                # first attempt probes against the pre-merge index and
+                # persists the verdict; a replay reloads it (the index
+                # already holds this epoch's docs by then)
+                rejected_ids = spark.read.parquet(nd_path)
+                n_near_dup = rejected_ids.count()
+                if n_near_dup:
+                    accepted = accepted.join(rejected_ids, "doc_id", "left_anti")
             export_training_shards(
                 accepted.drop("verdict"),
                 str(self.out_dir / "data" / f"epoch={epoch_id}"),
@@ -691,8 +741,9 @@ class CurationSink:
                 .write.mode("overwrite")
                 .parquet(str(self.out_dir / "store" / f"epoch={epoch_id}"))
             )
+            n_admitted = counts.get("accept", 0) - n_near_dup
             indexed = False
-            if self.bm25_index and counts.get("accept", 0):
+            if self.bm25_index and n_admitted:
                 marker_dir = self.out_dir / "index_epochs"
                 marker = marker_dir / f"epoch={epoch_id}"
                 if not marker.exists():
@@ -708,6 +759,23 @@ class CurationSink:
                     tmp_m.write_text("merged")
                     tmp_m.replace(marker)
                     indexed = True
+            mh_indexed = False
+            if self.minhash_index and n_admitted:
+                marker_dir = self.out_dir / "mh_index_epochs"
+                marker = marker_dir / f"epoch={epoch_id}"
+                if not marker.exists():
+                    from ..operators.dedup import merge_minhash_index
+
+                    merge_minhash_index(
+                        accepted.select("doc_id", "text"),
+                        name=self.minhash_index,
+                        check_new_ids=False,
+                    )
+                    marker_dir.mkdir(parents=True, exist_ok=True)
+                    tmp_m = marker_dir / f"epoch={epoch_id}.tmp"
+                    tmp_m.write_text("merged")
+                    tmp_m.replace(marker)
+                    mh_indexed = True
             audit = {
                 "epoch": epoch_id,
                 "n_in": n_in,
@@ -715,8 +783,10 @@ class CurationSink:
                 - sum(counts.values()),
                 "n_dup_store": counts.get("dup_store", 0),
                 "n_dup_batch": counts.get("dup_batch", 0),
-                "n_accepted": counts.get("accept", 0),
+                "n_near_dup_index": n_near_dup,
+                "n_accepted": n_admitted,
                 "indexed": indexed,
+                "mh_indexed": mh_indexed,
             }
             audit_dir = self.out_dir / "audit"
             audit_dir.mkdir(parents=True, exist_ok=True)

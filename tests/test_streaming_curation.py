@@ -91,8 +91,8 @@ def test_curation_sink_epoch_retry_is_idempotent(spark, tmp_path):
     retry = json.loads((tmp_path / "out" / "audit" / "batch_000000.json").read_text())
     assert first == retry == {
         "epoch": 0, "n_in": 2, "n_quality_fail": 0,
-        "n_dup_store": 0, "n_dup_batch": 0, "n_accepted": 2,
-        "indexed": False,
+        "n_dup_store": 0, "n_dup_batch": 0, "n_near_dup_index": 0,
+        "n_accepted": 2, "indexed": False, "mh_indexed": False,
     }
     # a LATER epoch replaying the content is rejected against the store
     sink(spark.createDataFrame([(9, GOOD_A, "en")], SCHEMA), 1)
@@ -269,3 +269,59 @@ def test_streaming_curation_with_crawl_front_door(spark, tmp_path):
     # accepted rows carry the CLEANED extraction, not the raw html
     assert row["text"] == f"{GOOD_A}.\n{GOOD_B}."
     assert row["canonical_url"] == "https://example.com/a?id=1"
+
+
+def test_curation_sink_near_dup_admission_gate(spark, tmp_path):
+    """minhash_index=: exact mirrors of INDEXED content (content-new to
+    the fingerprint store) are rejected at admission, survivors merge
+    into the index, and an epoch replay reloads the persisted verdict
+    instead of re-probing (the index would self-match by then)."""
+    import json as _json
+
+    from big_data_song_recommendation_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_probe,
+    )
+
+    out_dir = str(tmp_path / "out")
+    seed = spark.createDataFrame(
+        [(100, GOOD_A, "en"), (101, GOOD_B, "en")], SCHEMA
+    )
+    try:
+        build_minhash_index(
+            seed.select("doc_id", "text"),
+            num_hashes=16,
+            bands=8,
+            name="t_cur_mh",
+            n_buckets=2,
+        )
+        sink = jobs.CurationSink(out_dir, n_shards=1, minhash_index="t_cur_mh")
+        batch = spark.createDataFrame([(1, GOOD_A, "en"), (2, GOOD_C, "en")], SCHEMA)
+        sink(batch, 0)
+        audit = _json.loads(
+            (tmp_path / "out" / "audit" / "batch_000000.json").read_text()
+        )
+        assert audit["n_near_dup_index"] == 1
+        assert audit["n_accepted"] == 1 and audit["mh_indexed"] is True
+        lake = spark.read.parquet(f"{out_dir}/data/epoch=*")
+        assert set(r.doc_id for r in lake.collect()) == {2}
+        # the admitted doc entered the index: a future mirror is caught
+        mirror = spark.createDataFrame([(9, GOOD_C, "en")], SCHEMA)
+        got = near_dup_probe(mirror.select("doc_id", "text"), name="t_cur_mh")
+        assert {(r.corpus_id, r.est_jaccard_micro) for r in got.collect()} == {
+            (2, 1_000_000)
+        }
+        # replay of epoch 0: same verdicts from the persisted set, no
+        # double-merge (marker), no self-match rejection of doc 2
+        sink(batch, 0)
+        replay = _json.loads(
+            (tmp_path / "out" / "audit" / "batch_000000.json").read_text()
+        )
+        assert replay["n_near_dup_index"] == 1 and replay["n_accepted"] == 1
+        assert replay["mh_indexed"] is False
+        assert spark.table("t_cur_mh_sigs").filter("doc_id = 2").count() == 1
+        lake2 = spark.read.parquet(f"{out_dir}/data/epoch=*")
+        assert set(r.doc_id for r in lake2.collect()) == {2}
+    finally:
+        for s in ("bands", "sigs", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS t_cur_mh_{s}")
