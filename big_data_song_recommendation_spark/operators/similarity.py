@@ -138,6 +138,224 @@ def knn_quantized(
     )
 
 
+def _pq_params(codebooks):
+    """Resolve (books, M, K, dim, d) — committed codebooks by default
+    (ml/pq_codebooks.py, trained by scripts/gen_pq_codebooks.py), or a
+    caller-supplied ``(books, dim)`` pair."""
+    if codebooks is None:
+        from ..ml import pq_codebooks as cb
+
+        books, dim = cb.PQ_CODEBOOKS, cb.PQ_DIM
+    else:
+        books, dim = codebooks
+    m = len(books)
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by M={m}")
+    d = dim // m
+    if len(books[0]) % d:
+        raise ValueError("pq: codebook length not a multiple of sub-dim")
+    k = len(books[0]) // d
+    return books, m, k, dim, d
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each vector
+    split into M subspaces, each subvector replaced by the index of
+    its nearest codebook centroid → ``array<int>`` of M codes. At
+    dim=64/M=8 that is 8 small ints instead of 64 doubles — the ~64×
+    memory cut that lets a 10⁹-vector corpus live in RAM for the
+    candidate scan (compose with IVF routing for sub-linearity; this
+    operator is the storage axis, :func:`ivf_index` the routing axis).
+
+    Exact integer arithmetic end-to-end: components quantize to micro
+    units (the SRP fixed-point discipline) and squared distances stay
+    in int64, so the argmin — ties broken toward the LOWEST centroid
+    index by ``array_position`` first-match — is bit-reproducible in
+    any engine; the q168 oracle replays it. Per-ROW O(M·K·d) column
+    expressions (one ``transform`` over the K candidate centroids per
+    subspace, inner distance unrolled); no per-pair work, no Python.
+    """
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
+    xq = F.transform(
+        vectors.as_double_array(vec_col),
+        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
+    )
+    staged = df.select(F.col(id_col), xq.alias("__xq"))
+
+    def dist_fn(m):
+        def dist(c):
+            total = None
+            for j in range(d):
+                diff = F.element_at(F.col("__xq"), m * d + j + 1) - F.element_at(
+                    cb_cols[m], c * d + j + 1
+                )
+                term = diff * diff
+                total = term if total is None else total + term
+            return total
+
+        return dist
+
+    # distance arrays staged as real projections (lambda-bearing
+    # expressions skip codegen CSE — the c4_line_filter plan note)
+    for m in range(m_sub):
+        staged = staged.withColumn(
+            f"__d{m}",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k_cent - 1)), dist_fn(m)
+            ),
+        )
+    codes = F.array(
+        *[
+            (
+                F.array_position(
+                    F.col(f"__d{m}"), F.array_min(F.col(f"__d{m}"))
+                )
+                - 1
+            ).cast("int")
+            for m in range(m_sub)
+        ]
+    )
+    return staged.select(id_col, codes.alias(out_col))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    codebooks=None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-encoded corpus: probes
+    stay full precision, each probe precomputes its M lookup tables
+    (LUT[m][c] = ⟨probe subvector m, centroid c⟩ in micro² ints — a
+    per-PROBE O(M·K·d) stage), and the per-PAIR score is just M
+    table lookups summed (unrolled — the ``dot_expanded`` discipline:
+    no higher-order fold on the pair path). Inner product in exact
+    int64; ranking ties break on the neighbor id.
+
+    Returns (query_id, neighbor_id, adc_micro2, rnk). Recall tradeoff
+    vs :func:`brute_force_knn` is gated in-query by the q168 roster
+    entry, the storage-axis sibling of q123's int8 gate."""
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
+    enc = pq_encode(
+        corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    qx = F.transform(
+        vectors.as_double_array(vec_col),
+        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("query_id"), qx.alias("__qx")
+    )
+
+    def lut_fn(m):
+        def lut(c):
+            total = None
+            for j in range(d):
+                term = F.element_at(F.col("__qx"), m * d + j + 1) * F.element_at(
+                    cb_cols[m], c * d + j + 1
+                )
+                total = term if total is None else total + term
+            return total
+
+        return lut
+
+    for m in range(m_sub):
+        p = p.withColumn(
+            f"__lut{m}",
+            F.transform(F.sequence(F.lit(0), F.lit(k_cent - 1)), lut_fn(m)),
+        )
+    score = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.col(f"__lut{m}"), F.element_at(F.col("codes"), m + 1) + 1
+        )
+        score = term if score is None else score + term
+    cond = (
+        F.col("neighbor_id") != F.col("query_id")
+        if exclude_self
+        else F.lit(True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_micro2"), F.asc("neighbor_id")
+    )
+    return (
+        enc.join(F.broadcast(p), cond)
+        .withColumn("adc_micro2", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_micro2", "rnk")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    candidates: int = 20,
+    codebooks=None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The standard two-stage PQ pipeline: ADC over the compressed
+    corpus generates ``candidates`` per probe (the cheap wide scan —
+    M int lookups per pair), then the EXACT cosine re-ranks just
+    those candidates from the raw vectors (expensive, but bounded by
+    ``probes × candidates``). At 100 TB the first stage touches the
+    64×-compressed codes table and the second a by-id bucket-pruned
+    slice of the raw corpus.
+
+    Recall guarantee (the q168 in-query gate): top-k hits of the
+    re-rank are a SUPERSET of plain ADC top-k hits — an exact-top-k
+    member surviving to ADC top-k is in the candidate set, and only
+    vectors with strictly higher true similarity can outrank it in
+    the exact re-rank, of which there are at most k−1. Output
+    contract matches :func:`brute_force_knn`:
+    (query_id, neighbor_id, sim, rnk)."""
+    cand = pq_adc_topk(
+        corpus,
+        probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=candidates,
+        codebooks=codebooks,
+        exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id")
+    dim = vectors.infer_dim(corpus, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
+    p = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
+    sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(p), "query_id")
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
 def _to_ml_vectors(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 

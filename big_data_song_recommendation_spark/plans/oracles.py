@@ -936,7 +936,121 @@ def _near_dup_admission_sql(
     """
 
 
+def _pq_rerank_recall_sql() -> str:
+    """q168 twin: the committed PQ codebooks (ml/pq_codebooks.py)
+    embedded as list literals; encode (integer micro squared-distance
+    argmin, first-match tie-break = lowest centroid), ADC scoring
+    (int64 inner products against the selected centroids), the
+    20-candidate cut, and the exact-cosine re-rank replayed exactly.
+    GENERATED from the committed weights, so query and twin cannot
+    drift."""
+    from ..ml.pq_codebooks import PQ_CODEBOOKS, PQ_DIM, PQ_K, PQ_M
+
+    d = PQ_DIM // PQ_M
+    cb_cols = ",\n                   ".join(
+        f"[{', '.join(map(str, PQ_CODEBOOKS[m]))}] AS l{m}"
+        for m in range(PQ_M)
+    )
+    dist_cols = []
+    for m in range(PQ_M):
+        terms = " + ".join(
+            f"((x[{m * d + j + 1}] - l{m}[c*{d} + {j + 1}])"
+            f" * (x[{m * d + j + 1}] - l{m}[c*{d} + {j + 1}]))"
+            for j in range(d)
+        )
+        dist_cols.append(
+            f"list_transform(range(0, {PQ_K}), c -> {terms}) AS d{m}"
+        )
+    codes = ", ".join(
+        f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS INTEGER)"
+        for m in range(PQ_M)
+    )
+    score = " + ".join(
+        f"p.x[{m * d + j + 1}] * l{m}[e.codes[{m + 1}]*{d} + {j + 1}]"
+        for m in range(PQ_M)
+        for j in range(d)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        xq AS (
+            SELECT vec_id,
+                   list_transform(v,
+                       x -> CAST(round(x * 1000000) AS BIGINT)) AS x
+            FROM vecs
+        ),
+        cbs AS (SELECT {cb_cols}),
+        dists AS (
+            SELECT xq.vec_id,
+                   {", ".join(dist_cols)}
+            FROM xq CROSS JOIN cbs
+        ),
+        enc AS (SELECT vec_id, [{codes}] AS codes FROM dists),
+        adc AS (
+            SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY ({score}) DESC, e.vec_id ASC) AS rnk
+            FROM xq p
+            JOIN enc e ON e.vec_id <> p.vec_id
+            CROSS JOIN cbs
+            WHERE p.vec_id < 8
+        ),
+        rerank AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pv.v, cv.v), 6) DESC,
+                                    c.neighbor_id ASC) AS rrk
+                FROM (SELECT query_id, neighbor_id FROM adc
+                      WHERE rnk <= 20) c
+                JOIN vecs pv ON pv.vec_id = c.query_id
+                JOIN vecs cv ON cv.vec_id = c.neighbor_id
+            ) WHERE rrk <= 3
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        p.v, c.v), 6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+                WHERE p.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        ha AS (
+            SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits_adc
+            FROM exact e
+            LEFT JOIN (SELECT query_id, neighbor_id FROM adc
+                       WHERE rnk <= 3) a
+              ON e.query_id = a.query_id
+                 AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.query_id
+        ),
+        hr AS (
+            SELECT e.query_id, COUNT(r.neighbor_id) AS n_hits_rerank
+            FROM exact e
+            LEFT JOIN rerank r
+              ON e.query_id = r.query_id
+                 AND e.neighbor_id = r.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT ha.query_id, n_hits_adc, n_hits_rerank,
+               n_hits_rerank >= n_hits_adc AS gate_no_worse
+        FROM ha JOIN hr ON ha.query_id = hr.query_id
+        ORDER BY ha.query_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q168: PQ two-stage retrieval — committed-codebook encode + ADC
+    # + exact re-rank, recall gated vs brute force
+    "q168_pq_rerank_recall": _pq_rerank_recall_sql(),
     # q167: near-dup admission probe — full MinHash banding +
     # agreement replay, corpus/probe split in-SQL
     "q167_near_dup_admission": _near_dup_admission_sql(),
