@@ -1452,6 +1452,7 @@ def near_dup_probe(
     threshold_micro: int = 500_000,
     probe_id_out: str = "probe_id",
     corpus_id_out: str = "corpus_id",
+    max_pushdown_keys: int | None = 4096,
 ) -> DataFrame:
     """Probe a batch of INCOMING documents against a persisted MinHash
     index (:func:`build_minhash_index`): returns
@@ -1466,7 +1467,15 @@ def near_dup_probe(
     bands table on the single md5 key — the corpus side is bucketed on
     it, so only the PROBE side shuffles — and the agreement re-rank
     joins stored signatures by id. Per-probe work ∝ probe batch +
-    collided band rows; the corpus is never re-shingled.
+    collided band rows; the corpus is never re-shingled. When the
+    batch's distinct band-key count is ≤ ``max_pushdown_keys`` (an
+    admission micro-batch: batch × bands keys, the BM25 term-list
+    grain), the keys are collected and pushed as an IN filter, turning
+    the bands read into a bucket-pruned, sorted-key-skipped scan —
+    per-batch IO ∝ matched band rows, independent of corpus size (the
+    ``admission`` scale probe measures this flat). Set it to ``None``
+    for bulk backfills, where the full bucketed join is the right
+    shape.
 
     The estimate is the ADMISSION grain (gate at ingest, the
     streaming.CurationSink use); for an exact-Jaccard verdict feed the
@@ -1484,10 +1493,26 @@ def near_dup_probe(
     bands_p = _band_key_rows(
         sig_p, idc, num_hashes=nh, bands=int(meta["bands"])
     ).select(F.col("sid").alias(probe_id_out), "key")
+    bands_c = spark.table(f"{name}_bands")
+    if max_pushdown_keys:
+        keys = [
+            r["key"]
+            for r in bands_p.select("key")
+            .distinct()
+            .limit(int(max_pushdown_keys) + 1)
+            .collect()
+        ]
+        if len(keys) <= int(max_pushdown_keys):
+            # bounded driver grain (batch × bands distinct keys); the
+            # localCheckpoint above means the signature pipeline ran
+            # once — the join below reuses the materialized slice
+            bands_c = bands_c.filter(
+                F.col("key").isin(keys) if keys else F.lit(False)
+            )
     return _mh_agreement_pairs(
         bands_p,
         sig_p,
-        spark.table(f"{name}_bands"),
+        bands_c,
         spark.table(f"{name}_sigs"),
         idc=idc,
         nh=nh,

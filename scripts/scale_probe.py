@@ -989,12 +989,111 @@ def spans_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def admission_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the MinHash near-dup ADMISSION path: the corpus
+    (salted replicas — cross-replica shingles disjoint, so the true
+    match set of a fixed probe batch is INVARIANT in r) is indexed at
+    ×r while the probe batch stays fixed at 200 docs. Claims measured:
+
+    - ``near_dup_probe`` wall stays ~flat in corpus size (the IN-list
+      pushdown reads matched band rows, not the corpus) while the
+      match count stays exactly constant;
+    - ``merge_minhash_index`` wall tracks the DELTA (fixed 200 docs),
+      not the corpus;
+    - ``build_minhash_index`` (the rebuild alternative) tracks the
+      corpus — the gap is the incremental-maintenance win.
+
+    Also prints the PQ axis: ``pq_encode`` over the ×r embeddings
+    corpus must scale linearly (map-only), and ``pq_adc_topk`` with 8
+    fixed probes likewise (it is the compressed SCAN stage by design —
+    compose with IVF routing for sub-linearity).
+    """
+    import time
+
+    from big_data_song_recommendation_spark.operators.dedup import (
+        build_minhash_index,
+        merge_minhash_index,
+        near_dup_probe,
+    )
+    from big_data_song_recommendation_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+    from big_data_song_recommendation_spark.session import (
+        release_query_state,
+    )
+
+    docs0 = load_table(spark, SF_DIR, "documents")
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    for r in reps:
+        salted = (
+            replicate(docs0, r, "doc_id").withColumn(
+                "text",
+                F.expr(
+                    "array_join(flatten(transform("
+                    "  split(lower(text), '[^a-z0-9]+'),"
+                    f"  x -> array(x, concat('zz', doc_id % {r})))), ' ')"
+                ),
+            )
+        ).localCheckpoint()
+        n_docs = salted.count()
+        # fixed probe batch: the SAME 200 original docs at every r
+        # (replica 0 = new ids ≡ 0 mod r), so the true match set — and
+        # therefore pairs — must be invariant in r
+        probes = (
+            salted.filter(F.col("doc_id") % r == 0)
+            .orderBy("doc_id")
+            .limit(200)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probenote")).alias("text"),
+            )
+            .localCheckpoint()
+        )
+        delta = probes.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        tables = build_minhash_index(salted, name="probe_adm_idx", n_buckets=8)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pairs = near_dup_probe(probes, name="probe_adm_idx")
+        n_pairs = pairs.count()
+        t_probe = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merge_minhash_index(delta, name="probe_adm_idx", check_new_ids=False)
+        t_merge = time.perf_counter() - t0
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        emb = (
+            replicate(emb0, r, "vec_id") if r > 1 else emb0
+        ).localCheckpoint()
+        n_vec = emb.count()
+        t0 = time.perf_counter()
+        pq_encode(emb).agg(F.count("*")).collect()
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=3).agg(
+            F.count("*")
+        ).collect()
+        t_adc = time.perf_counter() - t0
+        print(
+            f"x{r}: docs={n_docs} build={t_build:.1f}s"
+            f" probe={t_probe:.1f}s pairs={n_pairs}"
+            f" merge={t_merge:.1f}s | vecs={n_vec}"
+            f" pq_encode={t_enc:.1f}s pq_adc={t_adc:.1f}s",
+            flush=True,
+        )
+        release_query_state(spark)
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "dedup"
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
         "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops", "spans", "r9ops",
+        "admission",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -1047,6 +1146,10 @@ def main() -> None:
         return
     if mode == "r9ops":
         r9ops_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "admission":
+        admission_probe(spark, reps)
         spark.stop()
         return
     docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")

@@ -240,6 +240,40 @@ def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
         for t in srp_tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    # ---- near-dup admission: persisted MinHash band index ----------
+    from big_data_song_recommendation_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    mh_tables = build_minhash_index(
+        docs.select("doc_id", "text"), name="probe_mh", n_buckets=8
+    )
+    report["minhash_index_build_s"] = round(time.perf_counter() - t0, 2)
+    try:
+        n_docs = docs.count()
+        # a 20-doc admission micro-batch per request, mutated so the
+        # signatures differ from the indexed rows
+        doc_reqs = [((17 * i) % n_docs) for i in range(n_req)]
+
+        def admission_batch(start):
+            batch = docs.filter(
+                (F.col("doc_id") >= start) & (F.col("doc_id") < start + 20)
+            ).select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" probe tail")).alias("text"),
+            )
+            near_dup_probe(batch, name="probe_mh").collect()
+
+        report["near_dup_admission_batch20"] = _timed(
+            admission_batch, doc_reqs
+        )
+    finally:
+        for t in mh_tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     ratings.unpersist()
     emb.unpersist()
     return report

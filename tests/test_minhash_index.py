@@ -128,3 +128,25 @@ def test_failure_modes(spark, mh_tables):
         near_dup_probe(
             probes.withColumnRenamed("doc_id", "other_id"), name="t_mh"
         )
+
+
+def test_pushdown_path_matches_full_join_and_prunes(spark, mh_tables):
+    """The IN-list fast path (admission micro-batch grain) must return
+    exactly the full bucketed join's rows, and the band-key IN filter
+    must reach the parquet scan (PushedFilters → row-group min/max
+    skipping on the sorted key; with realistic bucket counts it also
+    prunes buckets — at 4 toy buckets a 24-key batch covers them all,
+    so the probe measures IO flatness at scale instead)."""
+    old, probes = _corpus(spark)
+    build_minhash_index(old, num_hashes=16, bands=8, name="t_mh", n_buckets=4)
+    small = probes.limit(3)
+    fast = near_dup_probe(small, name="t_mh")
+    slow = near_dup_probe(small, name="t_mh", max_pushdown_keys=None)
+    assert _rows(fast) == _rows(slow)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    bands_scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "t_mh_bands" in line
+    )
+    assert "PushedFilters: [In(key" in bands_scan, bands_scan
+    assert "Bucketed: true" in bands_scan, bands_scan
