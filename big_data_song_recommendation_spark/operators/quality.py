@@ -680,6 +680,8 @@ def crawl_front_door(
     min_score_micro: int | None = None,
     langid_weights: tuple[dict[str, list[int]], dict[str, int]] | None = None,
     allowed_langs: list[str] | None = None,
+    blocked_domains=None,
+    blocked_url_patterns: tuple[str, ...] = (),
 ) -> DataFrame:
     """The crawl preprocessing stage, composed: HTML → text extraction
     (functions/html.extract_text), C4 line cleaning
@@ -700,7 +702,10 @@ def crawl_front_door(
     committed learned classifier (``ml.quality_clf``) scores the
     cleaned text as a final map-only stage — appending ``n_bigrams``/
     ``score_micro``/``is_quality`` and, when ``min_score_micro`` is
-    set, dropping below-threshold documents.
+    set, dropping below-threshold documents. With ``blocked_domains``/
+    ``blocked_url_patterns`` the URL blocklist stage
+    (:func:`url_blocklist_filter`) runs FIRST — the cheapest
+    reject, before the regex-heavy extraction ever sees the page.
 
     The extraction output is cut with a lazy localCheckpoint before
     the C4 stage: the ~20-regex extraction chain is the dominant cost
@@ -714,6 +719,23 @@ def crawl_front_door(
     from pyspark.sql import Window
 
     from ..functions.html import extract_text
+
+    if blocked_domains is not None or blocked_url_patterns:
+        if url_col is None:
+            raise ValueError(
+                "crawl_front_door: URL blocking needs url_col"
+            )
+        # the cheapest reject, BEFORE the regex-heavy extraction runs
+        df = (
+            url_blocklist_filter(
+                df,
+                blocked_domains if blocked_domains is not None else [],
+                url_col=url_col,
+                blocked_url_patterns=blocked_url_patterns,
+            )
+            .filter(F.col("kept_url"))
+            .drop("url_domain", "blocked_domain", "blocked_pattern", "kept_url")
+        )
 
     ext = df.withColumn(
         "__x", extract_text(F.col(html_col))
@@ -884,3 +906,60 @@ def quality_model_scores(
         score.alias("score_micro"),
         (score > 0).alias("is_quality"),
     )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked,
+    *,
+    url_col: str = "url",
+    blocked_url_patterns: tuple[str, ...] = (),
+) -> DataFrame:
+    """URL-level filtering — the FIRST stage of the RefinedWeb/C4-class
+    crawl pipelines (before extraction even runs, the cheapest reject):
+    a document is flagged when its registrable domain
+    (functions/url.registrable_domain over the parsed host) appears in
+    the blocklist, or when the raw URL matches any blocked pattern
+    (one alternation regex — keep patterns in the Java∩RE2 subset, the
+    functions/url discipline).
+
+    ``blocked``: a one-column ``domain`` DataFrame or a plain list of
+    registrable domains. The join is a plain equi-join on the domain —
+    real blocklists (UT1-class, ~10⁶–10⁷ domains) sit under the
+    AQE auto-broadcast threshold as a dictionary-encoded single
+    column, and when one doesn't, the same join degrades gracefully
+    to a shuffle keyed on the domain (bounded by the blocklist, not
+    the corpus). Emits, never drops (the q78 audit pattern):
+    ``url_domain``, ``blocked_domain``, ``blocked_pattern``,
+    ``kept_url``.
+
+    Ref parity: the reference has no crawl layer (its corpus arrives
+    curated); §2.13 front-door mandate — compose BEFORE
+    :func:`crawl_front_door`."""
+    from ..functions import url as Furl
+
+    spark = df.sparkSession
+    if isinstance(blocked, (list, tuple)):
+        bdf = spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    else:
+        bdf = blocked
+    staged = df.withColumn(
+        "url_domain", Furl.registrable_domain(Furl.host(F.col(url_col)))
+    )
+    hits = bdf.select(
+        F.col("domain").alias("url_domain"),
+        F.lit(True).alias("__blk"),
+    ).distinct()
+    out = staged.join(hits, "url_domain", "left").withColumn(
+        "blocked_domain", F.coalesce(F.col("__blk"), F.lit(False))
+    )
+    if blocked_url_patterns:
+        pat = "(" + "|".join(blocked_url_patterns) + ")"
+        out = out.withColumn("blocked_pattern", F.col(url_col).rlike(pat))
+    else:
+        out = out.withColumn("blocked_pattern", F.lit(False))
+    return out.withColumn(
+        "kept_url", ~F.col("blocked_domain") & ~F.col("blocked_pattern")
+    ).drop("__blk")

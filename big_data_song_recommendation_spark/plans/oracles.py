@@ -1047,7 +1047,65 @@ def _pq_rerank_recall_sql() -> str:
     """
 
 
+def _url_blocklist_sql() -> str:
+    """q169 twin: the q154 URL synthesis + host parsing + registrable
+    domain CASE, then the blocklist IN and the pattern regex."""
+    from ..functions.url import SECOND_LEVEL, _AUTH
+
+    seconds = ", ".join(f"'{s}'" for s in SECOND_LEVEL)
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.' || source || '-cdn.Example.' ||
+                   CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'co.uk'
+                             WHEN 'zh' THEN 'com.cn' WHEN 'fr' THEN 'fr'
+                             ELSE 'org' END ||
+                   CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END
+                   || '/articles/' || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                   || '&ref=' || source || '&utm_campaign=x#sec'
+                   || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ),
+        hp AS (
+            SELECT doc_id, url,
+                   lower(regexp_replace(regexp_replace(
+                       regexp_extract(url, '{_AUTH}', 1),
+                       '^[^@]*@', ''), ':[0-9]+$', '')) AS host
+            FROM u
+        ),
+        dom AS (
+            SELECT doc_id, url, host,
+                   string_split(host, '.') AS labels
+            FROM hp
+        ),
+        d2 AS (
+            SELECT doc_id, url,
+                   CASE WHEN len(labels) >= 3
+                             AND labels[-2] IN ({seconds})
+                             AND length(labels[-1]) = 2
+                        THEN array_to_string(labels[-3:], '.')
+                        WHEN len(labels) >= 2
+                        THEN array_to_string(labels[-2:], '.')
+                        ELSE host END AS url_domain
+            FROM dom
+        )
+        SELECT doc_id, url_domain,
+               url_domain IN ('example.co.uk', 'example.com.cn')
+                   AS blocked_domain,
+               regexp_matches(url, '(/articles/[0-9]*7\\?)')
+                   AS blocked_pattern,
+               NOT url_domain IN ('example.co.uk', 'example.com.cn')
+                   AND NOT regexp_matches(url, '(/articles/[0-9]*7\\?)')
+                   AS kept_url
+        FROM d2 ORDER BY doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q169: URL blocklist stage — host parse + registrable domain +
+    # IN + pattern regex replay
+    "q169_url_blocklist": _url_blocklist_sql(),
     # q168: PQ two-stage retrieval — committed-codebook encode + ADC
     # + exact re-rank, recall gated vs brute force
     "q168_pq_rerank_recall": _pq_rerank_recall_sql(),

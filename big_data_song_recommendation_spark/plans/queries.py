@@ -5302,7 +5302,41 @@ def q168_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level filtering (operators/quality.url_blocklist_filter —
+    the FIRST stage of RefinedWeb/C4-class crawl pipelines, the
+    cheapest reject before extraction runs): registrable-domain
+    blocklist join (two-level-suffix-aware, the q154 domain logic)
+    plus a blocked-URL-pattern tier compiled to one alternation
+    regex. Same deliberately-messy URL synthesis as q154 (five TLD
+    shapes incl. two-level suffixes); the de/zh domains are
+    blocklisted and doc ids ending in 7 are pattern-blocked. Emits,
+    never drops (q78 audit pattern). DuckDB twin replays host
+    parsing, the registrable-domain CASE, the IN, and the regex.
+    §2.13 front-door mandate; composes BEFORE crawl_front_door."""
+    from ..operators.quality import url_blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _synth_url().alias("url"))
+    return (
+        url_blocklist_filter(
+            urls,
+            ["example.co.uk", "example.com.cn"],
+            blocked_url_patterns=(r"/articles/[0-9]*7\?",),
+        )
+        .select(
+            "doc_id",
+            "url_domain",
+            "blocked_domain",
+            "blocked_pattern",
+            "kept_url",
+        )
+        .transform(_ordered, "doc_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q169_url_blocklist": q169_url_blocklist,
     "q168_pq_rerank_recall": q168_pq_rerank_recall,
     "q167_near_dup_admission": q167_near_dup_admission,
     "q166_line_dedup": q166_line_dedup,

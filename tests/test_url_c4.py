@@ -176,3 +176,68 @@ def test_sequence_manifest_strata_independent(spark):
     # each stratum starts its own stream at seq 0
     assert sorted((r["s"], r["seq_id"], r["n_tokens_in_seq"]) for r in out) \
         == [("a", 0, 4), ("a", 1, 1), ("b", 0, 4), ("b", 1, 1)]
+
+
+# -- URL blocklist stage (q169 operator + front-door composition) ------------
+
+
+def test_url_blocklist_filter_tiers(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        url_blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.spam.example.co.uk/x"),
+            (2, "https://ok.example.com/articles/9?x=1"),
+            (3, "https://ok.example.com/casino/9?x=1"),
+            (4, "https://sub.deep.good.org/fine"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in url_blocklist_filter(
+            df,
+            ["example.co.uk"],
+            blocked_url_patterns=(r"/casino/",),
+        ).collect()
+    }
+    assert rows[1].blocked_domain and not rows[1].blocked_pattern
+    assert rows[1].url_domain == "example.co.uk"
+    assert not rows[2].blocked_domain and not rows[2].blocked_pattern
+    assert rows[2].kept_url
+    assert rows[3].blocked_pattern and not rows[3].kept_url
+    assert rows[4].kept_url and rows[4].url_domain == "good.org"
+    # blocklist can also arrive as a DataFrame
+    bdf = spark.createDataFrame([("good.org",)], "domain string")
+    rows2 = {
+        r.doc_id: r for r in url_blocklist_filter(df, bdf).collect()
+    }
+    assert rows2[4].blocked_domain and not rows2[1].blocked_domain
+
+
+def test_front_door_blocks_urls_before_extraction(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        crawl_front_door,
+    )
+
+    html = (
+        "<html><body><p>Plenty of ordinary readable words right here.</p>"
+        "<p>And a second clean line for the keep gate.</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, html, "https://blocked.example.co.uk/a"),
+            (2, html, "https://fine.example.com/b"),
+        ],
+        "doc_id long, html string, url string",
+    )
+    out = crawl_front_door(
+        df, url_col="url", blocked_domains=["example.co.uk"]
+    )
+    assert [r.doc_id for r in out.collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs url_col"):
+        crawl_front_door(df, blocked_domains=["example.co.uk"])
