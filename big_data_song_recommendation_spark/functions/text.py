@@ -231,3 +231,58 @@ def pii_counts(col: Column | str) -> Column:
             for name, pat in PII_PATTERNS.items()
         ]
     )
+
+
+# -- encoding repair (mojibake) ----------------------------------------------
+
+#: single non-ASCII characters whose UTF-8-read-as-cp1252 forms this
+#: table repairs: Latin-1 letters + the cp1252 punctuation block the
+#: crawl actually contains. The mojibake forms are GENERATED (below),
+#: never hand-typed — no lookup data to drift.
+_MOJIBAKE_TARGETS = (
+    "éèêëàâäåçîïíìôöóòñúùûüãõáßÉÈÀÂÄÇÖÜÑ"
+    "‘’“”–—…•"
+    "°€™©®«»¡¿½´"
+)
+
+
+def _cp1252_or_latin1(b: int) -> str:
+    """How a byte shows up when a UTF-8 stream is misread: cp1252 for
+    the 0x80-0x9F block where defined, raw Latin-1 codepoint where
+    cp1252 leaves the byte undefined (the scraper passthrough)."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+#: (mojibake_sequence, repaired_char), longest sequences first (3-byte
+#: UTF-8 → 3-char mojibake must repair before any 2-char prefix of it)
+MOJIBAKE_PAIRS: list[tuple[str, str]] = sorted(
+    (
+        ("".join(_cp1252_or_latin1(b) for b in c.encode("utf-8")), c)
+        for c in _MOJIBAKE_TARGETS
+    ),
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Repair UTF-8-misread-as-cp1252 mojibake (the ftfy-class
+    curation stage, reduced to its dominant failure mode): one literal
+    global replace per :data:`MOJIBAKE_PAIRS` entry, chained
+    longest-first — a single map-only projection, whole-stage codegen,
+    no Python, no external data. Spark's ``replace`` and any ANSI
+    engine's ``replace`` scan left-to-right with the same semantics,
+    so the chain is bit-reproducible cross-engine (the q170 oracle
+    embeds the same generated pairs).
+
+    Scope: ONE decode error deep (the overwhelmingly common case).
+    Double-encoded text needs a second pass; genuinely mixed encodings
+    need a real ftfy — this is the 100 TB-cheap first tier, and
+    ``n_chars_fixed`` (every repair shortens the string) tells you
+    which documents to send there."""
+    c = F.col(col) if isinstance(col, str) else col
+    for moji, fixed in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(fixed))
+    return c

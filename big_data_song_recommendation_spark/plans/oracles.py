@@ -1102,7 +1102,61 @@ def _url_blocklist_sql() -> str:
     """
 
 
+def _sql_str(s: str) -> str:
+    """A DuckDB string expression for ``s`` that never embeds control
+    characters in the SQL text: printable runs as quoted literals
+    (single quotes doubled), control codepoints via chr()."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        o = ord(ch)
+        if o < 32 or 127 <= o < 160:
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({o})")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _mojibake_repair_sql() -> str:
+    """q170 twin: the SAME generated repair table
+    (functions/text.MOJIBAKE_PAIRS) as a nested replace chain, and the
+    SAME generated mojibake tail — query and twin share one source of
+    truth, so they cannot drift."""
+    from ..functions.text import MOJIBAKE_PAIRS
+    from .queries import _Q170_CLEAN_TAIL, _q170_mojibake
+
+    expr = "page"
+    for moji, fixed in MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, {_sql_str(moji)}, {_sql_str(fixed)})"
+    return f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 3 = 0
+                       THEN {_sql_str(_q170_mojibake(_Q170_CLEAN_TAIL))}
+                       ELSE {_sql_str(_Q170_CLEAN_TAIL)} END AS page
+            FROM documents
+        ),
+        fixed AS (
+            SELECT doc_id, page, {expr} AS fixed_text FROM staged
+        )
+        SELECT doc_id,
+               page <> fixed_text AS had_mojibake,
+               CAST(length(page) - length(fixed_text) AS BIGINT)
+                   AS n_chars_fixed,
+               fixed_text
+        FROM fixed ORDER BY doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q170: encoding repair — generated pair table replayed as a
+    # nested replace chain
+    "q170_mojibake_repair": _mojibake_repair_sql(),
     # q169: URL blocklist stage — host parse + registrable domain +
     # IN + pattern regex replay
     "q169_url_blocklist": _url_blocklist_sql(),

@@ -5335,7 +5335,52 @@ def q169_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the clean tail q170 appends; the mojibake variant is GENERATED from
+#: it with the same byte-level misread the repair table is built from,
+#: so query and oracle share one source of truth
+_Q170_CLEAN_TAIL = " café — it’s “great” naïve ½é"
+
+
+def _q170_mojibake(s: str) -> str:
+    from ..functions.text import _cp1252_or_latin1
+
+    return "".join(_cp1252_or_latin1(b) for b in s.encode("utf-8"))
+
+
+def q170_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (functions/text.repair_mojibake — the
+    ftfy-class curation stage reduced to its dominant failure mode,
+    UTF-8 misread as cp1252): a 54-entry GENERATED repair table
+    (never hand-typed) applied as one chain of literal global
+    replaces, longest-first — map-only, codegen, no Python. Every
+    third document gets a mojibake'd tail (generated by the same
+    byte-level misread), the rest the clean tail; the operator must
+    repair exactly the former and pass the latter through
+    (``had_mojibake`` / ``n_chars_fixed`` audit the split). DuckDB
+    twin embeds the same generated pairs as a nested replace chain
+    (control bytes spelled via chr()). §2.13 curation mandate; no
+    reference twin (its corpus arrives clean)."""
+    from ..functions import text as Ftext
+
+    docs = load_table(spark, sf_dir, "documents")
+    tail = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(_q170_mojibake(_Q170_CLEAN_TAIL))
+    ).otherwise(F.lit(_Q170_CLEAN_TAIL))
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("page")
+    ).select("doc_id", "page", Ftext.repair_mojibake("page").alias("fixed_text"))
+    return staged.select(
+        "doc_id",
+        (F.col("page") != F.col("fixed_text")).alias("had_mojibake"),
+        (F.length("page") - F.length("fixed_text"))
+        .cast("long")
+        .alias("n_chars_fixed"),
+        "fixed_text",
+    ).transform(_ordered, "doc_id")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q170_mojibake_repair": q170_mojibake_repair,
     "q169_url_blocklist": q169_url_blocklist,
     "q168_pq_rerank_recall": q168_pq_rerank_recall,
     "q167_near_dup_admission": q167_near_dup_admission,

@@ -241,3 +241,49 @@ def test_front_door_blocks_urls_before_extraction(spark):
 
     with _pytest.raises(ValueError, match="needs url_col"):
         crawl_front_door(df, blocked_domains=["example.co.uk"])
+
+
+# -- mojibake repair (q170 operator) ------------------------------------------
+
+
+def test_mojibake_roundtrip_and_passthrough(spark):
+    from big_data_song_recommendation_spark.functions.text import (
+        _MOJIBAKE_TARGETS,
+        _cp1252_or_latin1,
+        repair_mojibake,
+    )
+    from pyspark.sql import functions as F
+
+    def moji(s):
+        return "".join(_cp1252_or_latin1(b) for b in s.encode("utf-8"))
+
+    clean = "café — it’s “great” naïve ½ " + _MOJIBAKE_TARGETS
+    df = spark.createDataFrame(
+        [(1, moji(clean)), (2, clean), (3, "plain ascii only.")],
+        "i int, t string",
+    )
+    rows = {
+        r.i: r.fixed
+        for r in df.select("i", repair_mojibake("t").alias("fixed")).collect()
+    }
+    # one-decode-deep mojibake repairs exactly; clean text unchanged
+    assert rows[1] == clean
+    assert rows[2] == clean
+    assert rows[3] == "plain ascii only."
+
+
+def test_mojibake_pairs_are_longest_first(spark):
+    from big_data_song_recommendation_spark.functions.text import (
+        MOJIBAKE_PAIRS,
+    )
+
+    lens = [len(m) for m, _ in MOJIBAKE_PAIRS]
+    assert lens == sorted(lens, reverse=True)
+    assert all(len(f) == 1 for _, f in MOJIBAKE_PAIRS)
+    # generated, not hand-typed: every pair round-trips at byte level
+    from big_data_song_recommendation_spark.functions.text import (
+        _cp1252_or_latin1,
+    )
+
+    for m, f in MOJIBAKE_PAIRS:
+        assert m == "".join(_cp1252_or_latin1(b) for b in f.encode("utf-8"))
