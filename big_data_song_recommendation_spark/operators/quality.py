@@ -614,6 +614,7 @@ def dedup_lines_within_doc(
     *,
     normalize: bool = True,
     out_text: str = "dedup_text",
+    audit_prefix: str = "",
 ) -> DataFrame:
     """Intra-document repeated-line removal (keep-FIRST occurrence) —
     the curation stage between C4's per-line rules
@@ -638,7 +639,9 @@ def dedup_lines_within_doc(
     (``operators/quality.pack_sequences`` note applies).
 
     Emits, never drops (the q78/q153 audit pattern): input columns
-    plus ``n_lines``, ``n_kept_lines``, ``n_removed``, ``out_text``.
+    plus ``n_lines``, ``n_kept_lines``, ``n_removed``, ``out_text``
+    (audit names prefixed with ``audit_prefix`` so composers whose
+    input already carries C4's ``n_lines`` can avoid the collision).
 
     No reference twin (ref's corpus is curated song metadata,
     src/data_processor.py:58-79 cleans fields, not pages); this is a
@@ -660,11 +663,13 @@ def dedup_lines_within_doc(
     staged = staged.select("*", kept.alias("__dl_kept"))
     return staged.select(
         "*",
-        F.size("__dl_lines").cast("long").alias("n_lines"),
-        F.size("__dl_kept").cast("long").alias("n_kept_lines"),
+        F.size("__dl_lines").cast("long").alias(f"{audit_prefix}n_lines"),
+        F.size("__dl_kept")
+        .cast("long")
+        .alias(f"{audit_prefix}n_kept_lines"),
         (F.size("__dl_lines") - F.size("__dl_kept"))
         .cast("long")
-        .alias("n_removed"),
+        .alias(f"{audit_prefix}n_removed"),
         F.array_join("__dl_kept", "\n").alias(out_text),
     ).drop("__dl_lines", "__dl_norm", "__dl_kept")
 
@@ -682,6 +687,8 @@ def crawl_front_door(
     allowed_langs: list[str] | None = None,
     blocked_domains=None,
     blocked_url_patterns: tuple[str, ...] = (),
+    fix_encoding: bool = False,
+    dedup_lines: bool = False,
 ) -> DataFrame:
     """The crawl preprocessing stage, composed: HTML → text extraction
     (functions/html.extract_text), C4 line cleaning
@@ -706,6 +713,11 @@ def crawl_front_door(
     ``blocked_url_patterns`` the URL blocklist stage
     (:func:`url_blocklist_filter`) runs FIRST — the cheapest
     reject, before the regex-heavy extraction ever sees the page.
+    ``fix_encoding`` repairs cp1252 mojibake in the RAW html before
+    extraction (functions/text.repair_mojibake); ``dedup_lines``
+    collapses intra-doc repeated lines after the C4 stage
+    (:func:`dedup_lines_within_doc`, appending ``n_dup_lines``) —
+    both map-only, so the micro-batch plan stays shuffle-free.
 
     The extraction output is cut with a lazy localCheckpoint before
     the C4 stage: the ~20-regex extraction chain is the dominant cost
@@ -737,6 +749,12 @@ def crawl_front_door(
             .drop("url_domain", "blocked_domain", "blocked_pattern", "kept_url")
         )
 
+    if fix_encoding:
+        # encoding errors live in the raw bytes: repair the HTML before
+        # the extraction regexes see it (map-only, q170's chain)
+        from ..functions.text import repair_mojibake
+
+        df = df.withColumn(html_col, repair_mojibake(html_col))
     ext = df.withColumn(
         "__x", extract_text(F.col(html_col))
     ).localCheckpoint(eager=False)
@@ -752,6 +770,18 @@ def crawl_front_door(
         .withColumn("text", F.col("__clean"))
         .drop("__x", "__clean", "kept_doc")
     )
+    if dedup_lines:
+        # intra-doc boilerplate (nav top+bottom, duplicated footers)
+        # collapses here, BEFORE the canonical-dedup/quality/langid
+        # stages key on the text — still map-only (q166's operator)
+        out = (
+            dedup_lines_within_doc(
+                out, "text", out_text="__ddl", audit_prefix="__dl_"
+            )
+            .withColumn("text", F.col("__ddl"))
+            .withColumnRenamed("__dl_n_removed", "n_dup_lines")
+            .drop("__ddl", "__dl_n_lines", "__dl_n_kept_lines")
+        )
     if url_col:
         from ..functions.url import canonical_url
 

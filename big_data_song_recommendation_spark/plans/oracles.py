@@ -1153,7 +1153,76 @@ def _mojibake_repair_sql() -> str:
     """
 
 
+def _full_front_door_sql() -> str:
+    """q171 twin: COMPOSED from the stage generators — extraction CTEs
+    (q151) over the CLEAN synthesized page (the Spark side receives
+    the mojibake'd variant and must repair it back to exactly this —
+    q170's round-trip is the load-bearing claim), the shared C4
+    predicate (q153), the q166 keep-first line-dedup algebra, the
+    q154 canonicalization subquery, and the q169 blocklist as a
+    domain filter."""
+    from .queries import _Q171_CLEAN_LINE
+
+    line_lit = _Q171_CLEAN_LINE.replace("'", "''")
+    page = (
+        "'<html><head><script>var x = 1;</script></head><body>"
+        '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+        "<article><p>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "' of the corpus.</p><p>' || text || ' tail marker.</p>"
+        "<p>Subscribe to our newsletter today.</p>"
+        "<p>Subscribe to our newsletter today.</p><p>"
+        f"{line_lit}" + "</p><p>lang ' || lang || "
+        "'</p><p>Enable javascript to continue.</p></article>"
+        "<footer>&copy; corp</footer></body></html>'"
+    )
+    return f"""
+        WITH {_extraction_ctes(page)},
+        c AS (
+            SELECT doc_id,
+                   {_c4_kept("string_split(extracted, chr(10))")} AS kept
+            FROM f
+        ),
+        cl AS (
+            SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept, kept
+            FROM c WHERE len(kept) >= 2
+        ),
+        lines AS (
+            SELECT doc_id, unnest(kept) AS line,
+                   unnest(range(1, len(kept) + 1)) AS pos
+            FROM cl
+        ),
+        ranked AS (
+            SELECT doc_id, line, pos,
+                   row_number() OVER (
+                       PARTITION BY doc_id, lower(trim(line))
+                       ORDER BY pos) AS rn
+            FROM lines
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dup_lines,
+                   COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE rn = 1), '') AS text
+            FROM ranked GROUP BY doc_id
+        ),
+        u AS ({_url_canonicalization_sql()})
+        SELECT u.domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT u.host) AS BIGINT) AS n_hosts,
+               CAST(SUM(cl.n_kept) AS BIGINT) AS kept_lines,
+               CAST(SUM(dl.n_dup_lines) AS BIGINT) AS dup_lines_removed,
+               CAST(SUM(length(dl.text)) AS BIGINT) AS clean_chars
+        FROM cl JOIN dl USING (doc_id) JOIN u USING (doc_id)
+        WHERE u.domain <> 'example.co.uk'
+        GROUP BY u.domain ORDER BY u.domain
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q171: the complete composed front door — blocklist + repair +
+    # extract + C4 + line dedup + canonicalize, per-domain rollup
+    "q171_full_front_door_rollup": _full_front_door_sql(),
     # q170: encoding repair — generated pair table replayed as a
     # nested replace chain
     "q170_mojibake_repair": _mojibake_repair_sql(),

@@ -5379,7 +5379,88 @@ def q170_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(_ordered, "doc_id")
 
 
+#: q171's injected sentence — clean form here, mojibake'd by the same
+#: generator the repair table is built from (shared source of truth)
+_Q171_CLEAN_LINE = "Great café — it’s naïve effort."
+
+
+def q171_full_front_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE crawl front door, composed and oracle-proven end
+    to end (q158's capstone extended with the round's three new
+    stages): URL blocklist (q169 — de-domain docs drop before
+    extraction), encoding repair (q170 — every third page carries a
+    mojibake'd sentence the repair must fix in the RAW html),
+    extraction (q151), C4 line rules (q153), intra-doc line dedup
+    (q166 — a duplicated subscribe-boilerplate paragraph collapses),
+    URL canonicalization (q154), rolled up per registrable domain
+    with exact-integer audit sums (docs, hosts, C4-kept lines,
+    dedup-removed lines, final clean chars). The DuckDB twin is
+    COMPOSED from the same stage generators — and synthesizes the
+    CLEAN page directly, so a broken Spark-side repair diverges the
+    hash (the round-trip is the load-bearing claim). Map-only + one
+    window, the same callable the streaming sink runs."""
+    from ..functions.url import host, registrable_domain
+    from ..operators.quality import crawl_front_door
+
+    docs = load_table(spark, sf_dir, "documents")
+    moji = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(_q170_mojibake(_Q171_CLEAN_LINE))
+    ).otherwise(F.lit(_Q171_CLEAN_LINE))
+    page = F.concat(
+        F.lit(
+            "<html><head><script>var x = 1;</script></head><body>"
+            '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+            "<article><p>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(" of the corpus.</p><p>"),
+        F.col("text"),
+        F.lit(
+            " tail marker.</p>"
+            "<p>Subscribe to our newsletter today.</p>"
+            "<p>Subscribe to our newsletter today.</p><p>"
+        ),
+        moji,
+        F.lit("</p><p>lang "),
+        F.col("lang"),
+        F.lit(
+            "</p><p>Enable javascript to continue.</p></article>"
+            "<footer>&copy; corp</footer></body></html>"
+        ),
+    )
+    src = docs.select(
+        "doc_id", page.alias("html"), _synth_url().alias("url")
+    )
+    fd = crawl_front_door(
+        src,
+        url_col="url",
+        blocked_domains=["example.co.uk"],
+        fix_encoding=True,
+        dedup_lines=True,
+    )
+    h = host(F.col("url"))
+    return (
+        fd.select(
+            registrable_domain(h).alias("domain"),
+            h.alias("__host"),
+            "n_kept",
+            "n_dup_lines",
+            F.length("text").cast("long").alias("__chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__host").alias("n_hosts"),
+            F.sum("n_kept").alias("kept_lines"),
+            F.sum("n_dup_lines").alias("dup_lines_removed"),
+            F.sum("__chars").alias("clean_chars"),
+        )
+        .transform(_ordered, "domain")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q171_full_front_door_rollup": q171_full_front_door_rollup,
     "q170_mojibake_repair": q170_mojibake_repair,
     "q169_url_blocklist": q169_url_blocklist,
     "q168_pq_rerank_recall": q168_pq_rerank_recall,
