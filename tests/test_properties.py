@@ -451,3 +451,132 @@ def test_dsir_weights_deterministic_and_bounded(spark, texts):
         isinstance(v, int) and 0 <= v <= 1_000_000 * (n_grams_total + 1)
         for v in a.values()
     )
+
+
+# -- round-9 continuation operators ------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", blacklist_characters="\n"
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_line_dedup_matches_python_reference(spark, lines):
+    """Keep-first on the normalized key, survivors in original order —
+    the array-lambda plan must equal the obvious Python fold."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        dedup_lines_within_doc,
+    )
+
+    text = "\n".join(lines)
+    row = dedup_lines_within_doc(
+        spark.createDataFrame([(1, text)], "i int, text string")
+    ).collect()[0]
+    seen, want = set(), []
+    for ln in text.split("\n"):
+        key = ln.strip().lower()
+        if key not in seen:
+            seen.add(key)
+            want.append(ln)
+    assert row.dedup_text == "\n".join(want)
+    assert row.n_kept_lines == len(want)
+    assert row.n_removed == len(text.split("\n")) - len(want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.text(
+        alphabet=(
+            "abc éè—’“”€…ñç½"  # targets + ascii; no raw mojibake input
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_mojibake_repair_roundtrip_property(spark, s):
+    """repair(misread(s)) == s for any string over the repaired
+    alphabet, and repair(s) == s (clean text is a fixed point)."""
+    from big_data_song_recommendation_spark.functions.text import (
+        _cp1252_or_latin1,
+        repair_mojibake,
+    )
+
+    moji = "".join(_cp1252_or_latin1(b) for b in s.encode("utf-8"))
+    df = spark.createDataFrame([(moji,), (s,)], ["t"])
+    got = [r.f for r in df.select(repair_mojibake("t").alias("f")).collect()]
+    assert got == [s, s]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_near_dup_estimate_is_signature_agreement(spark, docs):
+    """The probe's est_jaccard_micro must equal the Python-computed
+    signature agreement for every banded candidate pair (corpus =
+    even rows, probes = odd rows of the generated batch)."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _affine,
+        near_dup_pairs_vs_corpus,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    corpus = [r for r in rows if r[0] % 2 == 0]
+    probes = [r for r in rows if r[0] % 2 == 1]
+    if not probes:
+        return
+    got = {
+        (r.probe_id, r.corpus_id): r.est_jaccard_micro
+        for r in near_dup_pairs_vs_corpus(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(probes, "doc_id long, text string"),
+            threshold_micro=0,
+        ).collect()
+    }
+
+    import hashlib
+
+    def sig(text):
+        shingles = set()
+        toks = [t for t in "".join(
+            ch if ch.isalnum() else " " for ch in text.lower()
+        ).split() if t]
+        for i in range(len(toks) - 2):
+            shingles.add(" ".join(toks[i : i + 3]))
+        if not shingles:
+            return None
+        out = []
+        for hi in range(16):
+            a, b = _affine(hi)
+            out.append(
+                min(
+                    (a * (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                          % MINHASH_PRIME) + b) % MINHASH_PRIME
+                    for s in shingles
+                )
+            )
+        return tuple(out)
+
+    sigs = {i: sig(t) for i, t in rows}
+    for (p, c), est in got.items():
+        sp, sc = sigs[p], sigs[c]
+        agree = sum(1 for a, b in zip(sp, sc) if a == b)
+        assert est == (agree * 1_000_000) // 16, (p, c)
