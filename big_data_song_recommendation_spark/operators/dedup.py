@@ -1105,6 +1105,15 @@ def prefix_filter_jaccard_pairs(
     :func:`jaccard_pairs_from_sets`. ``checkpoint`` cuts the
     shingle-set lineage once for its three consumers (df table,
     prefix ranks, arrays).
+
+    (Evaluated and rejected: verifying over dense INTEGER shingle ids
+    (dictionary from the df table) instead of the string arrays — the
+    per-pair compare gets cheaper but the dictionary join adds a
+    shingle-grain shuffle, and the measured wall at sf0.1 is a wash
+    (3.34 s vs 3.22 s like-for-like): the verify tier is JOIN-bound,
+    not compare-bound. Revisit only if profiles ever show the
+    array_intersect itself dominating — e.g. k-gram sets much longer
+    than document shingle sets.)
     """
     n_, d_ = int(threshold_num), int(threshold_den)
     if not (0 < n_ <= d_):
