@@ -1462,6 +1462,7 @@ def near_dup_probe(
     probe_id_out: str = "probe_id",
     corpus_id_out: str = "corpus_id",
     max_pushdown_keys: int | None = 4096,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Probe a batch of INCOMING documents against a persisted MinHash
     index (:func:`build_minhash_index`): returns
@@ -1498,7 +1499,15 @@ def near_dup_probe(
         raise ValueError(f"near_dup_probe: probe batch lacks id col {idc!r}")
     sig_p = minhash_signatures(
         new_docs, idc, text_col, num_hashes=nh, k=int(meta["k"])
-    ).localCheckpoint(eager=False)  # band + agreement consumers
+    )
+    if cut_lineage:
+        # two consumers (band keys + agreement) — cut once. Callers in
+        # LONG-LIVED processes (the streaming sink) pass False: each
+        # localCheckpoint pins executor blocks until the driver GCs
+        # the DataFrame, which accumulates across micro-batches; a
+        # micro-batch recomputing its tiny signature pipeline twice is
+        # the cheaper steady state (measured in the gated soak).
+        sig_p = sig_p.localCheckpoint(eager=False)
     bands_p = _band_key_rows(
         sig_p, idc, num_hashes=nh, bands=int(meta["bands"])
     ).select(F.col("sid").alias(probe_id_out), "key")
@@ -1628,6 +1637,7 @@ def merge_minhash_index(
     name: str = "mh_idx",
     text_col: str = "text",
     check_new_ids: bool = True,
+    cut_lineage: bool = True,
 ) -> None:
     """Fold NEW documents into a persisted MinHash index — insert-only
     incremental maintenance (the merge_bm25_index / merge_srp_index
@@ -1665,7 +1675,10 @@ def merge_minhash_index(
             )
     sig = minhash_signatures(
         delta_docs, idc, text_col, num_hashes=nh, k=int(meta["k"])
-    ).localCheckpoint(eager=False)
+    )
+    if cut_lineage:
+        # same trade as near_dup_probe: streaming callers pass False
+        sig = sig.localCheckpoint(eager=False)
     (
         _band_key_rows(sig, idc, num_hashes=nh, bands=int(meta["bands"]))
         .select(F.col("sid").alias(idc), "key")

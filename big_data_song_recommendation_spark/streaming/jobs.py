@@ -712,6 +712,7 @@ class CurationSink:
                         accepted.select("doc_id", "text"),
                         name=self.minhash_index,
                         threshold_micro=self.near_dup_threshold_micro,
+                        cut_lineage=False,  # forever-process: no pinned blocks
                     )
                     (
                         pairs.filter(
@@ -770,6 +771,7 @@ class CurationSink:
                         accepted.select("doc_id", "text"),
                         name=self.minhash_index,
                         check_new_ids=False,
+                        cut_lineage=False,  # forever-process: no pinned blocks
                     )
                     marker_dir.mkdir(parents=True, exist_ok=True)
                     tmp_m = marker_dir / f"epoch={epoch_id}.tmp"

@@ -45,12 +45,40 @@ _FILLER = (
 )
 
 
+def _interleaved_text(marker):
+    """_FILLER with ``marker`` inserted after every 2nd word: every
+    3-token shingle contains the marker, so texts with different
+    markers share zero shingles (the salted-replica trick), while the
+    stopword-rich filler keeps quality_score above the sink's gate."""
+    words = _FILLER.split()
+    parts, lit_run = [], []
+    for i, w in enumerate(words):
+        lit_run.append(w)
+        if i % 2 == 1:
+            parts.append(F.lit(" ".join(lit_run) + " "))
+            parts.append(marker)
+            parts.append(F.lit(" "))
+            lit_run = []
+    if lit_run:
+        parts.append(F.lit(" ".join(lit_run)))
+    return F.concat(*parts)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--secs", type=int, default=600)
     ap.add_argument("--rate", type=int, default=5000)
     ap.add_argument("--pool", type=int, default=20000)
     ap.add_argument("--trigger", default="2 seconds")
+    ap.add_argument(
+        "--minhash",
+        action="store_true",
+        help="seed a MinHash index with a SEED text pool and gate the "
+        "stream on it: half the stream are exact copies of seed texts "
+        "(fingerprint-NEW, so only the near-dup gate can reject them - "
+        "deterministically, est 1.0 at threshold 1.0); the index is "
+        "merged incrementally every epoch with the accepted docs",
+    )
     args = ap.parse_args()
 
     spark = get_spark("curation-soak", shuffle_partitions=8)
@@ -75,24 +103,69 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as d:
         out_dir = os.path.join(d, "curated")
-        sink = CurationSink(out_dir, n_shards=4)
+        sink_kw = {}
+        if args.minhash:
+            from big_data_song_recommendation_spark.operators.dedup import (
+                build_minhash_index,
+            )
+
+            # pre-clean any stale tables/locations from a killed run
+            import shutil
+
+            for t in ("bands", "sigs", "meta"):
+                spark.sql(f"DROP TABLE IF EXISTS soak_mh_{t}")
+                shutil.rmtree(
+                    os.path.join("spark-warehouse", f"soak_mh_{t}"),
+                    ignore_errors=True,
+                )
+            seeds = spark.range(args.pool).select(
+                (F.col("id") + 1_000_000_000).alias("doc_id"),
+                _interleaved_text(
+                    F.concat(F.lit("s"), F.col("id").cast("string"))
+                ).alias("text"),
+            )
+            build_minhash_index(seeds, name="soak_mh", n_buckets=8)
+            sink_kw = dict(
+                minhash_index="soak_mh",
+                near_dup_threshold_micro=1_000_000,
+            )
+        sink = CurationSink(out_dir, n_shards=4, **sink_kw)
 
         def batch_fn(df, epoch_id):
             sink(df, epoch_id)
             _sample(f"epoch_{epoch_id}")
 
+        base_text = F.concat(
+            F.lit(_FILLER),
+            F.lit("unique marker "),
+            (F.col("value") % args.pool).cast("string"),
+        )
+        if args.minhash:
+            # odd values: EXACT copies of seed texts — new to the
+            # fingerprint store, caught only by the near-dup gate.
+            # Texts are marker-INTERLEAVED (every 3rd token), so every
+            # 3-shingle contains the marker and docs with different
+            # markers share ZERO shingles — base docs can never
+            # near-match seeds, and the gate's rejections are exactly
+            # the seed copies (deterministic verdict).
+            base_m = F.concat(
+                F.lit("u"), (F.col("value") % args.pool).cast("string")
+            )
+            seed_m = F.concat(
+                F.lit("s"),
+                (F.floor(F.col("value") / 2) % args.pool).cast("string"),
+            )
+            marker = F.when(F.col("value") % 2 == 1, seed_m).otherwise(
+                base_m
+            )
+            text = _interleaved_text(marker)
+        else:
+            text = base_text
         docs = (
             spark.readStream.format("rate")
             .option("rowsPerSecond", args.rate)
             .load()
-            .select(
-                F.col("value").alias("doc_id"),
-                F.concat(
-                    F.lit(_FILLER),
-                    F.lit("unique marker "),
-                    (F.col("value") % args.pool).cast("string"),
-                ).alias("text"),
-            )
+            .select(F.col("value").alias("doc_id"), text.alias("text"))
         )
         t_start = time.time()
         _sample("start")
@@ -132,6 +205,8 @@ def main() -> None:
         tail_acc = sum(a["n_accepted"] for a in tail)
 
         rdd_counts = [s["persistent_rdds"] for s in samples]
+        n_near_dup = sum(a.get("n_near_dup_index", 0) for a in audits)
+        mh_merges = sum(1 for a in audits if a.get("mh_indexed"))
         report = {
             "secs": args.secs,
             "rate": args.rate,
@@ -148,8 +223,36 @@ def main() -> None:
             "driver_heap_mb_end": samples[-1]["driver_heap_mb"],
             "throughput_docs_s": round(n_in / max(args.secs, 1), 1),
         }
+        if args.minhash:
+            lake = spark.read.parquet(os.path.join(out_dir, "data"))
+            seed_leak = lake.filter(
+                F.col("text").contains("seed marker")
+            ).count()
+            idx_rows = spark.table("soak_mh_sigs").count()
+            report.update(
+                near_dup_rejected=n_near_dup,
+                mh_merge_epochs=mh_merges,
+                seed_docs_in_lake=seed_leak,
+                mh_index_rows_end=idx_rows,
+            )
 
         fails = []
+        if args.minhash:
+            # the gate is the ONLY defense against seed copies (their
+            # fingerprints are new) — any leak is a gate failure
+            if report["seed_docs_in_lake"]:
+                fails.append(
+                    f"{report['seed_docs_in_lake']} seed copies reached "
+                    "the lake past the near-dup gate"
+                )
+            if n_near_dup == 0:
+                fails.append("near-dup gate never fired")
+            # incremental maintenance: index = seeds + every accepted doc
+            if idx_rows != args.pool + n_acc:
+                fails.append(
+                    f"index rows {idx_rows} != seeds {args.pool} + "
+                    f"accepted {n_acc}"
+                )
         # every distinct text admitted exactly once, ever
         if store_distinct != store_total:
             fails.append("store holds duplicate fingerprints across epochs")
@@ -176,6 +279,9 @@ def main() -> None:
             fails.append(f"persistent RDDs leaked: {rdd_counts[-1]} at end")
 
         report["fails"] = fails
+        if args.minhash:
+            for t in ("bands", "sigs", "meta"):
+                spark.sql(f"DROP TABLE IF EXISTS soak_mh_{t}")
         print(json.dumps(report))
         sys.exit(1 if fails else 0)
 
