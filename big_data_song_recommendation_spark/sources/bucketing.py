@@ -71,7 +71,12 @@ def compact_bucketed_table(spark, table: str) -> dict:
 
     Returns ``{"files_before", "files_after", "n_buckets"}``.
     IO cost ∝ the table (a full rewrite): run it on the compaction
-    cadence, not per merge.
+    cadence, not per merge. Parallelism note: one-file-per-bucket
+    means one write TASK per bucket, so the bucket count chosen at
+    build time is also the compaction parallelism and the per-file
+    size ceiling — at 100 TB pick buckets so table/buckets lands in
+    the 128 MiB–1 GiB file band (the RUNBOOK layout rule), and this
+    pass inherits sane tasks for free.
     """
     import os
     import re

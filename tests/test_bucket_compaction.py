@@ -78,3 +78,44 @@ def test_compaction_refuses_unbucketed(spark, tmp_path):
             compact_bucketed_table(spark, "t_cpt_plain")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cpt_plain")
+
+
+def test_compaction_on_bm25_postings(spark):
+    """The retrieval index's postings table (bucketed AND sorted by
+    tok) must compact to one file per bucket with served top-k
+    unchanged — the triad's third member under the same pass."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    tables = build_bm25_index(
+        docs.filter(F.col("doc_id") % 2 == 0), name="t_cpt_bm", n_buckets=4
+    )
+    try:
+        merge_bm25_index(
+            docs.filter(F.col("doc_id") % 2 == 1), name="t_cpt_bm"
+        )
+        before = [
+            tuple(r)
+            for r in bm25_topk_indexed(
+                spark, ["data", "the"], name="t_cpt_bm", k=5
+            ).collect()
+        ]
+        stats = compact_bucketed_table(spark, "t_cpt_bm_postings")
+        assert stats["files_after"] == 4 < stats["files_before"]
+        after = [
+            tuple(r)
+            for r in bm25_topk_indexed(
+                spark, ["data", "the"], name="t_cpt_bm", k=5
+            ).collect()
+        ]
+        assert after == before and len(after) > 0
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql("DROP TABLE IF EXISTS t_cpt_bm_postings_compact_stage")
