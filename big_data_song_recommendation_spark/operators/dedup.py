@@ -1695,3 +1695,63 @@ def merge_minhash_index(
         .sortBy(idc)
         .saveAsTable(tables["sigs"])
     )
+
+
+def admission_verify_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    probe_id_col: str = "probe_id",
+    corpus_id_col: str = "corpus_id",
+) -> DataFrame:
+    """The EXACT tier of the two-tier admission discipline the probe
+    docstrings point to: take the near-dup candidate pairs the
+    signature-agreement estimate admitted (:func:`near_dup_probe` /
+    :func:`near_dup_pairs_vs_corpus`) and compute their exact Jaccard
+    from the real shingle sets — integer micro-units, so the verdict
+    is court-grade and cross-engine exact. A curation pipeline gates
+    INGEST on the cheap estimate and sends only the admitted pairs
+    (bounded: probe batch × collided candidates) here before, e.g.,
+    destructive removal decisions.
+
+    Shape: shingle sets of each side restricted to their half of the
+    candidate pairs (broadcast of the pair list — admission grain),
+    one equi-join on the shingle string for intersections, per-side
+    size aggregates. Appends ``exact_jaccard_micro`` to ``pairs``;
+    pairs whose sides share no shingles keep 0 (LEFT join), so no
+    admitted pair silently disappears.
+    """
+    sets_p = _shingle_sets(probes, id_col, text_col, k).select(
+        F.col("sid").alias(probe_id_col), F.col("sh").alias("__sh")
+    )
+    sets_c = _shingle_sets(corpus, id_col, text_col, k).select(
+        F.col("sid").alias(corpus_id_col), F.col("sh").alias("__sh")
+    )
+    ids = pairs.select(probe_id_col, corpus_id_col)
+    ps = sets_p.join(F.broadcast(ids.select(probe_id_col).distinct()), probe_id_col)
+    cs = sets_c.join(
+        F.broadcast(ids.select(corpus_id_col).distinct()), corpus_id_col
+    )
+    inter = (
+        ps.join(cs, "__sh")
+        .join(F.broadcast(ids), [probe_id_col, corpus_id_col], "left_semi")
+        .groupBy(probe_id_col, corpus_id_col)
+        .agg(F.count("*").alias("__c"))
+    )
+    np_ = ps.groupBy(probe_id_col).agg(F.count("*").alias("__np"))
+    nc_ = cs.groupBy(corpus_id_col).agg(F.count("*").alias("__nc"))
+    exact = F.expr(
+        "CAST((__c * 1000000) DIV (__np + __nc - __c) AS BIGINT)"
+    )
+    return (
+        pairs.join(inter, [probe_id_col, corpus_id_col], "left")
+        .join(np_, probe_id_col)
+        .join(nc_, corpus_id_col)
+        .withColumn("__c", F.coalesce("__c", F.lit(0)))
+        .withColumn("exact_jaccard_micro", exact)
+        .drop("__c", "__np", "__nc")
+    )

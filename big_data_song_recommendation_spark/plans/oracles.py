@@ -865,6 +865,33 @@ def _fertility_by_model_lang_sql(n_merges: int) -> str:
     )
 
 
+def _mh_sets_cte(src: str) -> str:
+    """Distinct 3-shingle sets over arbitrary (doc_id, text) source
+    SQL — shared by the q167/q172 admission twins."""
+    return f"""
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM (SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
+                  FROM ({src}))
+        )"""
+
+
+#: the q167/q172 corpus/probe split (even docs vs mutated odds +
+#: every-10th mirror re-ingest)
+_MH_SRC_C = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+_MH_SRC_P = """
+        SELECT doc_id + 1000000 AS doc_id,
+               text || ' appended tail note.' AS text
+        FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    """
+
+
 def _near_dup_admission_sql(
     nh: int = 16, bands: int = 8, thr: int = 500_000
 ) -> str:
@@ -894,26 +921,8 @@ def _near_dup_admission_sql(
         f"(CASE WHEN p.h{i} = c.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
     )
 
-    def sets(src: str) -> str:
-        return f"""
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(t) - 2, 0) + 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-            FROM (SELECT doc_id, string_split({_NORMALIZED_TEXT}, ' ') AS t
-                  FROM ({src}))
-        )"""
-
-    src_c = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
-    src_p = """
-        SELECT doc_id + 1000000 AS doc_id,
-               text || ' appended tail note.' AS text
-        FROM documents WHERE doc_id % 2 = 1
-        UNION ALL
-        SELECT doc_id + 2000000 AS doc_id, text
-        FROM documents WHERE doc_id % 10 = 0
-    """
+    sets = _mh_sets_cte
+    src_c, src_p = _MH_SRC_C, _MH_SRC_P
     return f"""
         WITH sets_c AS ({sets(src_c)}),
         sig_c AS (SELECT doc_id, {sig_cols} FROM sets_c GROUP BY doc_id),
@@ -1219,7 +1228,42 @@ def _full_front_door_sql() -> str:
     """
 
 
+def _admission_two_tier_sql() -> str:
+    """q172 twin: the q167 admission oracle verbatim as the candidate
+    subquery, plus the EXACT tier — true shingle intersections and
+    integer-exact Jaccard per admitted pair."""
+    return f"""
+        WITH pairs AS ({_near_dup_admission_sql()}),
+        sets_c AS ({_mh_sets_cte(_MH_SRC_C)}),
+        sets_p AS ({_mh_sets_cte(_MH_SRC_P)}),
+        np AS (SELECT doc_id, count(*) AS n FROM sets_p GROUP BY doc_id),
+        nc AS (SELECT doc_id, count(*) AS n FROM sets_c GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+                   count(*) AS cnt
+            FROM sets_p p
+            JOIN sets_c c ON p.s = c.s
+            JOIN pairs ON pairs.probe_id = p.doc_id
+                      AND pairs.corpus_id = c.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT pr.probe_id, pr.corpus_id, pr.est_jaccard_micro,
+               CAST((COALESCE(i.cnt, 0) * 1000000)
+                    // (np.n + nc.n - COALESCE(i.cnt, 0)) AS BIGINT)
+                   AS exact_jaccard_micro
+        FROM pairs pr
+        LEFT JOIN inter i ON i.probe_id = pr.probe_id
+                         AND i.corpus_id = pr.corpus_id
+        JOIN np ON np.doc_id = pr.probe_id
+        JOIN nc ON nc.doc_id = pr.corpus_id
+        ORDER BY pr.probe_id, pr.corpus_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # q172: two-tier admission — q167's estimate tier + exact-Jaccard
+    # verification of every admitted pair
+    "q172_admission_two_tier": _admission_two_tier_sql(),
     # q171: the complete composed front door — blocklist + repair +
     # extract + C4 + line dedup + canonicalize, per-domain rollup
     "q171_full_front_door_rollup": _full_front_door_sql(),

@@ -5459,7 +5459,52 @@ def q171_full_front_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_admission_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier near-dup admission, composed (operators/dedup.
+    near_dup_pairs_vs_corpus → admission_verify_exact): the cheap
+    signature-agreement ESTIMATE admits candidate pairs (q167's
+    chain), then the EXACT tier computes each admitted pair's true
+    Jaccard from the real shingle sets — integer micro-units both
+    tiers, so the estimate's error is itself oracle-pinned per pair
+    (mirrors land at exactly 1.0/1.0; mutated tails show the
+    estimator's ±stderr scatter around truth). This is the documented
+    ingest discipline: gate on the estimate, verify before
+    destructive decisions. Twin wraps the q167 oracle verbatim as the
+    candidate subquery and adds the exact intersection tier."""
+    from ..operators.dedup import (
+        admission_verify_exact,
+        near_dup_pairs_vs_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    probes = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail note.")).alias(
+                "text"
+            ),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = near_dup_pairs_vs_corpus(old, probes)
+    return (
+        admission_verify_exact(old, probes, pairs)
+        .select(
+            "probe_id", "corpus_id", "est_jaccard_micro",
+            "exact_jaccard_micro",
+        )
+        .transform(_ordered, "probe_id", "corpus_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q172_admission_two_tier": q172_admission_two_tier,
     "q171_full_front_door_rollup": q171_full_front_door_rollup,
     "q170_mojibake_repair": q170_mojibake_repair,
     "q169_url_blocklist": q169_url_blocklist,
