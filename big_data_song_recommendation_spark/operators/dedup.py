@@ -1638,6 +1638,7 @@ def merge_minhash_index(
     text_col: str = "text",
     check_new_ids: bool = True,
     cut_lineage: bool = True,
+    idempotent: bool = False,
 ) -> None:
     """Fold NEW documents into a persisted MinHash index — insert-only
     incremental maintenance (the merge_bm25_index / merge_srp_index
@@ -1647,7 +1648,16 @@ def merge_minhash_index(
     holds bit-exactly (test-pinned). Delta ids are anti-checked
     against ``{name}_sigs`` by default (an id re-ingested would
     double-report candidates); updates/deletes → rebuild affected
-    docs."""
+    docs.
+
+    ``idempotent=True`` makes the merge a safe REPLAY: instead of
+    raising on overlap, already-indexed ids are anti-joined OUT of the
+    delta, so re-running the same merge after a crash between the
+    append and its commit marker inserts nothing twice. Costs one
+    delta-vs-sigs anti-join, so streaming callers reserve it for the
+    suspicious path (an intent marker without a commit marker — see
+    ``streaming.jobs.CurationSink``); the steady-state merge stays
+    scan-free."""
     from .retrieval import _bucket_count
 
     spark = delta_docs.sparkSession
@@ -1659,7 +1669,13 @@ def merge_minhash_index(
             )
     meta = _mh_meta(spark, name)
     idc, nh = meta["id_col"], int(meta["num_hashes"])
-    if check_new_ids:
+    if idempotent:
+        delta_docs = delta_docs.join(
+            spark.table(tables["sigs"]).select(idc), idc, "left_anti"
+        )
+        if delta_docs.limit(1).isEmpty():
+            return
+    elif check_new_ids:
         dup = (
             spark.table(tables["sigs"])
             .select(idc)
@@ -1744,14 +1760,22 @@ def admission_verify_exact(
     )
     np_ = ps.groupBy(probe_id_col).agg(F.count("*").alias("__np"))
     nc_ = cs.groupBy(corpus_id_col).agg(F.count("*").alias("__nc"))
+    # size joins are LEFT with 0-coalesce: a side whose doc has an
+    # EMPTY shingle set (< k tokens) has no np_/nc_ row, and an inner
+    # join would silently drop the admitted pair — contradicting the
+    # no-pair-disappears contract. Empty∪empty has denominator 0; the
+    # guard defines that Jaccard as 0 (no shared content evidence).
     exact = F.expr(
-        "CAST((__c * 1000000) DIV (__np + __nc - __c) AS BIGINT)"
+        "CASE WHEN __np + __nc - __c <= 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST((__c * 1000000) DIV (__np + __nc - __c) AS BIGINT) END"
     )
     return (
         pairs.join(inter, [probe_id_col, corpus_id_col], "left")
-        .join(np_, probe_id_col)
-        .join(nc_, corpus_id_col)
+        .join(np_, probe_id_col, "left")
+        .join(nc_, corpus_id_col, "left")
         .withColumn("__c", F.coalesce("__c", F.lit(0)))
+        .withColumn("__np", F.coalesce("__np", F.lit(0)))
+        .withColumn("__nc", F.coalesce("__nc", F.lit(0)))
         .withColumn("exact_jaccard_micro", exact)
         .drop("__c", "__np", "__nc")
     )

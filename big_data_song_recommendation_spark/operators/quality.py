@@ -987,9 +987,21 @@ def url_blocklist_filter(
     )
     if blocked_url_patterns:
         pat = "(" + "|".join(blocked_url_patterns) + ")"
-        out = out.withColumn("blocked_pattern", F.col(url_col).rlike(pat))
+        # coalesce: rlike(NULL) is NULL, and a NULL blocked_pattern
+        # would make kept_url NULL → crawl_front_door's filter(kept_url)
+        # silently drops the row, contradicting the emits-never-drops
+        # audit contract. A NULL/unparseable URL carries no block
+        # evidence, so the explicit verdict is kept (url_domain stays
+        # NULL as the audit signal for downstream policy).
+        out = out.withColumn(
+            "blocked_pattern",
+            F.coalesce(F.col(url_col).rlike(pat), F.lit(False)),
+        )
     else:
         out = out.withColumn("blocked_pattern", F.lit(False))
     return out.withColumn(
-        "kept_url", ~F.col("blocked_domain") & ~F.col("blocked_pattern")
+        "kept_url",
+        F.coalesce(
+            ~F.col("blocked_domain") & ~F.col("blocked_pattern"), F.lit(False)
+        ),
     ).drop("__blk")

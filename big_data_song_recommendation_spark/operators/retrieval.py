@@ -321,6 +321,7 @@ def merge_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     check_new_ids: bool = True,
+    idempotent: bool = False,
 ) -> None:
     """Fold a batch of NEW documents into a persisted BM25 index —
     insert-only incremental view maintenance (the
@@ -346,7 +347,12 @@ def merge_bm25_index(
     raises on overlap. The check scans the postings id column (the
     table is bucketed by ``tok``, not id); pipelines with an upstream
     dedup store (the curation front door) can pass
-    ``check_new_ids=False``. Updates/deletes are NOT expressible as
+    ``check_new_ids=False``. ``idempotent=True`` instead anti-joins
+    already-indexed ids OUT of the delta so a crash-replay of the same
+    merge inserts nothing twice — the reconcile path streaming callers
+    take when an intent marker exists without its commit marker
+    (``streaming.jobs.CurationSink``); the steady-state merge stays
+    scan-free. Updates/deletes are NOT expressible as
     negative postings here (rank windows are not retractable the way
     sums are): rebuild the affected docs via filtered rebuild instead.
     """
@@ -358,7 +364,15 @@ def merge_bm25_index(
                 f"merge_bm25_index: {t!r} missing — build_bm25_index first"
             )
     n_buckets = _bucket_count(spark, tables["postings"])
-    if check_new_ids:
+    if idempotent:
+        delta_docs = delta_docs.join(
+            spark.table(tables["postings"]).select(id_col),
+            id_col,
+            "left_anti",
+        )
+        if delta_docs.limit(1).isEmpty():
+            return
+    elif check_new_ids:
         dup = (
             spark.table(tables["postings"])
             .select(id_col)

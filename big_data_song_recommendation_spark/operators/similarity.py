@@ -152,10 +152,24 @@ def _pq_params(codebooks):
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by M={m}")
     d = dim // m
+    if any(len(b) != len(books[0]) for b in books):
+        raise ValueError("pq: ragged codebooks — all M must share K*d length")
     if len(books[0]) % d:
         raise ValueError("pq: codebook length not a multiple of sub-dim")
     k = len(books[0]) // d
     return books, m, k, dim, d
+
+
+def _pq_check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """Fail loudly when a vector column's dimension disagrees with the
+    codebook dim — otherwise element_at past the end returns NULL and
+    the distance/LUT arrays go silently all-NULL (wrong codes and
+    scores instead of an error)."""
+    got = vectors.infer_dim(df, vec_col)
+    if got != dim:
+        raise ValueError(
+            f"pq: {what} vectors are dim {got}, codebooks expect {dim}"
+        )
 
 
 def pq_encode(
@@ -183,6 +197,7 @@ def pq_encode(
     subspace, inner distance unrolled); no per-pair work, no Python.
     """
     books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    _pq_check_dim(df, vec_col, dim, "input")
     cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
     xq = F.transform(
         vectors.as_double_array(vec_col),
@@ -248,6 +263,7 @@ def pq_adc_topk(
     vs :func:`brute_force_knn` is gated in-query by the q168 roster
     entry, the storage-axis sibling of q123's int8 gate."""
     books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    _pq_check_dim(probes, vec_col, dim, "probe")
     cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
     enc = pq_encode(
         corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks

@@ -124,8 +124,17 @@ def compact_bucketed_table(spark, table: str) -> dict:
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(stage)
-    spark.sql(f"DROP TABLE {table}")
+    # swap ordering: rename the live table ASIDE first, then promote
+    # the stage, then drop the old — the no-table window (where probes
+    # would raise) is one metadata op, not DROP-to-RENAME. A crash
+    # between the two renames leaves {table}_old intact for manual
+    # repair instead of nothing. Still non-transactional (documented
+    # below); this ordering just shrinks the window for free.
+    old = f"{table}_compact_old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
     info2 = {
         r["col_name"]: r["data_type"]
         for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()

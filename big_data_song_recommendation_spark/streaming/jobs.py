@@ -631,12 +631,14 @@ class CurationSink:
         #: tables (merge_bm25_index), so the retrieval index trails the
         #: training lake by one micro-batch with delta-grain cost.
         #: Epoch replays are guarded by `index_epochs/` marker files
-        #: (tiny atomic renames, written AFTER the merge): a replayed
-        #: epoch skips the merge instead of double-appending postings.
-        #: The one non-transactional window — a crash between the merge
-        #: and its marker — double-merges on replay; a transactional
-        #: table format (Delta/Iceberg) closes it in deployment, and
-        #: the audit row records `indexed` so the gap is observable.
+        #: (tiny atomic renames): a commit marker written AFTER the
+        #: merge skips clean replays, and a pre-merge INTENT marker
+        #: routes crash replays through the idempotent reconcile
+        #: (_guarded_merge) instead of double-appending postings. The
+        #: residual window is a crash INSIDE the multi-table merge; a
+        #: transactional table format (Delta/Iceberg) closes it in
+        #: deployment, and the audit row records `indexed` so the gap
+        #: is observable.
         #: id-newness (merge precondition) comes from the fingerprint
         #: store: accepted docs are content-new, and the pipeline's id
         #: discipline keys docs uniquely.
@@ -655,10 +657,44 @@ class CurationSink:
         #: ``neardup/epoch=N``; a replayed epoch reloads that set
         #: instead of re-probing (by then the index already contains
         #: the epoch's own docs, so a re-probe would self-match).
-        #: Same non-transactional crash window as bm25 (merge→marker),
-        #: same observability (`mh_indexed` audit field).
+        #: Same intent+commit marker discipline as bm25
+        #: (_guarded_merge), same observability (`mh_indexed`).
         self.minhash_index = minhash_index
         self.near_dup_threshold_micro = int(near_dup_threshold_micro)
+
+    @staticmethod
+    def _guarded_merge(marker_dir: Path, epoch_id: int, merge) -> bool:
+        """Run an index merge exactly once per epoch, crash-replay
+        safe: a commit marker (written AFTER the merge) skips replays
+        outright; a pre-merge INTENT marker closes the merge→marker
+        window the commit marker alone leaves open — a replay that
+        finds the intent without the commit cannot know whether the
+        append landed, so it re-runs the merge with
+        ``idempotent=True`` (already-indexed ids anti-joined out of
+        the delta) instead of trusting the marker. Steady state pays
+        two tiny atomic file ops and zero extra scans; only the
+        suspicious replay pays the reconcile anti-join. Residual
+        window (documented, needs a transactional table format to
+        close): a crash INSIDE a multi-table merge can leave its
+        first table appended and the id table not, in which case the
+        reconcile re-appends the first table's rows (duplicate
+        candidates, still gated correct by the sink's re-distinct)."""
+        commit = marker_dir / f"epoch={epoch_id}"
+        if commit.exists():
+            return False
+        marker_dir.mkdir(parents=True, exist_ok=True)
+        intent = marker_dir / f"epoch={epoch_id}.intent"
+        replay = intent.exists()
+        if not replay:
+            tmp_i = marker_dir / f"epoch={epoch_id}.intent.tmp"
+            tmp_i.write_text("merging")
+            tmp_i.replace(intent)
+        merge(replay)
+        tmp_m = marker_dir / f"epoch={epoch_id}.tmp"
+        tmp_m.write_text("merged")
+        tmp_m.replace(commit)
+        intent.unlink(missing_ok=True)
+        return True
 
     def _store_paths(self, current_epoch: int) -> list[str]:
         d = self.out_dir / "store"
@@ -745,39 +781,33 @@ class CurationSink:
             n_admitted = counts.get("accept", 0) - n_near_dup
             indexed = False
             if self.bm25_index and n_admitted:
-                marker_dir = self.out_dir / "index_epochs"
-                marker = marker_dir / f"epoch={epoch_id}"
-                if not marker.exists():
-                    from ..operators.retrieval import merge_bm25_index
+                from ..operators.retrieval import merge_bm25_index
 
-                    merge_bm25_index(
+                indexed = self._guarded_merge(
+                    self.out_dir / "index_epochs",
+                    epoch_id,
+                    lambda replay: merge_bm25_index(
                         accepted.select("doc_id", "text"),
                         name=self.bm25_index,
                         check_new_ids=False,
-                    )
-                    marker_dir.mkdir(parents=True, exist_ok=True)
-                    tmp_m = marker_dir / f"epoch={epoch_id}.tmp"
-                    tmp_m.write_text("merged")
-                    tmp_m.replace(marker)
-                    indexed = True
+                        idempotent=replay,
+                    ),
+                )
             mh_indexed = False
             if self.minhash_index and n_admitted:
-                marker_dir = self.out_dir / "mh_index_epochs"
-                marker = marker_dir / f"epoch={epoch_id}"
-                if not marker.exists():
-                    from ..operators.dedup import merge_minhash_index
+                from ..operators.dedup import merge_minhash_index
 
-                    merge_minhash_index(
+                mh_indexed = self._guarded_merge(
+                    self.out_dir / "mh_index_epochs",
+                    epoch_id,
+                    lambda replay: merge_minhash_index(
                         accepted.select("doc_id", "text"),
                         name=self.minhash_index,
                         check_new_ids=False,
                         cut_lineage=False,  # forever-process: no pinned blocks
-                    )
-                    marker_dir.mkdir(parents=True, exist_ok=True)
-                    tmp_m = marker_dir / f"epoch={epoch_id}.tmp"
-                    tmp_m.write_text("merged")
-                    tmp_m.replace(marker)
-                    mh_indexed = True
+                        idempotent=replay,
+                    ),
+                )
             audit = {
                 "epoch": epoch_id,
                 "n_in": n_in,

@@ -90,3 +90,29 @@ def test_totals_and_terms_are_exact_sums(spark, merged_index):
     assert [tuple(r) for r in spark.table("t_bm25m_totals").collect()] == [
         tuple(r) for r in spark.table("t_bm25r_totals").collect()
     ]
+
+
+def test_idempotent_merge_replay_inserts_nothing_twice(spark):
+    """Round-10 replay contract (the CurationSink intent-marker
+    reconcile): re-merging the same delta with idempotent=True leaves
+    postings/terms/totals identical; a partial overlap folds in only
+    the genuinely new ids."""
+    docs = load_table(spark, SF_DIR, "documents")
+    initial = docs.filter(F.col("doc_id") % 3 == 1)
+    d1 = docs.filter(F.col("doc_id") % 3 == 2)
+    tables = build_bm25_index(initial, name="t_bm25i", n_buckets=4)
+    try:
+        merge_bm25_index(d1, name="t_bm25i", check_new_ids=False)
+        snap = {
+            t: sorted(tuple(r) for r in spark.table(n).collect())
+            for t, n in tables.items()
+        }
+        merge_bm25_index(d1, name="t_bm25i", idempotent=True)
+        for t, n in tables.items():
+            assert sorted(tuple(r) for r in spark.table(n).collect()) == snap[t], t
+        d2 = docs.filter(F.col("doc_id") % 3 != 1)  # d1 ∪ the rest
+        merge_bm25_index(d2, name="t_bm25i", idempotent=True)
+        ids = {r[0] for r in spark.table(tables["postings"]).select("doc_id").distinct().collect()}
+        assert ids == {r[0] for r in docs.select("doc_id").collect()}
+    finally:
+        _drop(spark, tables)

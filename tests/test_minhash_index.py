@@ -150,3 +150,79 @@ def test_pushdown_path_matches_full_join_and_prunes(spark, mh_tables):
     )
     assert "PushedFilters: [In(key" in bands_scan, bands_scan
     assert "Bucketed: true" in bands_scan, bands_scan
+
+
+def test_idempotent_merge_replays_insert_nothing_twice(spark, mh_tables):
+    """Round-10 replay contract: re-running the SAME merge with
+    idempotent=True (the CurationSink intent-marker reconcile path)
+    leaves the index bit-identical — already-indexed ids are
+    anti-joined out instead of double-appended."""
+    old, probes = _corpus(spark)
+    delta = probes.filter(F.col("doc_id") < 1000100)
+    build_minhash_index(old, num_hashes=16, bands=8, name="t_mh", n_buckets=4)
+    merge_minhash_index(delta, name="t_mh", check_new_ids=False)
+    bands1 = _rows(spark.table("t_mh_bands"))
+    sigs1 = _rows(spark.table("t_mh_sigs"))
+    # crash-replay: same delta again, reconcile mode
+    merge_minhash_index(delta, name="t_mh", idempotent=True)
+    assert _rows(spark.table("t_mh_bands")) == bands1
+    assert _rows(spark.table("t_mh_sigs")) == sigs1
+    # and a PARTIAL overlap folds in only the new ids
+    delta2 = probes.filter(F.col("doc_id") < 1000200)
+    merge_minhash_index(delta2, name="t_mh", idempotent=True)
+    n_new = delta2.join(delta, "doc_id", "left_anti").count()
+    assert (
+        spark.table("t_mh_sigs").count() == len(sigs1) + n_new
+        and n_new > 0
+    )
+
+
+def test_guarded_merge_intent_marker_routes_replay(tmp_path):
+    """_guarded_merge: clean first run merges with replay=False and
+    commits; a leftover intent (crash before commit) re-merges with
+    replay=True; a commit marker skips outright."""
+    from big_data_song_recommendation_spark.streaming.jobs import CurationSink
+
+    calls: list[bool] = []
+    d = tmp_path / "m"
+    assert CurationSink._guarded_merge(d, 7, calls.append) is True
+    assert calls == [False] and (d / "epoch=7").exists()
+    assert not (d / "epoch=7.intent").exists()
+    # commit present → skip
+    assert CurationSink._guarded_merge(d, 7, calls.append) is False
+    assert calls == [False]
+    # simulate crash: intent written, merge ran, commit never landed
+    (d / "epoch=8.intent").write_text("merging")
+    assert CurationSink._guarded_merge(d, 8, calls.append) is True
+    assert calls == [False, True] and (d / "epoch=8").exists()
+
+
+def test_admission_verify_keeps_empty_shingle_sides(spark):
+    """ADVICE r9: a caller-supplied admitted pair whose side has < k
+    tokens (empty shingle set) must NOT silently disappear — it comes
+    back with exact_jaccard_micro = 0 (guarded division, left-joined
+    sizes)."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        admission_verify_exact,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "hi")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"), (11, "yo")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 1), (11, 1), (10, 2), (11, 2)],
+        "probe_id long, corpus_id long",
+    )
+    out = {
+        (r.probe_id, r.corpus_id): r.exact_jaccard_micro
+        for r in admission_verify_exact(corpus, probes, pairs, k=3).collect()
+    }
+    assert len(out) == 4  # no admitted pair disappears
+    assert out[(10, 1)] == 1_000_000
+    assert out[(11, 1)] == 0 and out[(10, 2)] == 0
+    assert out[(11, 2)] == 0  # empty ∪ empty → guarded 0, not ÷0

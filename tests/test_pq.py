@@ -100,3 +100,29 @@ def test_custom_codebooks_and_failure_modes(spark):
     assert list(codes) == [0, 1]  # (0.1,0.2) nearer (0,0); (0.3,0.4) nearer (0.5,0.5)
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(df, codebooks=(books, 5))
+
+
+def test_dim_mismatch_fails_loudly(spark):
+    """ADVICE r9: a vector column shorter than the codebook dim used to
+    NULL-poison element_at silently; now it raises up front — on the
+    encode path and on the probe side of ADC."""
+    from big_data_song_recommendation_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    short = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4])], "vec_id long, embedding array<double>"
+    )
+    books = [
+        [0, 0, 1_000_000, 1_000_000],
+        [0, 0, 500_000, 500_000],
+    ]
+    with pytest.raises(ValueError, match="dim 2"):
+        pq_encode(short, codebooks=(books, 4))
+    with pytest.raises(ValueError, match="probe vectors are dim 2"):
+        pq_adc_topk(ok, short, codebooks=(books, 4))
+    with pytest.raises(ValueError, match="ragged"):
+        pq_encode(ok, codebooks=([books[0], books[1][:2]], 4))

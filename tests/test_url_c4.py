@@ -217,6 +217,29 @@ def test_url_blocklist_filter_tiers(spark):
     assert rows2[4].blocked_domain and not rows2[1].blocked_domain
 
 
+def test_url_blocklist_null_url_gets_explicit_verdict(spark):
+    """ADVICE r9: rlike(NULL) is NULL — a null/unparseable URL must get
+    an explicit kept_url verdict (kept, url_domain NULL as the audit
+    signal), never a NULL that downstream filters silently drop."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        url_blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://ok.example.com/a")],
+        "doc_id long, url string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in url_blocklist_filter(
+            df, ["example.co.uk"], blocked_url_patterns=(r"/casino/",)
+        ).collect()
+    }
+    assert rows[1].kept_url is True and rows[1].blocked_pattern is False
+    assert rows[1].url_domain is None
+    assert rows[2].kept_url is True
+
+
 def test_front_door_blocks_urls_before_extraction(spark):
     from big_data_song_recommendation_spark.operators.quality import (
         crawl_front_door,
