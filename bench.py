@@ -215,10 +215,16 @@ def main() -> None:
     }
     if duck_total is not None:
         line["duck_total_s"] = duck_total
+        # compare only the matched set: exclude queries with no DuckDB
+        # twin (derived from the registries, not a hardcoded list —
+        # round 10 shrank the no-oracle tail to q42 + q139)
+        from big_data_song_recommendation_spark.plans import ORACLES, QUERIES
+
+        no_twin = {k.split("_")[0] for k in QUERIES} - {
+            k.split("_")[0] for k in ORACLES
+        }
         non_ml = total - sum(
-            timings.get(q, 0.0)
-            for q in timings
-            if q.split("_")[0] in ("q40", "q41", "q42", "q43", "q47")
+            timings.get(q, 0.0) for q in timings if q.split("_")[0] in no_twin
         )
         line["vs_duck"] = round(non_ml / duck_total, 2) if duck_total else None
     print(json.dumps(line, separators=(",", ":")))

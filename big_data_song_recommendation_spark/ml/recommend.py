@@ -317,6 +317,64 @@ def recommend_top_n(
     )
 
 
+def committed_factor_frames(spark):
+    """The serving twin of :func:`train_als` — DataFrames over the
+    COMMITTED factor matrices (ml/als_factors.py, written once by
+    scripts/gen_als_factors.py): the round-9 PQ-codebook discipline
+    applied to the recommender, so scoring is a pure integer fold over
+    literals that a DuckDB twin replays exactly (q40/q43 flip from
+    rows-only to hash-checked; the iterative FIT stays golden-pinned).
+    Factors are micro-unit int64, tiny (users·rank + items·rank ints)
+    — both frames broadcast at any realistic rank."""
+    from . import als_factors as AF
+
+    uf = spark.createDataFrame(
+        AF.ALS_USER_FACTORS, "user_id int, uf array<bigint>"
+    )
+    itf = spark.createDataFrame(
+        AF.ALS_ITEM_FACTORS, "item_id int, itf array<bigint>"
+    )
+    return uf, itf
+
+
+def recommend_top_n_committed(
+    spark,
+    users: DataFrame,
+    n: int = 5,
+    *,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Top-n per user over the committed factor matrices: exact int64
+    dot product in micro² units (rank-term unrolled sum — |f|·10⁶
+    squared × rank ≈ 10¹³, well inside int64), ranked desc with ties
+    toward the smaller item id. Users without committed factors are
+    cold-start (inner join drops them — serve them the average-profile
+    fallback, :func:`average_user_profile`). Returns (user_id,
+    item_id, score_micro2, rnk); both factor sides broadcast, the
+    top-n window partitions on the bounded user set."""
+    from pyspark.sql import Window
+
+    from . import als_factors as AF
+
+    uf, itf = committed_factor_frames(spark)
+    wanted = users.select(F.col(user_col).cast("int").alias("user_id")).distinct()
+    score = None
+    for j in range(1, AF.ALS_RANK + 1):
+        term = F.element_at("uf", j) * F.element_at("itf", j)
+        score = term if score is None else score + term
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score_micro2"), F.asc("item_id")
+    )
+    return (
+        wanted.join(F.broadcast(uf), "user_id")
+        .join(F.broadcast(itf))
+        .withColumn("score_micro2", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .select("user_id", "item_id", "score_micro2", "rnk")
+    )
+
+
 def average_user_profile(als_model) -> list[float]:
     """A10: the cold-start fallback profile — element-wise mean of all
     user factor vectors (``np.mean(user_features, axis=0)`` at

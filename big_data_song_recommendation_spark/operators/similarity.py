@@ -179,6 +179,7 @@ def pq_encode(
     vec_col: str = "embedding",
     codebooks=None,
     out_col: str = "codes",
+    keep: tuple = (),
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011): each vector
     split into M subspaces, each subvector replaced by the index of
@@ -203,7 +204,9 @@ def pq_encode(
         vectors.as_double_array(vec_col),
         lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
     )
-    staged = df.select(F.col(id_col), xq.alias("__xq"))
+    staged = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], xq.alias("__xq")
+    )
 
     def dist_fn(m):
         def dist(c):
@@ -238,7 +241,46 @@ def pq_encode(
             for m in range(m_sub)
         ]
     )
-    return staged.select(id_col, codes.alias(out_col))
+    return staged.select(id_col, *keep, codes.alias(out_col))
+
+
+def _pq_probe_luts(p: DataFrame, cb_cols, m_sub: int, k_cent: int, d: int) -> DataFrame:
+    """Stage each probe's M asymmetric-distance lookup tables —
+    ``__lut{m}[c] = ⟨probe subvector m, centroid c⟩`` in micro² int64
+    (a per-PROBE O(M·K·d) projection). ``p`` must carry ``__qx``
+    (micro-quantized probe vector). Shared by :func:`pq_adc_topk` and
+    :func:`ivf_pq_topk`."""
+
+    def lut_fn(m):
+        def lut(c):
+            total = None
+            for j in range(d):
+                term = F.element_at(F.col("__qx"), m * d + j + 1) * F.element_at(
+                    cb_cols[m], c * d + j + 1
+                )
+                total = term if total is None else total + term
+            return total
+
+        return lut
+
+    for m in range(m_sub):
+        p = p.withColumn(
+            f"__lut{m}",
+            F.transform(F.sequence(F.lit(0), F.lit(k_cent - 1)), lut_fn(m)),
+        )
+    return p
+
+
+def _pq_adc_score(m_sub: int):
+    """The per-PAIR ADC score: M table lookups summed (exact int64),
+    no higher-order fold on the pair path."""
+    score = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.col(f"__lut{m}"), F.element_at(F.col("codes"), m + 1) + 1
+        )
+        score = term if score is None else score + term
+    return score
 
 
 def pq_adc_topk(
@@ -275,30 +317,8 @@ def pq_adc_topk(
     p = probes.select(
         F.col(id_col).alias("query_id"), qx.alias("__qx")
     )
-
-    def lut_fn(m):
-        def lut(c):
-            total = None
-            for j in range(d):
-                term = F.element_at(F.col("__qx"), m * d + j + 1) * F.element_at(
-                    cb_cols[m], c * d + j + 1
-                )
-                total = term if total is None else total + term
-            return total
-
-        return lut
-
-    for m in range(m_sub):
-        p = p.withColumn(
-            f"__lut{m}",
-            F.transform(F.sequence(F.lit(0), F.lit(k_cent - 1)), lut_fn(m)),
-        )
-    score = None
-    for m in range(m_sub):
-        term = F.element_at(
-            F.col(f"__lut{m}"), F.element_at(F.col("codes"), m + 1) + 1
-        )
-        score = term if score is None else score + term
+    p = _pq_probe_luts(p, cb_cols, m_sub, k_cent, d)
+    score = _pq_adc_score(m_sub)
     cond = (
         F.col("neighbor_id") != F.col("query_id")
         if exclude_self
@@ -449,6 +469,152 @@ def ivf_index(
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     centroids_df = df.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
     return centroids_df, assigned.drop("__features", "__hashes")
+
+
+def _with_centroid_dists(
+    df: DataFrame, centroids: list, vec_col: str, out: str = "__cdist"
+) -> DataFrame:
+    """Stage an ``array<long>`` of exact integer squared distances from
+    the micro-quantized vector to EVERY committed centroid — the
+    pq_encode distance staging generalized to full-dimension centroid
+    tables. Components quantize to micro units first so the distances
+    (≤ dim · (few·10⁶)² ≈ 10¹⁵) stay in int64 and every engine agrees
+    bit-for-bit; the K·dim term expansion is one codegen projection,
+    no Python, no shuffle."""
+    k = len(centroids)
+    dim = len(centroids[0])
+    if vectors.infer_dim(df, vec_col) != dim:
+        raise ValueError(
+            f"centroid_assign: vectors are dim {vectors.infer_dim(df, vec_col)}, "
+            f"centroids expect {dim}"
+        )
+    flat = F.array(*[F.lit(int(v)) for c in centroids for v in c])
+    xq = F.transform(
+        vectors.as_double_array(vec_col),
+        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
+    )
+    staged = df.withColumn("__xq", xq)
+
+    def dist(c):
+        total = None
+        for j in range(dim):
+            diff = F.element_at(F.col("__xq"), j + 1) - F.element_at(
+                flat, c * dim + j + 1
+            )
+            term = diff * diff
+            total = term if total is None else total + term
+        return total
+
+    return staged.withColumn(
+        out, F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
+    ).drop("__xq")
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest COMMITTED centroid — exact
+    integer argmin (ties toward the lowest centroid index via
+    ``array_position`` first-match), the round-9 PQ-codebook discipline
+    applied to full-vector clustering: the iterative KMeans fit runs
+    once offline (scripts/gen_centroids.py, deterministic integer
+    Lloyd) and assignment is a replayable map-only fold any engine
+    reproduces, so cluster histograms (q41) and IVF routing (q47) are
+    hash-checkable instead of rows-only. Appends ``out_col`` (int);
+    all input columns pass through."""
+    staged = _with_centroid_dists(df, centroids, vec_col)
+    return staged.withColumn(
+        out_col,
+        (
+            F.array_position(
+                F.col("__cdist"), F.array_min(F.col("__cdist"))
+            )
+            - 1
+        ).cast("int"),
+    ).drop("__cdist")
+
+
+def ivf_route_committed(
+    probes: DataFrame,
+    centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Route each probe to its ``nprobe`` nearest committed coarse
+    centroids (integer L2, ties toward the lower cluster id) — the
+    standard IVF probe fan-out, replayable because the routing rule is
+    pure integer arithmetic over committed literals. Returns
+    (query_id, qv, cluster); per probe the fan-out is a K-element
+    posexplode, so routing cost is O(K·dim) per probe independent of
+    corpus size."""
+    staged = _with_centroid_dists(probes, centroids, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cluster"))
+    return (
+        staged.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.posexplode("__cdist").alias("cluster", "__d"),
+        )
+        .withColumn("__crnk", F.row_number().over(w))
+        .filter(F.col("__crnk") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+
+
+def ivf_knn_committed(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN over committed coarse centroids: corpus vectors assign
+    to cells (:func:`centroid_assign`), probes route to their
+    ``nprobe`` cells (:func:`ivf_route_committed`), and the exact
+    cosine rerank runs ONLY inside routed cells — search cost ÷
+    (K/nprobe) vs. the full scan, with every stage (assignment,
+    routing, cosine at 6 dp) cross-engine replayable, which flips q47
+    from a rows-only seeded-MLlib check to a hash-checked oracle. At
+    100 TB the assigned corpus is written partitioned by cluster so
+    the cell join becomes partition pruning; here it is one equi-join
+    keyed on the (bounded, broadcast) routed probes."""
+    dim = vectors.infer_dim(corpus, vec_col)
+    assigned = centroid_assign(corpus, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        "cluster",
+    )
+    routed = ivf_route_committed(
+        probes, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    sim = vectors.dot_expanded("qv", "nv", dim) / (
+        F.sqrt(vectors.sq_norm_expanded("qv", dim))
+        * F.sqrt(vectors.sq_norm_expanded("nv", dim))
+    )
+    cond = (
+        F.col("neighbor_id") != F.col("query_id")
+        if exclude_self
+        else F.lit(True)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(routed), "cluster")
+        .filter(cond)
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
 
 
 def ivf_knn(

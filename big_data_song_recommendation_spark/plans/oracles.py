@@ -1260,7 +1260,246 @@ def _admission_two_tier_sql() -> str:
     """
 
 
+
+
+def _als_factor_cte() -> str:
+    """Shared factor CTEs for the q40/q43 twins: the COMMITTED ALS
+    factor matrices (ml/als_factors.py — written once by
+    scripts/gen_als_factors.py) embedded as long-form VALUES
+    (id, rank-position j, micro-unit weight), so the serving dot
+    product replays as an exact int64 SUM — the ml/quality_weights.py
+    embedding discipline applied to the recommender."""
+    from ..ml.als_factors import ALS_ITEM_FACTORS, ALS_USER_FACTORS
+
+    def vals(rows):
+        return ", ".join(
+            f"({i},{j + 1},{w})"
+            for i, fs in rows
+            for j, w in enumerate(fs)
+        )
+
+    # CAST(w AS BIGINT): VALUES integers land as INT32 and the
+    # micro-unit product uf.w * itf.w overflows 32 bits
+    return f"""
+        uf AS (SELECT user_id, j, CAST(w AS BIGINT) AS w
+               FROM (VALUES {vals(ALS_USER_FACTORS)})
+               AS t(user_id, j, w)),
+        itf AS (SELECT item_id, j, CAST(w AS BIGINT) AS w
+                FROM (VALUES {vals(ALS_ITEM_FACTORS)})
+                AS t(item_id, j, w))"""
+
+
+def _als_scored_cte(below: int) -> str:
+    """users + factor CTEs + the integer dot-product scoring CTE."""
+    return f"""
+        users AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND user_id < {below}
+        ),{_als_factor_cte()},
+        scored AS (
+            SELECT uf.user_id, itf.item_id,
+                   CAST(SUM(uf.w * itf.w) AS BIGINT) AS score_micro2
+            FROM uf
+            JOIN users ON users.user_id = uf.user_id
+            JOIN itf ON itf.j = uf.j
+            GROUP BY 1, 2
+        )"""
+
+
+def _als_topk_sql() -> str:
+    """q40 twin: committed-factor top-5 per user (users < 20), exact
+    int64 scoring, ties toward the smaller item id."""
+    return f"""
+        WITH {_als_scored_cte(20)}
+        SELECT user_id, item_id, score_micro2, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY score_micro2 DESC, item_id ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+        ORDER BY user_id, rnk
+    """
+
+
+def _centroid_assign_ctes(centroids: list) -> str:
+    """Shared CTE chain for the q41/q47 twins: embeddings quantized to
+    micro ints, the COMMITTED centroid table (ml/centroids.py) as
+    long-form VALUES, exact integer squared distances, and the argmin
+    assignment (ties toward the lowest centroid index — Spark's
+    array_position first-match)."""
+    vals = ", ".join(
+        f"({c},{j},{v})"
+        for c, row in enumerate(centroids)
+        for j, v in enumerate(row)
+    )
+    return f"""
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM vecs
+        ),
+        elx AS (
+            SELECT vec_id, i - 1 AS j,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM el
+        ),
+        cents AS (SELECT * FROM (VALUES {vals}) AS t(c, j, cv)),
+        cd AS (
+            SELECT e.vec_id, c.c,
+                   SUM((e.xq - c.cv) * (e.xq - c.cv)) AS d
+            FROM elx e JOIN cents c ON c.j = e.j
+            GROUP BY 1, 2
+        ),
+        assign AS (
+            SELECT vec_id, c AS cluster FROM (
+                SELECT vec_id, c, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_histogram_sql() -> str:
+    """q41 twin: committed-centroid integer argmin assignment →
+    cluster-size histogram."""
+    from ..ml.centroids import KM_CENTROIDS
+
+    return f"""
+        WITH {_centroid_assign_ctes(KM_CENTROIDS)}
+        SELECT cluster, COUNT(*) AS n
+        FROM assign
+        GROUP BY cluster
+        ORDER BY n DESC, cluster ASC
+    """
+
+
+def _ivf_knn_sql() -> str:
+    """q47 twin: committed coarse centroids route probes (vec_id < 5)
+    to their 4 nearest cells; exact cosine top-5 inside routed cells
+    only (the IVF layout — same integer routing rule as the Spark
+    plan, cosine at 6 dp via the q16 idiom)."""
+    from ..ml.centroids import IVF_CENTROIDS
+
+    return f"""
+        WITH {_centroid_assign_ctes(IVF_CENTROIDS)},
+        route AS (
+            SELECT vec_id AS query_id, c AS cluster FROM (
+                SELECT vec_id, c, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+                FROM cd WHERE vec_id < 5
+            ) WHERE rn <= 4
+        ),
+        cand AS (
+            SELECT r.query_id, a.vec_id AS neighbor_id
+            FROM route r JOIN assign a ON a.cluster = r.cluster
+            WHERE a.vec_id <> r.query_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_cosine_similarity(pv.v, cv.v), 6) AS sim
+            FROM cand
+            JOIN vecs pv ON pv.vec_id = cand.query_id
+            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """
+
+
+def _hybrid_sql() -> str:
+    """q43 twin: 0.7·committed-factor collaborative (reciprocal-rank
+    weights) + 0.3·cosine neighbors of each user's most-played item
+    (integer play-count argmax, ties to the smaller item id), summed
+    per (user, item), top-5."""
+    return f"""
+        WITH {_als_scored_cte(10)},
+        collab AS (
+            SELECT user_id, item_id,
+                   CAST(0.7 AS DOUBLE) * (CAST(1.0 AS DOUBLE) / rnk) AS score
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY score_micro2 DESC, item_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 10
+        ),
+        plays AS (
+            SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS item_id,
+                   COUNT(*) AS n_plays
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND user_id < 10
+            GROUP BY 1, 2
+        ),
+        fav AS (
+            SELECT user_id, item_id AS fav_item FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n_plays DESC, item_id ASC) AS rn
+                FROM plays
+            ) WHERE rn = 1
+        ),
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        content AS (
+            SELECT user_id, item_id,
+                   CAST(0.3 AS DOUBLE) * sim AS score
+            FROM (
+                SELECT f.user_id, c.vec_id AS item_id, f.fav_item,
+                       ROUND(list_cosine_similarity(pv.v, c.v), 6) AS sim,
+                       row_number() OVER (
+                           PARTITION BY f.user_id
+                           ORDER BY ROUND(list_cosine_similarity(pv.v, c.v),
+                                          6) DESC,
+                                    c.vec_id ASC) AS rnk
+                FROM fav f
+                JOIN vecs pv ON pv.vec_id = f.fav_item
+                CROSS JOIN vecs c
+            ) WHERE rnk <= 10 AND item_id <> fav_item
+        ),
+        tot AS (
+            SELECT user_id, item_id, ROUND(SUM(score), 6) AS total
+            FROM (
+                SELECT * FROM collab
+                UNION ALL
+                SELECT * FROM content
+            )
+            GROUP BY 1, 2
+        )
+        SELECT user_id, item_id, total, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY total DESC, item_id ASC) AS rnk
+            FROM tot
+        )
+        WHERE rnk <= 5
+        ORDER BY user_id, rnk
+    """
+
+
 ORACLES: dict[str, str] = {
+    # round-10: the committed-artifact ML tail (VERDICT r9 #1) — the
+    # iterative fits ran once offline; serving replays exactly
+    "q40_als_recommendations": _als_topk_sql(),
+    "q41_kmeans_clusters": _kmeans_histogram_sql(),
+    "q43_hybrid_recommendations": _hybrid_sql(),
+    "q47_ivf_ann_search": _ivf_knn_sql(),
+
     # q172: two-tier admission — q167's estimate tier + exact-Jaccard
     # verification of every admitted pair
     "q172_admission_two_tier": _admission_two_tier_sql(),

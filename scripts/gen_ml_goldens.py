@@ -58,8 +58,9 @@ def kmeans_golden(spark):
 def query_golden(spark, name: str) -> list[str]:
     """Full result of a rows-only query at sf0.001, serialized row-per
     string (column=value joined sorted by column name) — the invariance
-    pin for queries with no SQL oracle (q42 TF-IDF / q43 hybrid / q47
-    IVF, VERDICT r5 #4). Every float in these outputs is already
+    pin for queries with no SQL oracle (q42 TF-IDF — q43/q47
+    graduated to oracles in round 10, VERDICT r5 #4 / r9 #1). Every
+    float in these outputs is already
     rounded in-plan, so the string form is run-stable."""
     from big_data_song_recommendation_spark.plans.queries import QUERIES
 
@@ -77,8 +78,6 @@ def main() -> None:
         "als_top3": als_golden(spark),
         "kmeans_partition": kmeans_golden(spark),
         "q42_tfidf_rows": query_golden(spark, "q42_tfidf_features"),
-        "q43_hybrid_rows": query_golden(spark, "q43_hybrid_recommendations"),
-        "q47_ivf_rows": query_golden(spark, "q47_ivf_ann_search"),
     }
     with open(OUT, "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)

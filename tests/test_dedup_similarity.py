@@ -505,3 +505,80 @@ def test_remove_duplicated_spans_surgery(spark):
     assert rem[2]["text_dedup"] == "other preamble and a different tail"
     assert rem[4]["text_dedup"] == ""  # fully duplicated -> empty
     assert rem[5]["text_dedup"] is None and rem[5]["n_removed"] is None
+
+
+def test_centroid_assign_argmin_and_tie_rule(spark):
+    """Committed-centroid assignment (round 10): exact integer argmin,
+    ties toward the LOWEST centroid index, dim mismatch raises."""
+    import pytest as _pytest
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    cents = [[0, 0], [1_000_000, 0], [1_000_000, 0]]  # 1 and 2 identical
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.0]), (1, [0.9, 0.0]), (2, [0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cluster for r in centroid_assign(df, cents).collect()}
+    # 0.5 is equidistant (250000² each side in micro² units) → lowest idx
+    assert got == {0: 0, 1: 1, 2: 0}
+    with _pytest.raises(ValueError, match="dim"):
+        centroid_assign(
+            spark.createDataFrame(
+                [(0, [0.1])], "vec_id long, embedding array<double>"
+            ),
+            cents,
+        )
+
+
+def test_ivf_committed_matches_full_scan_at_full_nprobe(spark):
+    """ivf_knn_committed with nprobe == K must equal the exact scan
+    (routing covers every cell), and with small nprobe stays a subset
+    of each probe's cells — the committed-artifact twin of the seeded
+    ivf_knn contract above."""
+    from big_data_song_recommendation_spark.ml.centroids import IVF_CENTROIDS
+    from big_data_song_recommendation_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn_committed,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    full = ivf_knn_committed(
+        emb, probes, IVF_CENTROIDS, k=3, nprobe=len(IVF_CENTROIDS)
+    )
+    exact = brute_force_knn(emb, probes, k=3)
+    got = sorted(tuple(r) for r in full.collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want and len(got) == 9
+
+
+def test_recommend_top_n_committed_matches_float_dot(spark):
+    """Integer micro² scoring ranks identically to a float dot over the
+    same committed factors; users without factors drop (cold start)."""
+    from big_data_song_recommendation_spark.ml.als_factors import (
+        ALS_ITEM_FACTORS,
+        ALS_USER_FACTORS,
+    )
+    from big_data_song_recommendation_spark.ml.recommend import (
+        recommend_top_n_committed,
+    )
+
+    users = spark.createDataFrame(
+        [(ALS_USER_FACTORS[0][0],), (999_999,)], "user_id int"
+    )
+    recs = recommend_top_n_committed(spark, users, 3).collect()
+    assert {r.user_id for r in recs} == {ALS_USER_FACTORS[0][0]}
+    uf = ALS_USER_FACTORS[0][1]
+    scored = sorted(
+        (
+            (-sum(a * b for a, b in zip(uf, itf)), item)
+            for item, itf in ALS_ITEM_FACTORS
+        )
+    )[:3]
+    assert [(r.item_id, r.score_micro2) for r in sorted(recs, key=lambda r: r.rnk)] == [
+        (item, -neg) for neg, item in scored
+    ]
