@@ -392,6 +392,112 @@ def pq_rerank_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    coarse_centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+    candidates: int = 20,
+    codebooks=None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF+PQ — the two ANN axes composed (Jégou et al. 2011's
+    IVFADC layout): committed coarse centroids give SUB-LINEARITY
+    (probes route to ``nprobe`` cells and the candidate scan touches
+    only those cells' vectors — :func:`ivf_knn_committed`'s routing),
+    committed PQ codebooks give COMPRESSION (the in-cell scan reads
+    M one-byte codes per vector via ADC lookup tables instead of dim
+    doubles — :func:`pq_adc_topk`'s storage win), and an exact cosine
+    re-rank of the top-``candidates`` ADC survivors restores
+    precision. This variant quantizes RAW vectors, not per-cell
+    residuals (residual encoding needs per-cell codebooks — documented
+    trade: simpler artifact, slightly coarser ADC; the re-rank absorbs
+    it).
+
+    Every stage is exact integer arithmetic over committed literals
+    (assignment/routing argmin, ADC int64 LUT sums) or 6-dp-rounded
+    cosine, so the whole path is cross-engine replayable — the q173
+    twin replays it. Returns (query_id, neighbor_id, sim, rnk,
+    n_scanned) where ``n_scanned`` is the per-probe count of ADC-
+    scored corpus rows — the sub-linearity evidence, computed in the
+    same window pass (no extra shuffle).
+
+    At 100 TB: corpus is STORED as (cluster, id, codes) partitioned by
+    cluster — one byte-compact table; probes read nprobe partitions
+    (partition pruning), the LUT stage is per-probe-only work, and the
+    re-rank touches ``candidates`` full vectors per probe via an
+    id-keyed point lookup. Here the cell restriction is one equi-join
+    against the (bounded, broadcast) routed probe set."""
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    _pq_check_dim(probes, vec_col, dim, "probe")
+    cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
+
+    assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
+    enc = pq_encode(
+        assigned.select(id_col, vec_col, "cluster"),
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        keep=("cluster",),
+    ).select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+
+    routed = ivf_route_committed(
+        probes, coarse_centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select("query_id", "cluster")
+    qx = F.transform(
+        vectors.as_double_array(vec_col),
+        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
+    )
+    p = _pq_probe_luts(
+        probes.select(F.col(id_col).alias("query_id"), qx.alias("__qx")),
+        cb_cols,
+        m_sub,
+        k_cent,
+        d,
+    )
+
+    cond = (
+        F.col("neighbor_id") != F.col("query_id")
+        if exclude_self
+        else F.lit(True)
+    )
+    w_all = Window.partitionBy("query_id")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        enc.join(F.broadcast(routed), "cluster")
+        .filter(cond)
+        .join(F.broadcast(p), "query_id")
+        .withColumn("__adc", _pq_adc_score(m_sub))
+        .withColumn("n_scanned", F.count("*").over(w_all))
+        .withColumn("__ark", F.row_number().over(w_adc))
+        .filter(F.col("__ark") <= candidates)
+        .select("query_id", "neighbor_id", "n_scanned")
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
+    pv = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
+    sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(pv), "query_id")
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk", "n_scanned")
+    )
+
+
 def _to_ml_vectors(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 

@@ -1492,7 +1492,128 @@ def _hybrid_sql() -> str:
     """
 
 
+
+
+def _ivf_pq_sql() -> str:
+    """q173 twin: the IVF+PQ composition replayed from the SAME
+    committed literals — coarse assignment/routing from
+    ml/centroids.IVF_CENTROIDS (the q41/q47 CTE chain), PQ encode/ADC
+    from ml/pq_codebooks (the q168 generator), the 20-candidate cut,
+    the exact cosine re-rank, recall vs brute-force truth, and the
+    per-probe scanned-row count that gates sub-linearity."""
+    from ..ml.centroids import IVF_CENTROIDS
+    from ..ml.pq_codebooks import PQ_CODEBOOKS, PQ_DIM, PQ_K, PQ_M
+
+    d = PQ_DIM // PQ_M
+    cb_cols = ",\n                   ".join(
+        f"[{', '.join(map(str, PQ_CODEBOOKS[m]))}] AS l{m}"
+        for m in range(PQ_M)
+    )
+    dist_cols = []
+    for m in range(PQ_M):
+        terms = " + ".join(
+            f"((x[{m * d + j + 1}] - l{m}[c*{d} + {j + 1}])"
+            f" * (x[{m * d + j + 1}] - l{m}[c*{d} + {j + 1}]))"
+            for j in range(d)
+        )
+        dist_cols.append(
+            f"list_transform(range(0, {PQ_K}), c -> {terms}) AS d{m}"
+        )
+    codes = ", ".join(
+        f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS INTEGER)"
+        for m in range(PQ_M)
+    )
+    score = " + ".join(
+        f"p.x[{m * d + j + 1}] * l{m}[e.codes[{m + 1}]*{d} + {j + 1}]"
+        for m in range(PQ_M)
+        for j in range(d)
+    )
+    return f"""
+        WITH {_centroid_assign_ctes(IVF_CENTROIDS)},
+        route AS (
+            SELECT vec_id AS query_id, c AS cluster FROM (
+                SELECT vec_id, c, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+                FROM cd WHERE vec_id < 8
+            ) WHERE rn <= 4
+        ),
+        xq AS (
+            SELECT vec_id,
+                   list_transform(v,
+                       x -> CAST(round(x * 1000000) AS BIGINT)) AS x
+            FROM vecs
+        ),
+        cbs AS (SELECT {cb_cols}),
+        dists AS (
+            SELECT xq.vec_id,
+                   {", ".join(dist_cols)}
+            FROM xq CROSS JOIN cbs
+        ),
+        enc0 AS (SELECT vec_id, [{codes}] AS codes FROM dists),
+        cellcand AS (
+            SELECT r.query_id, a.vec_id AS neighbor_id
+            FROM route r JOIN assign a ON a.cluster = r.cluster
+            WHERE a.vec_id <> r.query_id
+        ),
+        scanned AS (
+            SELECT query_id, COUNT(*) AS n_scanned FROM cellcand GROUP BY 1
+        ),
+        adc AS (
+            SELECT cc.query_id, cc.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY cc.query_id
+                       ORDER BY ({score}) DESC, cc.neighbor_id ASC) AS rnk
+            FROM cellcand cc
+            JOIN xq p ON p.vec_id = cc.query_id
+            JOIN enc0 e ON e.vec_id = cc.neighbor_id
+            CROSS JOIN cbs
+        ),
+        rerank AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pv.v, cv.v), 6) DESC,
+                                    c.neighbor_id ASC) AS rrk
+                FROM (SELECT query_id, neighbor_id FROM adc
+                      WHERE rnk <= 20) c
+                JOIN vecs pv ON pv.vec_id = c.query_id
+                JOIN vecs cv ON cv.vec_id = c.neighbor_id
+            ) WHERE rrk <= 3
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT pp.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY pp.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pp.v, cc.v), 6) DESC,
+                                    cc.vec_id ASC) AS rnk
+                FROM vecs pp JOIN vecs cc ON cc.vec_id <> pp.vec_id
+                WHERE pp.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        hits AS (
+            SELECT e.query_id, COUNT(r.neighbor_id) AS n_hits
+            FROM exact e LEFT JOIN rerank r
+              ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+            GROUP BY 1
+        )
+        SELECT h.query_id, h.n_hits,
+               COALESCE(s.n_scanned, 0) AS n_scanned,
+               (SELECT COUNT(*) FROM embeddings) AS n_corpus,
+               COALESCE(s.n_scanned, 0) < (SELECT COUNT(*) FROM embeddings)
+                   AS gate_sublinear
+        FROM hits h LEFT JOIN scanned s ON s.query_id = h.query_id
+        ORDER BY h.query_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # round-10: IVF+PQ composition (VERDICT r9 #2)
+    "q173_ivf_pq_search": _ivf_pq_sql(),
+
     # round-10: the committed-artifact ML tail (VERDICT r9 #1) — the
     # iterative fits ran once offline; serving replays exactly
     "q40_als_recommendations": _als_topk_sql(),

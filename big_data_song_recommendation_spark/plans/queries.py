@@ -5493,7 +5493,58 @@ def q172_admission_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q173_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (VERDICT r9 #2): committed coarse centroids
+    route each probe to its 4 nearest cells, the candidate scan reads
+    PQ codes (ADC int64 lookup sums) ONLY inside those cells, and an
+    exact cosine re-rank of the top-20 survivors yields top-3 — the
+    IVFADC layout where routing is the sub-linear axis and PQ the
+    compression axis (operators/similarity.ivf_pq_topk). Self-audit
+    form (the q119/q168 class): carries brute-force truth in-query and
+    emits per-probe recall plus the SCANNED-ROW count against the
+    corpus size, gating sub-linearity in-query — at sf0.01 each probe
+    scans ~4/16 of the corpus instead of all of it. Twin replays
+    assignment, routing, ADC, re-rank, and the counts from the same
+    committed literals."""
+    from ..ml.centroids import IVF_CENTROIDS
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    approx = similarity.ivf_pq_topk(
+        emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=20
+    )
+    exact = similarity.brute_force_knn(emb, probes, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id").withColumn(
+                "__hit", F.lit(1)
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hits"))
+    )
+    scanned = approx.groupBy("query_id").agg(
+        F.max("n_scanned").alias("n_scanned")
+    )
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    return (
+        hits.join(scanned, "query_id", "left")
+        .withColumn("n_scanned", F.coalesce("n_scanned", F.lit(0)))
+        .crossJoin(F.broadcast(n_corpus))
+        .withColumn(
+            "gate_sublinear", F.col("n_scanned") < F.col("n_corpus")
+        )
+        .transform(_ordered, "query_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q173_ivf_pq_search": q173_ivf_pq_search,
     "q172_admission_two_tier": q172_admission_two_tier,
     "q171_full_front_door_rollup": q171_full_front_door_rollup,
     "q170_mojibake_repair": q170_mojibake_repair,

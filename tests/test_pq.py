@@ -126,3 +126,47 @@ def test_dim_mismatch_fails_loudly(spark):
         pq_adc_topk(ok, short, codebooks=(books, 4))
     with pytest.raises(ValueError, match="ragged"):
         pq_encode(ok, codebooks=([books[0], books[1][:2]], 4))
+
+
+def test_ivf_pq_full_fanout_equals_brute_force(spark):
+    """IVF+PQ with nprobe == K and candidates ≥ corpus degenerates to
+    the exact scan (routing covers every cell, the ADC cut keeps
+    everything, re-rank is the exact cosine ranking) — and the
+    n_scanned column equals corpus−1 per probe (self excluded)."""
+    from big_data_song_recommendation_spark.ml.centroids import IVF_CENTROIDS
+    from big_data_song_recommendation_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_pq_topk,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = ivf_pq_topk(
+        emb, probes, IVF_CENTROIDS,
+        k=3, nprobe=len(IVF_CENTROIDS), candidates=n,
+    )
+    want = brute_force_knn(emb, probes, k=3)
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rnk) for r in got.collect()
+    ) == sorted(tuple(r) for r in want.collect())
+    assert {r.n_scanned for r in got.collect()} == {n - 1}
+
+
+def test_ivf_pq_small_nprobe_is_sublinear(spark):
+    """With nprobe ≪ K each probe's candidate scan touches a strict
+    subset of the corpus — the sub-linearity the composition exists
+    for (also gated in-query by q173)."""
+    from big_data_song_recommendation_spark.ml.centroids import IVF_CENTROIDS
+    from big_data_song_recommendation_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = ivf_pq_topk(emb, probes, IVF_CENTROIDS, k=3, nprobe=2).collect()
+    assert len(got) > 0
+    assert all(r.n_scanned < n for r in got)
