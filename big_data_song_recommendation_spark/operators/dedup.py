@@ -967,8 +967,128 @@ def containment_pairs(
     )
 
 
+#: anchor-sketch resolution for the suffix filter: E order-quantile
+#: keys per document. 8 ≈ a depth-3 binary probe of the suffix; the
+#: per-pair bound costs O(E²) codegen comparisons (no interpreted
+#: higher-order functions on the pair path — the q163 discipline).
+_SUFFIX_ANCHORS = 8
+
+
+def _ranked_shingles(sets: DataFrame) -> DataFrame:
+    """Each (sid, sh) row with its document size ``L``, global df, the
+    1-based rare-first rank ``__r`` within its document, and the
+    ORDER KEY ``__k`` — df zero-padded to 12 digits + '#' + shingle,
+    so plain string comparison IS the (df asc, sh asc) global total
+    order the prefix/positional/suffix filters all share."""
+    from pyspark.sql import Window
+
+    sizes = sets.groupBy("sid").agg(F.count("*").alias("L"))
+    dfreq = sets.groupBy("sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("sid").orderBy(F.asc("__df"), F.asc("sh"))
+    return (
+        sets.join(dfreq, "sh")
+        .withColumn("__r", F.row_number().over(w))
+        .join(sizes, "sid")
+        .withColumn(
+            "__k", F.concat(F.format_string("%012d", "__df"), F.lit("#"), "sh")
+        )
+    )
+
+
+def _anchor_sketches(ranked: DataFrame, e_anchors: int = _SUFFIX_ANCHORS) -> DataFrame:
+    """Per-document anchor sketch for the suffix filter: the order key
+    at positions ``max(1, floor(L·e/E))`` for e = 1..E (always exactly
+    E entries — tiny documents repeat their early keys, giving empty
+    chunks), as two aligned arrays ``__ak`` (keys, ascending in the
+    global order) and ``__ap`` (their 1-based positions). One
+    (sid, position) equi-join against the ranked rows — document
+    grain, ~E·20 bytes per doc."""
+    sizes = ranked.select("sid", "L").distinct()
+    wanted = sizes.withColumn(
+        "__e", F.explode(F.sequence(F.lit(1), F.lit(e_anchors)))
+    ).withColumn(
+        "__p",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.col("L") * F.col("__e") / F.lit(e_anchors)).cast("int"),
+        ),
+    )
+    hit = wanted.join(
+        ranked.select("sid", F.col("__r").alias("__p"), "__k"),
+        ["sid", "__p"],
+    )
+    return hit.groupBy("sid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__e", "__k", "__p"))),
+            lambda s: s["__k"],
+        ).alias("__ak"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__e", "__k", "__p"))),
+            lambda s: s["__p"].cast("long"),
+        ).alias("__ap"),
+    )
+
+
+def _suffix_chunk_bound(e_anchors: int = _SUFFIX_ANCHORS):
+    """The PPJoin+ suffix-filter overlap bound (Xiao et al. WWW'08),
+    re-expressed over anchor sketches so it is pure codegen CASE
+    arithmetic instead of a per-pair binary-search recursion:
+
+    B's anchors cut B into E chunks of EXACT sizes (positions are
+    ranks); for chunk i with key range (kb_{i-1}, kb_i], the shared
+    elements inside it number at most min(chunk size, #A in the
+    range). #A in a key range is bracketed from A's own anchors —
+    cnt_le(t) ≤ pos_j of the FIRST anchor with key ≥ t (everything
+    after it exceeds t), and ≥ pos_j of the LAST anchor with key ≤ t
+    (everything up to it is ≤ t). Summing the per-chunk minima bounds
+    the total overlap |A∩B|; every inequality direction is an
+    over-count, so the bound is LOSSLESS — a pruned pair provably
+    cannot reach the threshold (the q149 oracle equality is the
+    proof obligation, and the anchors lose only granularity, never
+    soundness). Expression cost: E chunks × two E-way CASEs of string
+    compares ≈ E² codegen nodes — far below one array_intersect."""
+
+    def ub_le(t):
+        expr = F.col("la").cast("long")
+        for j in range(e_anchors, 0, -1):
+            expr = F.when(
+                F.element_at("__aka", j) >= t, F.element_at("__apa", j)
+            ).otherwise(expr)
+        return expr
+
+    def lb_le(t):
+        expr = F.lit(0).cast("long")
+        for j in range(1, e_anchors + 1):
+            expr = F.when(
+                F.element_at("__aka", j) <= t, F.element_at("__apa", j)
+            ).otherwise(expr)
+        return expr
+
+    total = None
+    prev_pos = F.lit(0).cast("long")
+    for i in range(1, e_anchors + 1):
+        kb_i = F.element_at("__akb", i)
+        size_b = F.element_at("__apb", i) - prev_pos
+        if i == 1:
+            in_a = ub_le(kb_i)
+        else:
+            in_a = F.greatest(
+                F.lit(0).cast("long"),
+                ub_le(kb_i) - lb_le(F.element_at("__akb", i - 1)),
+            )
+        term = F.least(size_b, in_a)
+        total = term if total is None else total + term
+        prev_pos = F.element_at("__apb", i)
+    return total
+
+
 def _prefix_candidates(
-    sets: DataFrame, n_: int, d_: int, *, positional: bool = True
+    sets: DataFrame,
+    n_: int,
+    d_: int,
+    *,
+    positional: bool = True,
+    suffix: bool = False,
 ) -> DataFrame:
     """Candidate pairs ``(id_a, id_b, la, lb)`` for the prefix-filter
     join over ``sets`` (columns ``sid``, ``sh``): rare-first prefix
@@ -976,24 +1096,16 @@ def _prefix_candidates(
     (``positional=False``, the AllPairs baseline) or the PPJoin
     positional-filter ``groupBy`` (see
     :func:`prefix_filter_jaccard_pairs` for the soundness argument).
-    Factored out so scale probes can count candidates per tier.
+    Factored out so scale probes can count candidates per tier
+    (``positional=False`` → AllPairs baseline; ``suffix=True`` adds
+    the anchor-sketch suffix filter on the positional survivors).
     """
-    from pyspark.sql import Window
-
-    sizes = sets.groupBy("sid").agg(F.count("*").alias("L"))
-    dfreq = sets.groupBy("sh").agg(F.count("*").alias("__df"))
-    w = Window.partitionBy("sid").orderBy(F.asc("__df"), F.asc("sh"))
+    ranked = _ranked_shingles(sets)
     # prefix length: L − ceil(t·L) + 1, exact in long arithmetic
     plen = F.col("L") - F.call_function(
         "div", F.lit(n_) * F.col("L") + F.lit(d_ - 1), F.lit(d_)
     ) + F.lit(1)
-    prefix = (
-        sets.join(dfreq, "sh")
-        .withColumn("__r", F.row_number().over(w))
-        .join(sizes, "sid")
-        .filter(F.col("__r") <= plen)
-        .select("sid", "sh", "L", "__r")
-    )
+    prefix = ranked.filter(F.col("__r") <= plen).select("sid", "sh", "L", "__r")
     a, b = prefix.alias("a"), prefix.alias("b")
     matches = (
         a.join(
@@ -1030,7 +1142,7 @@ def _prefix_candidates(
     bound = F.col("__m") + F.least(
         F.col("la") - F.col("__pmax_a"), F.col("lb") - F.col("__pmax_b")
     )
-    return (
+    cand = (
         matches.groupBy("id_a", "id_b", "la", "lb")
         .agg(
             F.count("*").alias("__m"),
@@ -1039,6 +1151,37 @@ def _prefix_candidates(
         )
         .filter(
             bound * F.lit(n_ + d_) >= F.lit(n_) * (F.col("la") + F.col("lb"))
+        )
+        .select("id_a", "id_b", "la", "lb")
+    )
+    if not suffix:
+        return cand
+    # PPJoin+ suffix filter via anchor sketches: two document-grain
+    # joins deliver each side's E (key, position) anchors; the chunk
+    # bound (see _suffix_chunk_bound) prunes pairs whose overlap
+    # provably cannot reach the threshold BEFORE the expensive
+    # full-array verify join. Lossless, so q149 stays hash-identical.
+    anchors = _anchor_sketches(ranked)
+    sbound = _suffix_chunk_bound()
+    return (
+        cand.join(
+            anchors.select(
+                F.col("sid").alias("id_a"),
+                F.col("__ak").alias("__aka"),
+                F.col("__ap").alias("__apa"),
+            ),
+            "id_a",
+        )
+        .join(
+            anchors.select(
+                F.col("sid").alias("id_b"),
+                F.col("__ak").alias("__akb"),
+                F.col("__ap").alias("__apb"),
+            ),
+            "id_b",
+        )
+        .filter(
+            sbound * F.lit(n_ + d_) >= F.lit(n_) * (F.col("la") + F.col("lb"))
         )
         .select("id_a", "id_b", "la", "lb")
     )
@@ -1055,6 +1198,7 @@ def prefix_filter_jaccard_pairs(
     checkpoint: bool = True,
     widen_input: bool = True,
     positional: bool = True,
+    suffix: bool = False,
 ) -> DataFrame:
     """Exact Jaccard ≥ ``threshold_num/threshold_den`` pairs via
     PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al.
@@ -1093,6 +1237,28 @@ def prefix_filter_jaccard_pairs(
     the plain ``distinct()`` with a same-shuffle ``groupBy`` while
     pruning candidates that cannot reach the threshold.
 
+    The suffix filter (``suffix=True``, round 10 — PPJoin+, Xiao et
+    al. WWW'08), IMPLEMENTED, MEASURED, AND DEFAULTED OFF: the
+    positional bound treats the unmatched suffixes as fully
+    overlapping; this tier probes their content via per-document
+    anchor sketches (the order key at E=8 evenly spaced ranks,
+    :func:`_anchor_sketches`) and the chunked bound
+    Σᵢ min(|B chunk i|, #A in chunk i's key range)
+    (:func:`_suffix_chunk_bound` — every term over-counts, so the
+    prune is LOSSLESS; pair sets verified identical with the filter
+    on and off at both SFs and four thresholds). Measured on the
+    documents corpus at sf0.1 it prunes 15 of 119,907 positional
+    survivors (0.013%) at t=1/2 and ≤0.2% at t∈{0.7, 0.8, 0.9},
+    while adding two document-grain joins (wall 2.6 s → 6.0 s):
+    same-corpus documents share the same global shingle-frequency
+    DISTRIBUTION, so any distribution-level bound — anchors, or the
+    original's divide-and-conquer Hamming probe, whose recursion
+    budget explodes below t≈0.8 — cannot separate candidate pairs
+    the positional filter already admitted; only content-level
+    intersection can, and that IS the verify tier. Kept available
+    for corpora with heterogeneous key distributions (cross-source
+    joins), where the chunk bound has actual signal.
+
     100 TB shape: shingle-grain shuffles only; verification touches
     positional-surviving candidate pairs (post-filter), never the
     all-pairs space, and computes |A∩B| with ``array_intersect`` over
@@ -1121,7 +1287,9 @@ def prefix_filter_jaccard_pairs(
     sets = _shingle_sets(df, id_col, text_col, k, None, widen_input=widen_input)
     if checkpoint:
         sets = sets.localCheckpoint(eager=False)
-    cand = _prefix_candidates(sets, n_, d_, positional=positional)
+    cand = _prefix_candidates(
+        sets, n_, d_, positional=positional, suffix=suffix
+    )
     arrs = sets.groupBy("sid").agg(
         F.sort_array(F.collect_list("sh")).alias("__arr")
     )

@@ -123,3 +123,60 @@ def test_stop_shingle_corpus_rejected_without_false_positives(spark):
     texts = [common + f"unique{i} tail{i} end{i}" for i in range(20)]
     docs = _docs(spark, texts)
     assert prefix_filter_jaccard_pairs(docs, "doc_id", "text").collect() == []
+
+
+def test_suffix_filter_is_lossless(spark):
+    """Round 10 (PPJoin+ suffix filter, anchor-sketch form): the chunk
+    bound never prunes a true pair — result sets with the filter on
+    and off are identical at two thresholds. (Defaulted OFF after
+    measurement: ~0% prune on same-distribution corpora — see the
+    operator docstring — but the losslessness contract must hold for
+    the heterogeneous corpora it exists for.)"""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for n_, d_ in ((1, 2), (4, 5)):
+        off = sorted(
+            tuple(r)
+            for r in prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", k=3,
+                threshold_num=n_, threshold_den=d_, suffix=False,
+            ).collect()
+        )
+        on = sorted(
+            tuple(r)
+            for r in prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", k=3,
+                threshold_num=n_, threshold_den=d_, suffix=True,
+            ).collect()
+        )
+        assert on == off and len(on) > 0
+
+
+def test_anchor_sketches_shape_and_tiny_docs(spark):
+    """Anchor sketches always carry exactly E aligned (key, position)
+    entries — tiny documents (L < E) repeat early keys instead of
+    shrinking the arrays the unrolled pair expression indexes into."""
+    from big_data_song_recommendation_spark.operators.dedup import (
+        _SUFFIX_ANCHORS,
+        _anchor_sketches,
+        _ranked_shingles,
+        _shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "one two three four five six seven eight "
+                             "nine ten eleven twelve thirteen")],
+        "doc_id long, text string",
+    )
+    sets = _shingle_sets(docs, "doc_id", "text", 3, None)
+    sk = {r.sid: r for r in _anchor_sketches(_ranked_shingles(sets)).collect()}
+    for sid, r in sk.items():
+        ak, ap = r["__ak"], r["__ap"]
+        assert len(ak) == _SUFFIX_ANCHORS and len(ap) == _SUFFIX_ANCHORS
+        assert list(ap) == sorted(ap)
+        assert list(ak) == sorted(ak)
+        assert ap[-1] == max(ap)
