@@ -222,6 +222,120 @@ def bigram_lm_scores(
     )
 
 
+def lm_perplexity_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-grade perplexity filter (Wenzek et al. 2020) under the
+    committed-artifact discipline: per-doc average trigram
+    stupid-backoff score against the COMMITTED reference LM
+    (ml/lm_counts.py — counts trained once offline;
+    ml/lm.score_maps() derives each n-gram's integer micro score, and
+    the q174 twin derives them from the SAME function, so the engines
+    cannot drift), bucketed head/middle/tail by the committed
+    training-corpus tertiles — the CCNet split that keeps head+middle
+    and drops the tail. Upgrades :func:`bigram_lm_scores` (the
+    self-supervised fallback trained on the corpus being scored) to a
+    true reference-model filter with a longer context and backoff.
+
+    Shape: tokens vocabulary-map to <unk> BEFORE n-grams form (staged
+    projections — no captured expressions in the transform lambdas,
+    the q163 discipline), trigram strings explode (explode_outer, so
+    token-poor docs keep their zero-fill row without a second join),
+    and the three backoff tiers resolve as LEFT broadcast-hash joins
+    against the committed score tables (O(1) lookups — a literal-map
+    CASE would linear-scan thousands of entries per row). One
+    doc-keyed aggregate is the single exchange. Output: (id,
+    n_trigrams, lm_score_micro, ppl_bucket); docs with < 3 tokens
+    score 0 → 'tail' (explicit verdict, never a dropped row)."""
+    from ..functions.text import normalized_text
+    from ..ml import lm
+    from ..ml import lm_counts as LMC
+
+    spark = df.sparkSession
+    tri, bi23, uni = lm.score_maps()
+    tri_df = spark.createDataFrame(
+        list(tri.items()), "__kt string, __st long"
+    )
+    bi_df = spark.createDataFrame(
+        list(bi23.items()), "__kb string, __sb long"
+    )
+    uni_df = spark.createDataFrame(
+        list(uni.items()), "__ku string, __su long"
+    )
+    vocab = lm.vocab()
+
+    staged = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda t: t != ""
+        ).alias("__tk"),
+    ).withColumn(
+        "__m",
+        F.transform(
+            F.col("__tk"),
+            lambda t: F.when(t.isin(*vocab), t).otherwise(F.lit("<unk>")),
+        ),
+    )
+    n = F.size("__m")
+    tri_strs = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("__m", i),
+            F.element_at("__m", i + 1),
+            F.element_at("__m", i + 2),
+        ),
+    )
+    rows = staged.withColumn(
+        "__tris",
+        F.when(n >= 3, tri_strs).otherwise(
+            F.array().cast("array<string>")
+        ),
+    ).select(id_col, F.explode_outer("__tris").alias("__sh"))
+    scored = (
+        rows.join(
+            F.broadcast(tri_df), rows["__sh"] == tri_df["__kt"], "left"
+        )
+        .join(
+            F.broadcast(bi_df),
+            F.substring_index("__sh", " ", -2) == bi_df["__kb"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni_df),
+            F.substring_index("__sh", " ", -1) == uni_df["__ku"],
+            "left",
+        )
+        .withColumn(
+            "__s", F.coalesce("__st", "__sb", "__su", F.lit(0).cast("long"))
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("__sh").alias("n_trigrams"),
+        F.sum(F.when(F.col("__sh").isNotNull(), F.col("__s"))).alias("__ss"),
+    )
+    score = F.expr(
+        "CASE WHEN n_trigrams > 0 THEN __ss DIV n_trigrams "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    bucket = (
+        F.when(
+            F.col("lm_score_micro") >= LMC.LM_HEAD_MIN_MICRO, F.lit("head")
+        )
+        .when(
+            F.col("lm_score_micro") >= LMC.LM_MID_MIN_MICRO, F.lit("middle")
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        agg.withColumn("lm_score_micro", score)
+        .withColumn("ppl_bucket", bucket)
+        .select(id_col, "n_trigrams", "lm_score_micro", "ppl_bucket")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     strata_col: str,
@@ -689,6 +803,7 @@ def crawl_front_door(
     blocked_url_patterns: tuple[str, ...] = (),
     fix_encoding: bool = False,
     dedup_lines: bool = False,
+    lm_buckets: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The crawl preprocessing stage, composed: HTML → text extraction
     (functions/html.extract_text), C4 line cleaning
@@ -718,6 +833,10 @@ def crawl_front_door(
     collapses intra-doc repeated lines after the C4 stage
     (:func:`dedup_lines_within_doc`, appending ``n_dup_lines``) —
     both map-only, so the micro-batch plan stays shuffle-free.
+    ``lm_buckets=('head', 'middle')`` appends the committed trigram
+    LM's perplexity verdict LAST (the CCNet stage order) and keeps
+    only those buckets — the one stage that aggregates (see the
+    inline note).
 
     The extraction output is cut with a lazy localCheckpoint before
     the C4 stage: the ~20-regex extraction chain is the dominant cost
@@ -838,6 +957,23 @@ def crawl_front_door(
         )
         if allowed_langs:
             out = out.filter(F.col("pred_lang").isin(list(allowed_langs)))
+    if lm_buckets is not None:
+        # CCNet's final stage: perplexity against the committed
+        # reference trigram LM (:func:`lm_perplexity_scores`), keep
+        # only the requested buckets — canonically ('head', 'middle').
+        # NOTE: unlike every stage above, this one aggregates (one
+        # doc-keyed exchange for the trigram average + the id join
+        # back), so enabling it makes the front-door micro-batch plan
+        # carry its only shuffle — the documented cost of a
+        # context-sensitive score no map-only fold can express.
+        lm = lm_perplexity_scores(
+            out.select(id_col, "text"), id_col=id_col, text_col="text"
+        ).withColumnsRenamed(
+            {"n_trigrams": "lm_n_trigrams"}
+        )
+        out = out.join(lm, id_col).filter(
+            F.col("ppl_bucket").isin(list(lm_buckets))
+        )
     return out
 
 

@@ -1610,7 +1610,85 @@ def _ivf_pq_sql() -> str:
     """
 
 
+
+
+def _lm_buckets_sql() -> str:
+    """q174 twin: the committed trigram LM replayed — vocabulary
+    mapping to <unk>, trigram formation, three-tier stupid-backoff
+    lookups against score tables derived by the SAME
+    ``ml/lm.score_maps()`` the Spark scorer uses (engines cannot
+    drift), integer-DIV doc averages, committed tertile buckets."""
+    from ..ml import lm
+    from ..ml import lm_counts as LMC
+
+    tri, bi23, uni = lm.score_maps()
+
+    def vals(m):
+        return ", ".join(f"('{k}',{v})" for k, v in sorted(m.items()))
+
+    vocab_in = ", ".join(f"'{t}'" for t in lm.vocab())
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORMALIZED_TEXT}, ' '),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        mapped AS (
+            SELECT doc_id,
+                   list_transform(tk,
+                       t -> CASE WHEN t IN ({vocab_in}) THEN t
+                                 ELSE '<unk>' END) AS m
+            FROM toks
+        ),
+        tri_rows AS (
+            SELECT doc_id, m[i] || ' ' || m[i + 1] || ' ' || m[i + 2] AS sh
+            FROM mapped,
+                 unnest(range(1, greatest(len(m) - 1, 1))) AS t(i)
+        ),
+        ts AS (SELECT * FROM (VALUES {vals(tri)}) AS t(k, s)),
+        bs AS (SELECT * FROM (VALUES {vals(bi23)}) AS t(k, s)),
+        us AS (SELECT * FROM (VALUES {vals(uni)}) AS t(k, s)),
+        sc AS (
+            SELECT r.doc_id,
+                   CAST(COALESCE(ts.s, bs.s, us.s, 0) AS BIGINT) AS s
+            FROM tri_rows r
+            LEFT JOIN ts ON ts.k = r.sh
+            LEFT JOIN bs
+              ON bs.k = string_split(r.sh, ' ')[2] || ' '
+                        || string_split(r.sh, ' ')[3]
+            LEFT JOIN us ON us.k = string_split(r.sh, ' ')[3]
+        ),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                   SUM(s) AS ss
+            FROM sc GROUP BY 1
+        ),
+        fin AS (
+            SELECT d.doc_id,
+                   COALESCE(a.n_trigrams, 0) AS n_trigrams,
+                   CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+                        -- SUM(BIGINT) widens to HUGEINT (→ pandas
+                        -- float); pin the engine-boundary type
+                        THEN CAST(a.ss // a.n_trigrams AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS lm_score_micro
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        )
+        SELECT doc_id, n_trigrams, lm_score_micro,
+               CASE WHEN lm_score_micro >= {LMC.LM_HEAD_MIN_MICRO}
+                    THEN 'head'
+                    WHEN lm_score_micro >= {LMC.LM_MID_MIN_MICRO}
+                    THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM fin
+        ORDER BY doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # round-10: committed trigram LM perplexity buckets (VERDICT r9 #4)
+    "q174_lm_perplexity": _lm_buckets_sql(),
+
     # round-10: IVF+PQ composition (VERDICT r9 #2)
     "q173_ivf_pq_search": _ivf_pq_sql(),
 

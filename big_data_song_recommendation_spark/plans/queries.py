@@ -5543,7 +5543,24 @@ def q173_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity filter (VERDICT r9 #4): every document scored
+    against the COMMITTED trigram stupid-backoff LM
+    (operators/quality.lm_perplexity_scores; counts in
+    ml/lm_counts.py, trained once by scripts/gen_lm_counts.py) and
+    bucketed head/middle/tail by the committed training tertiles —
+    the canonical learned-curation stage beside q161's quality
+    classifier and q163's language ID. Integer micro arithmetic end
+    to end; the twin derives per-n-gram scores from the SAME
+    ml/lm.score_maps(), so scoring is hash-checked."""
+    from ..operators.quality import lm_perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_scores(docs).transform(_ordered, "doc_id")
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q174_lm_perplexity": q174_lm_perplexity,
     "q173_ivf_pq_search": q173_ivf_pq_search,
     "q172_admission_two_tier": q172_admission_two_tier,
     "q171_full_front_door_rollup": q171_full_front_door_rollup,
