@@ -199,88 +199,63 @@ def pq_encode(
     """
     books, m_sub, k_cent, dim, d = _pq_params(codebooks)
     _pq_check_dim(df, vec_col, dim, "input")
-    cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
-    xq = F.transform(
-        vectors.as_double_array(vec_col),
-        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
-    )
     staged = df.select(
-        F.col(id_col), *[F.col(c) for c in keep], xq.alias("__xq")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        _quantize_expr(vec_col).alias("__xq"),
     )
-
-    def dist_fn(m):
-        def dist(c):
-            total = None
-            for j in range(d):
-                diff = F.element_at(F.col("__xq"), m * d + j + 1) - F.element_at(
-                    cb_cols[m], c * d + j + 1
-                )
-                term = diff * diff
-                total = term if total is None else total + term
-            return total
-
-        return dist
-
     # distance arrays staged as real projections (lambda-bearing
-    # expressions skip codegen CSE — the c4_line_filter plan note)
+    # expressions skip codegen CSE — the c4_line_filter plan note);
+    # each subspace's K·d expansion parses as ONE SQL string over a
+    # staged codebook literal (the plan-construction discipline)
     for m in range(m_sub):
-        staged = staged.withColumn(
-            f"__d{m}",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k_cent - 1)), dist_fn(m)
-            ),
+        terms = " + ".join(
+            f"(__xq[{m * d + j}] - __cbm[c*{d}+{j}])"
+            f" * (__xq[{m * d + j}] - __cbm[c*{d}+{j}])"
+            for j in range(d)
         )
-    codes = F.array(
-        *[
-            (
-                F.array_position(
-                    F.col(f"__d{m}"), F.array_min(F.col(f"__d{m}"))
-                )
-                - 1
-            ).cast("int")
+        staged = staged.withColumn(
+            "__cbm", F.lit([int(v) for v in books[m]])
+        ).withColumn(
+            f"__d{m}",
+            F.expr(f"transform(sequence(0, {k_cent - 1}), c -> {terms})"),
+        )
+    codes = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(array_position(__d{m}, array_min(__d{m})) - 1 AS INT)"
             for m in range(m_sub)
-        ]
+        )
+        + ")"
     )
     return staged.select(id_col, *keep, codes.alias(out_col))
 
 
-def _pq_probe_luts(p: DataFrame, cb_cols, m_sub: int, k_cent: int, d: int) -> DataFrame:
+def _pq_probe_luts(p: DataFrame, books, m_sub: int, k_cent: int, d: int) -> DataFrame:
     """Stage each probe's M asymmetric-distance lookup tables —
     ``__lut{m}[c] = ⟨probe subvector m, centroid c⟩`` in micro² int64
     (a per-PROBE O(M·K·d) projection). ``p`` must carry ``__qx``
-    (micro-quantized probe vector). Shared by :func:`pq_adc_topk` and
-    :func:`ivf_pq_topk`."""
-
-    def lut_fn(m):
-        def lut(c):
-            total = None
-            for j in range(d):
-                term = F.element_at(F.col("__qx"), m * d + j + 1) * F.element_at(
-                    cb_cols[m], c * d + j + 1
-                )
-                total = term if total is None else total + term
-            return total
-
-        return lut
-
+    (micro-quantized probe vector). Shared by :func:`pq_adc_topk`,
+    :func:`ivf_pq_topk`, and :func:`ivfpq_topk_indexed`. Each LUT
+    parses as one SQL string over a staged codebook array literal
+    (the plan-construction discipline — see _with_centroid_dists)."""
     for m in range(m_sub):
-        p = p.withColumn(
-            f"__lut{m}",
-            F.transform(F.sequence(F.lit(0), F.lit(k_cent - 1)), lut_fn(m)),
+        terms = " + ".join(
+            f"__qx[{m * d + j}] * __cbm[c*{d}+{j}]" for j in range(d)
         )
-    return p
+        p = p.withColumn("__cbm", F.lit([int(v) for v in books[m]])).withColumn(
+            f"__lut{m}",
+            F.expr(f"transform(sequence(0, {k_cent - 1}), c -> {terms})"),
+        )
+    return p.drop("__cbm", "__qx")
 
 
 def _pq_adc_score(m_sub: int):
     """The per-PAIR ADC score: M table lookups summed (exact int64),
-    no higher-order fold on the pair path."""
-    score = None
-    for m in range(m_sub):
-        term = F.element_at(
-            F.col(f"__lut{m}"), F.element_at(F.col("codes"), m + 1) + 1
-        )
-        score = term if score is None else score + term
-    return score
+    no higher-order fold on the pair path — one parsed expression."""
+    return F.expr(
+        " + ".join(f"__lut{m}[codes[{m}]]" for m in range(m_sub))
+    )
 
 
 def pq_adc_topk(
@@ -306,18 +281,13 @@ def pq_adc_topk(
     entry, the storage-axis sibling of q123's int8 gate."""
     books, m_sub, k_cent, dim, d = _pq_params(codebooks)
     _pq_check_dim(probes, vec_col, dim, "probe")
-    cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
     enc = pq_encode(
         corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks
     ).select(F.col(id_col).alias("neighbor_id"), "codes")
-    qx = F.transform(
-        vectors.as_double_array(vec_col),
-        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
-    )
     p = probes.select(
-        F.col(id_col).alias("query_id"), qx.alias("__qx")
+        F.col(id_col).alias("query_id"), _quantize_expr(vec_col).alias("__qx")
     )
-    p = _pq_probe_luts(p, cb_cols, m_sub, k_cent, d)
+    p = _pq_probe_luts(p, books, m_sub, k_cent, d)
     score = _pq_adc_score(m_sub)
     cond = (
         F.col("neighbor_id") != F.col("query_id")
@@ -434,7 +404,6 @@ def ivf_pq_topk(
     against the (bounded, broadcast) routed probe set."""
     books, m_sub, k_cent, dim, d = _pq_params(codebooks)
     _pq_check_dim(probes, vec_col, dim, "probe")
-    cb_cols = [F.array(*[F.lit(int(v)) for v in books[m]]) for m in range(m_sub)]
 
     assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
     enc = pq_encode(
@@ -448,18 +417,48 @@ def ivf_pq_topk(
     routed = ivf_route_committed(
         probes, coarse_centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     ).select("query_id", "cluster")
-    qx = F.transform(
-        vectors.as_double_array(vec_col),
-        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
-    )
     p = _pq_probe_luts(
-        probes.select(F.col(id_col).alias("query_id"), qx.alias("__qx")),
-        cb_cols,
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            _quantize_expr(vec_col).alias("__qx"),
+        ),
+        books,
         m_sub,
         k_cent,
         d,
     )
 
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
+    pv = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
+    return _ivfpq_tail(
+        enc, routed, p, pv, c, dim, m_sub,
+        k=k, candidates=candidates, exclude_self=exclude_self,
+    )
+
+
+def _ivfpq_tail(
+    enc: DataFrame,
+    routed: DataFrame,
+    p: DataFrame,
+    pv: DataFrame,
+    c: DataFrame,
+    dim: int,
+    m_sub: int,
+    *,
+    k: int,
+    candidates: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared ADC-scan + exact-rerank tail of :func:`ivf_pq_topk` and
+    :func:`ivfpq_topk_indexed` — one implementation, so the persisted
+    index serves IDENTICAL rows by construction (the _srp_rerank
+    discipline). ``enc``: (neighbor_id, cluster, codes); ``routed``:
+    (query_id, cluster); ``p``: probe LUTs (query_id, __lut*);
+    ``pv``/``c``: (query_id, qv, qn) / (neighbor_id, nv, nn)."""
     cond = (
         F.col("neighbor_id") != F.col("query_id")
         if exclude_self
@@ -479,13 +478,6 @@ def ivf_pq_topk(
         .filter(F.col("__ark") <= candidates)
         .select("query_id", "neighbor_id", "n_scanned")
     )
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
-    pv = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
     sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -577,6 +569,17 @@ def ivf_index(
     return centroids_df, assigned.drop("__features", "__hashes")
 
 
+def _quantize_expr(vec_col: str):
+    """Micro-unit int64 quantization of a vector column as ONE parsed
+    SQL expression (round half-up then truncate-cast — identical to
+    ``F.round(x · 10⁶).cast("long")`` and to the oracles' idiom)."""
+    name = vectors._sql_name(vec_col)
+    return F.expr(
+        f"transform(CAST({name} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(round(x * {SRP_FIXED_POINT}) AS BIGINT))"
+    )
+
+
 def _with_centroid_dists(
     df: DataFrame, centroids: list, vec_col: str, out: str = "__cdist"
 ) -> DataFrame:
@@ -594,26 +597,24 @@ def _with_centroid_dists(
             f"centroid_assign: vectors are dim {vectors.infer_dim(df, vec_col)}, "
             f"centroids expect {dim}"
         )
-    flat = F.array(*[F.lit(int(v)) for c in centroids for v in c])
-    xq = F.transform(
-        vectors.as_double_array(vec_col),
-        lambda x: F.round(x * SRP_FIXED_POINT).cast("long"),
+    # plan-construction discipline (the dot_expanded note): the whole
+    # K·dim distance expansion parses as ONE SQL string and the
+    # centroid table stages as ONE array literal (F.lit(list)) —
+    # building this tree from Column operators costs thousands of
+    # driver round trips (~10 s of pure plan wall per serving request,
+    # measured before the rewrite; ~0.3 s after). Semantics unchanged:
+    # arr[i] is the 0-based twin of element_at(arr, i+1).
+    flat = [int(v) for c in centroids for v in c]
+    staged = df.withColumn("__cb", F.lit(flat)).withColumn(
+        "__xq", _quantize_expr(vec_col)
     )
-    staged = df.withColumn("__xq", xq)
-
-    def dist(c):
-        total = None
-        for j in range(dim):
-            diff = F.element_at(F.col("__xq"), j + 1) - F.element_at(
-                flat, c * dim + j + 1
-            )
-            term = diff * diff
-            total = term if total is None else total + term
-        return total
-
+    terms = " + ".join(
+        f"(__xq[{j}] - __cb[c*{dim}+{j}]) * (__xq[{j}] - __cb[c*{dim}+{j}])"
+        for j in range(dim)
+    )
     return staged.withColumn(
-        out, F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
-    ).drop("__xq")
+        out, F.expr(f"transform(sequence(0, {k - 1}), c -> {terms})")
+    ).drop("__xq", "__cb")
 
 
 def centroid_assign(
@@ -1251,6 +1252,281 @@ def srp_hard_negatives_indexed(
         )
     )
     return _srp_negatives_rerank(p, c, dim, k)
+
+
+def _ivfpq_params(coarse_centroids, codebooks):
+    """Resolve (centroids, books-tuple) — committed artifacts by
+    default (ml/centroids.IVF_CENTROIDS, ml/pq_codebooks)."""
+    if coarse_centroids is None:
+        from ..ml.centroids import IVF_CENTROIDS
+
+        coarse_centroids = IVF_CENTROIDS
+    return coarse_centroids, codebooks
+
+
+def _artifact_fp(coarse_centroids, books) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        (repr(coarse_centroids) + "|" + repr(books)).encode()
+    ).hexdigest()
+
+
+#: per-(session, index-name) meta memo — the _srp_meta_memo discipline
+_ivfpq_meta_memo: dict = {}
+
+
+def _ivfpq_meta(spark, name: str):
+    key = (id(spark), name)
+    if key not in _ivfpq_meta_memo:
+        _ivfpq_meta_memo[key] = spark.table(f"{name}_meta").collect()[0]
+    return _ivfpq_meta_memo[key]
+
+
+def _with_routing(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
+    """Append ``routing`` — the vector's full coarse-cluster ranking
+    (distance asc, cluster asc), i.e. the order
+    :func:`ivf_route_committed` would emit — as one array column.
+    ``array_sort`` on (distance, cluster) structs reproduces the
+    row_number rule exactly; computed once at index build."""
+    k = len(centroids)
+    staged = _with_centroid_dists(df, centroids, vec_col)
+    routing = F.expr(
+        f"transform(array_sort(transform(sequence(0, {k - 1}),"
+        f" c -> struct(__cdist[c] AS d, c AS c))), s -> CAST(s.c AS INT))"
+    )
+    return staged.withColumn("routing", routing).drop("__cdist")
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_centroids: list | None = None,
+    codebooks=None,
+    name: str = "ivfpq_idx",
+    n_buckets: int = 8,
+) -> dict[str, str]:
+    """Persist the IVF+PQ serving layout (:func:`ivf_pq_topk`'s
+    storage form — the byte-compact ANN index a 10⁹-vector corpus
+    actually serves from):
+
+    - ``{name}_codes`` — ``(id, cluster, codes)`` BUCKETED and sorted
+      by ``cluster``: the ADC candidate scan reads only the routed
+      clusters' buckets, M small ints per vector instead of dim
+      doubles (the ~64× compression axis), and the cluster IN-list
+      bucket-prunes it (the sub-linear axis).
+    - ``{name}_by_id`` — ``(id, v, n, routing)`` bucketed by id:
+      probe-row lookups and the exact re-rank's point reads.
+      ``routing`` is the vector's FULL coarse-cluster ranking
+      (distance asc, cluster asc — the ivf_route_committed rule), so
+      a serving call routes by slicing the stored prefix instead of
+      re-running the K·dim distance expression and a routing job per
+      request; K is small, so the column is K ints.
+    - ``{name}_meta`` — 1 row, including an md5 fingerprint of the
+      coarse centroids + codebooks used at build time, so a serve
+      call with DIFFERENT artifacts fails loudly instead of mixing
+      incompatible code spaces.
+
+    Assignment/encode cost is paid once here; both are committed-
+    artifact integer folds (:func:`centroid_assign`,
+    :func:`pq_encode`), so rebuild == merge == in-session bit-exactly.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    spark = corpus.sparkSession
+    coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
+    enc = pq_encode(
+        assigned.select(id_col, vec_col, "cluster"),
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        keep=("cluster",),
+    )
+    by_id = _with_routing(
+        corpus.select(
+            F.col(id_col),
+            vectors.as_double_array(vec_col).alias("v"),
+            F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
+        ),
+        coarse_centroids,
+        "v",
+    ).select(id_col, "v", "n", "routing")
+    tables = {
+        "codes": f"{name}_codes",
+        "by_id": f"{name}_by_id",
+        "meta": f"{name}_meta",
+    }
+    write_bucketed(enc, tables["codes"], "cluster", n_buckets=n_buckets)
+    write_bucketed(by_id, tables["by_id"], id_col, n_buckets=n_buckets)
+    spark.createDataFrame(
+        [
+            (
+                dim,
+                id_col,
+                len(coarse_centroids),
+                m_sub,
+                k_cent,
+                _artifact_fp(coarse_centroids, books),
+            )
+        ],
+        "dim int, id_col string, n_centroids int, pq_m int, pq_k int,"
+        " artifact_fp string",
+    ).write.format("parquet").mode("overwrite").saveAsTable(tables["meta"])
+    _ivfpq_meta_memo.pop((id(spark), name), None)
+    return tables
+
+
+def merge_ivfpq_index(
+    delta: DataFrame,
+    *,
+    name: str = "ivfpq_idx",
+    vec_col: str = "embedding",
+    coarse_centroids: list | None = None,
+    codebooks=None,
+    check_new_ids: bool = True,
+) -> None:
+    """Fold NEW vectors into a persisted IVF+PQ layout — insert-only
+    incremental maintenance (the merge_srp_index discipline): every
+    stored row is a pure function of its own vector and the COMMITTED
+    artifacts (integer argmin assignment, integer argmin codes), so
+    the merge is two bucketed APPENDs and merged == rebuilt holds
+    bit-exactly. The artifact fingerprint is checked against the meta
+    row — merging with different centroids/codebooks would silently
+    mix incompatible code spaces."""
+    from .retrieval import _bucket_count
+
+    spark = delta.sparkSession
+    tables = {s: f"{name}_{s}" for s in ("codes", "by_id", "meta")}
+    for t in tables.values():
+        if not spark.catalog.tableExists(t):
+            raise RuntimeError(
+                f"merge_ivfpq_index: {t!r} missing — build_ivfpq_index first"
+            )
+    coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    meta = _ivfpq_meta(spark, name)
+    idc = meta["id_col"]
+    if _artifact_fp(coarse_centroids, books) != meta["artifact_fp"]:
+        raise ValueError(
+            "merge_ivfpq_index: centroids/codebooks differ from the "
+            "ones the index was built with — rebuild instead"
+        )
+    if check_new_ids:
+        dup = (
+            spark.table(tables["by_id"])
+            .select(idc)
+            .join(delta.select(idc), idc, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_ivfpq_index: delta contains ids already indexed — "
+                "insert-only maintenance would duplicate candidates; "
+                "dedup upstream or rebuild"
+            )
+    assigned = centroid_assign(delta, coarse_centroids, vec_col=vec_col)
+    enc = pq_encode(
+        assigned.select(idc, vec_col, "cluster"),
+        id_col=idc,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        keep=("cluster",),
+    )
+    by_id = _with_routing(
+        delta.select(
+            F.col(idc),
+            vectors.as_double_array(vec_col).alias("v"),
+            F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
+        ),
+        coarse_centroids,
+        "v",
+    ).select(idc, "v", "n", "routing")
+    for df, t, key in ((enc, "codes", "cluster"), (by_id, "by_id", idc)):
+        (
+            df.write.format("parquet")
+            .mode("append")
+            .bucketBy(_bucket_count(spark, tables[t]), key)
+            .sortBy(key)
+            .saveAsTable(tables[t])
+        )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    probe_ids: list,
+    *,
+    name: str = "ivfpq_idx",
+    coarse_centroids: list | None = None,
+    codebooks=None,
+    k: int = 3,
+    nprobe: int = 4,
+    candidates: int = 20,
+) -> DataFrame:
+    """Serve IVF+PQ ANN top-``k`` from the persisted layout
+    (:func:`build_ivfpq_index`) — identical rows to
+    :func:`ivf_pq_topk` by construction (shared :func:`_ivfpq_tail`),
+    and a BATCH form by nature: ``probe_ids`` is a list, so N probes
+    amortize one job (the ``bm25_topk_indexed_many`` discipline).
+    Per-request IO: probe rows by id (bucket-pruned), the routed
+    clusters' code buckets (cluster IN-list, bucket-pruned — the
+    driver-side collect is bounded by len(probe_ids)·nprobe, the
+    _srp_probe_rows grain), and ``candidates`` full vectors per probe
+    for the re-rank — independent of corpus size."""
+    if not probe_ids:
+        raise ValueError("ivfpq serving: probe_ids must be non-empty")
+    coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    meta = _ivfpq_meta(spark, name)
+    idc = meta["id_col"]
+    if _artifact_fp(coarse_centroids, books) != meta["artifact_fp"]:
+        raise ValueError(
+            "ivfpq_topk_indexed: centroids/codebooks differ from the "
+            "ones the index was built with"
+        )
+    # ONE bounded point-lookup job (bucket-pruned by id) fetches the
+    # probe rows INCLUDING their stored cluster ranking; everything
+    # probe-sided then builds as local literals — no per-request
+    # routing job, no repeated by_id scans, no K·dim route expression
+    # per call (measured: the three together were ~2.5 s of the
+    # previous ~5 s request wall).
+    by_id = spark.table(f"{name}_by_id")
+    rows = by_id.filter(F.col(idc).isin(list(probe_ids))).collect()
+    id_sql = by_id.schema[idc].dataType.simpleString()
+    routed_local = [
+        (r[idc], int(c)) for r in rows for c in r["routing"][:nprobe]
+    ]
+    routed = spark.createDataFrame(
+        routed_local, f"query_id {id_sql}, cluster int"
+    )
+    clusters = sorted({c for _, c in routed_local})
+    enc = spark.table(f"{name}_codes").filter(
+        F.col("cluster").isin(clusters) if clusters else F.lit(False)
+    ).select(F.col(idc).alias("neighbor_id"), "cluster", "codes")
+    pv_local = spark.createDataFrame(
+        [(r[idc], [float(x) for x in r["v"]], float(r["n"])) for r in rows],
+        f"query_id {id_sql}, qv array<double>, qn double",
+    )
+    p = _pq_probe_luts(
+        pv_local.select("query_id", _quantize_expr("qv").alias("__qx")),
+        books,
+        m_sub,
+        k_cent,
+        d,
+    )
+    c = spark.table(f"{name}_by_id").select(
+        F.col(idc).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("n").alias("nn"),
+    )
+    return _ivfpq_tail(
+        enc, routed, p, pv_local, c, dim, m_sub,
+        k=k, candidates=candidates, exclude_self=True,
+    )
 
 
 def edit_distance_pairs(

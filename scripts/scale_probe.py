@@ -939,6 +939,109 @@ def r9ops_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def r10ops_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the round-10 IVF+PQ composition (q173's
+    operator + its persisted serving layout):
+
+    - the ADC candidate scan must touch ~nprobe/K of the corpus at
+      every r (committed K=16 coarse centroids, nprobe=4 → ~25%),
+      while the linear pq_adc_topk baseline touches 100% — the
+      constant-fraction cut PQ's compression then multiplies (M bytes
+      vs dim doubles per scanned row). True sub-linear growth comes
+      from scaling n_centroids with the corpus (√n rule) — committed
+      artifacts pin K here, so the claim measured is the FRACTION,
+      not the exponent, and it must hold flat across r.
+    - indexed probe wall (ivfpq_topk_indexed, fixed 8-probe batch)
+      must track the routed cells' rows (≈ corpus/4), not the corpus,
+      and merge must stay delta-grain while rebuild tracks the corpus
+      (merged == rebuilt checked exactly at every r).
+
+    Replicas perturb one component per replica so vectors are
+    distinct (no degenerate all-tie ranks) while cell geometry stays
+    comparable.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.ml.centroids import IVF_CENTROIDS
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivfpq_topk_indexed,
+        merge_ivfpq_index,
+        pq_adc_topk,
+    )
+    from big_data_song_recommendation_spark.session import (
+        release_query_state,
+    )
+
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    for r in reps:
+        emb = (
+            replicate(emb0, r, "vec_id").withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, i) -> CASE WHEN i = 0 "
+                    f"THEN x + (vec_id % {r}) * 0.001 ELSE x END)"
+                ),
+            )
+            if r > 1
+            else emb0
+        ).localCheckpoint()
+        n = emb.count()
+        probes = emb.filter(F.col("vec_id") < 8)
+
+        t0 = time.perf_counter()
+        rows = ivf_pq_topk(
+            emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=20
+        ).collect()
+        t_ivfpq = time.perf_counter() - t0
+        scanned = {x.n_scanned for x in rows}
+        frac = max(scanned) / n
+
+        t0 = time.perf_counter()
+        pq_adc_topk(emb, probes, k=3).collect()
+        t_linear = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tables = build_ivfpq_index(emb, name="probe_r10", n_buckets=8)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = sorted(
+            tuple(x)
+            for x in ivfpq_topk_indexed(
+                spark, list(range(8)), name="probe_r10", k=3, nprobe=4
+            ).collect()
+        )
+        t_serve = time.perf_counter() - t0
+        assert got == sorted(tuple(x) for x in rows), f"x{r}: indexed != in-session"
+
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        delta = emb.filter(F.col("vec_id") % 10 == 0)
+        t2 = build_ivfpq_index(base, name="probe_r10m", n_buckets=8)
+        t0 = time.perf_counter()
+        merge_ivfpq_index(delta, name="probe_r10m", check_new_ids=False)
+        t_merge = time.perf_counter() - t0
+        merged = sorted(
+            tuple(x) for x in spark.table("probe_r10m_codes").collect()
+        )
+        rebuilt = sorted(
+            tuple(x) for x in spark.table("probe_r10_codes").collect()
+        )
+        assert merged == rebuilt, f"x{r}: merged != rebuilt"
+        for t in list(tables.values()) + list(t2.values()):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        print(
+            f"x{r}: n={n} scanned_frac={frac:.3f} ivfpq={t_ivfpq:.1f}s"
+            f" linear_adc={t_linear:.1f}s build={t_build:.1f}s"
+            f" serve8={t_serve:.2f}s merge={t_merge:.1f}s"
+            f" merged_eq=True",
+            flush=True,
+        )
+        release_query_state(spark)
+
+
 def spans_probe(spark, reps: list[int]) -> None:
     """×r scaling for exact-substring duplicate spans (q156): salted
     replicas (the r8ops trick — a per-replica token interleaved
@@ -1146,6 +1249,10 @@ def main() -> None:
         return
     if mode == "r9ops":
         r9ops_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r10ops":
+        r10ops_probe(spark, reps)
         spark.stop()
         return
     if mode == "admission":

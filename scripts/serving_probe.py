@@ -236,8 +236,57 @@ def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
 
         report["srp_in_session"] = _timed(srp_in_session, id_reqs)
         report["srp_indexed"] = _timed(srp_indexed, id_reqs)
+
+        # batch form (round 10): N probes amortize ONE job — the
+        # bm25_topk_indexed_many discipline measured on the vector side
+        batch_ids = [(7 * i) % n_vec for i in range(20)]
+        srp_knn_indexed(spark, batch_ids, name="probe_srp", k=3).collect()
+        t0 = time.perf_counter()
+        srp_knn_indexed(spark, batch_ids, name="probe_srp", k=3).collect()
+        wall = (time.perf_counter() - t0) * 1000
+        report["srp_indexed_batch"] = {
+            "n_queries": len(batch_ids),
+            "batch_ms": round(wall, 1),
+            "per_query_ms": round(wall / len(batch_ids), 1),
+        }
     finally:
         for t in srp_tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # ---- IVF+PQ: persisted compressed ANN layout (round 10) --------
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    t0 = time.perf_counter()
+    pq_tables = build_ivfpq_index(emb_raw, name="probe_ivfpq", n_buckets=8)
+    report["ivfpq_index_build_s"] = round(time.perf_counter() - t0, 2)
+    try:
+        id_reqs = [[(11 * i) % n_vec] for i in range(n_req)]
+
+        def ivfpq_indexed(ids):
+            ivfpq_topk_indexed(
+                spark, ids, name="probe_ivfpq", k=3, nprobe=4
+            ).collect()
+
+        report["ivfpq_indexed"] = _timed(ivfpq_indexed, id_reqs)
+        batch_ids = [(11 * i) % n_vec for i in range(20)]
+        ivfpq_topk_indexed(
+            spark, batch_ids, name="probe_ivfpq", k=3, nprobe=4
+        ).collect()
+        t0 = time.perf_counter()
+        ivfpq_topk_indexed(
+            spark, batch_ids, name="probe_ivfpq", k=3, nprobe=4
+        ).collect()
+        wall = (time.perf_counter() - t0) * 1000
+        report["ivfpq_indexed_batch"] = {
+            "n_queries": len(batch_ids),
+            "batch_ms": round(wall, 1),
+            "per_query_ms": round(wall / len(batch_ids), 1),
+        }
+    finally:
+        for t in pq_tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     # ---- near-dup admission: persisted MinHash band index ----------

@@ -170,3 +170,121 @@ def test_ivf_pq_small_nprobe_is_sublinear(spark):
     got = ivf_pq_topk(emb, probes, IVF_CENTROIDS, k=3, nprobe=2).collect()
     assert len(got) > 0
     assert all(r.n_scanned < n for r in got)
+
+
+# -- persisted IVF+PQ serving layout (round 10) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark):
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    tables = build_ivfpq_index(emb, name="t_ivfpq", n_buckets=4)
+    yield emb, tables
+    for t in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_indexed_matches_in_session(spark, ivfpq_index):
+    """Indexed serving returns IDENTICAL rows to ivf_pq_topk (shared
+    _ivfpq_tail) — and serves a BATCH of probes in one job."""
+    from big_data_song_recommendation_spark.ml.centroids import IVF_CENTROIDS
+    from big_data_song_recommendation_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivfpq_topk_indexed,
+    )
+
+    emb, _ = ivfpq_index
+    ids = [0, 1, 2, 3, 4, 5, 6, 7]
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_topk_indexed(
+            spark, ids, name="t_ivfpq", k=3, nprobe=4, candidates=20
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 8),
+            IVF_CENTROIDS,
+            k=3,
+            nprobe=4,
+            candidates=20,
+        ).collect()
+    )
+    assert got == want and len(got) == 24
+
+
+def test_ivfpq_codes_read_prunes_buckets(spark, ivfpq_index):
+    import re as _re
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+    )
+
+    df = ivfpq_topk_indexed(spark, [0], name="t_ivfpq", nprobe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    matches = _re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert matches, "codes read is not bucket-pruned"
+    assert any(int(a) < int(b) for a, b in matches)
+
+
+def test_ivfpq_merge_equals_rebuild_and_failure_modes(spark, ivfpq_index):
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        merge_ivfpq_index,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    t1 = build_ivfpq_index(base, name="t_ivfpq_m", n_buckets=4)
+    try:
+        merge_ivfpq_index(delta, name="t_ivfpq_m")
+        for s in ("codes", "by_id"):
+            merged = sorted(
+                tuple(r) for r in spark.table(f"t_ivfpq_m_{s}").collect()
+            )
+            full = sorted(
+                tuple(r) for r in (
+                    spark.table(f"t_ivfpq_{s}")
+                ).collect()
+            )
+            assert merged == full, s
+        ids = [0, 5, 10]
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_topk_indexed(spark, ids, name="t_ivfpq_m").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ivfpq_topk_indexed(spark, ids, name="t_ivfpq").collect()
+        )
+        assert got == want
+        # re-ingesting an indexed id is refused
+        with pytest.raises(ValueError, match="already indexed"):
+            merge_ivfpq_index(delta, name="t_ivfpq_m")
+        # mixing artifact spaces is refused
+        books = [[0, 0, 1_000_000, 1_000_000], [0, 0, 500_000, 500_000]]
+        with pytest.raises(ValueError, match="differ from"):
+            merge_ivfpq_index(
+                spark.createDataFrame(
+                    [(999901, [0.1] * 64)],
+                    "vec_id long, embedding array<double>",
+                ),
+                name="t_ivfpq_m",
+                codebooks=None,
+                coarse_centroids=[[0] * 64, [1_000_000] * 64],
+            )
+    finally:
+        for t in t1.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
