@@ -199,62 +199,59 @@ def pq_encode(
     """
     books, m_sub, k_cent, dim, d = _pq_params(codebooks)
     _pq_check_dim(df, vec_col, dim, "input")
-    staged = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep],
-        _quantize_expr(vec_col).alias("__xq"),
-    )
-    # distance arrays staged as real projections (lambda-bearing
-    # expressions skip codegen CSE — the c4_line_filter plan note);
-    # each subspace's K·d expansion parses as ONE SQL string over a
-    # staged codebook literal (the plan-construction discipline)
+    staged = df.select(F.col(id_col), *[F.col(c) for c in keep], F.col(vec_col))
+    # all M codes inside ONE xq binding (the _bind_xq shape): each
+    # subspace's distance array binds as dm so the argmin reads it
+    # once; codebooks stage as array literals (inlining-free)
     for m in range(m_sub):
-        terms = " + ".join(
-            f"(__xq[{m * d + j}] - __cbm[c*{d}+{j}])"
-            f" * (__xq[{m * d + j}] - __cbm[c*{d}+{j}])"
-            for j in range(d)
-        )
         staged = staged.withColumn(
-            "__cbm", F.lit([int(v) for v in books[m]])
-        ).withColumn(
-            f"__d{m}",
-            F.expr(f"transform(sequence(0, {k_cent - 1}), c -> {terms})"),
+            f"__cb{m}", F.lit([int(v) for v in books[m]])
         )
-    codes = F.expr(
-        "array("
-        + ", ".join(
-            f"CAST(array_position(__d{m}, array_min(__d{m})) - 1 AS INT)"
-            for m in range(m_sub)
+    code_exprs = []
+    for m in range(m_sub):
+        dists = (
+            f"transform(sequence(0, {k_cent - 1}), c -> "
+            f"aggregate(sequence(0, {d - 1}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + (xq[{m * d}+j] - __cb{m}[c*{d}+j]) "
+            f"* (xq[{m * d}+j] - __cb{m}[c*{d}+j])))"
         )
-        + ")"
-    )
+        code_exprs.append(
+            f"transform(array({dists}), dm -> "
+            f"CAST(array_position(dm, array_min(dm)) - 1 AS INT))[0]"
+        )
+    codes = _bind_xq("array(" + ", ".join(code_exprs) + ")", vec_col)
     return staged.select(id_col, *keep, codes.alias(out_col))
 
 
-def _pq_probe_luts(p: DataFrame, books, m_sub: int, k_cent: int, d: int) -> DataFrame:
-    """Stage each probe's M asymmetric-distance lookup tables —
-    ``__lut{m}[c] = ⟨probe subvector m, centroid c⟩`` in micro² int64
-    (a per-PROBE O(M·K·d) projection). ``p`` must carry ``__qx``
-    (micro-quantized probe vector). Shared by :func:`pq_adc_topk`,
-    :func:`ivf_pq_topk`, and :func:`ivfpq_topk_indexed`. Each LUT
-    parses as one SQL string over a staged codebook array literal
-    (the plan-construction discipline — see _with_centroid_dists)."""
+def _pq_probe_luts(
+    p: DataFrame, vec_col: str, books, m_sub: int, k_cent: int, d: int
+) -> DataFrame:
+    """Stage each probe's M asymmetric-distance lookup tables as ONE
+    ``__luts`` column (array of M arrays): ``__luts[m][c] = ⟨probe
+    subvector m, centroid c⟩`` in micro² int64 — a per-PROBE
+    O(M·K·d) projection in the xq-bound small-tree form
+    (:func:`_bind_xq`), materialized at the broadcast exchange before
+    any pair joins read it. Shared by :func:`pq_adc_topk`,
+    :func:`ivf_pq_topk`, and :func:`ivfpq_topk_indexed`."""
     for m in range(m_sub):
-        terms = " + ".join(
-            f"__qx[{m * d + j}] * __cbm[c*{d}+{j}]" for j in range(d)
-        )
-        p = p.withColumn("__cbm", F.lit([int(v) for v in books[m]])).withColumn(
-            f"__lut{m}",
-            F.expr(f"transform(sequence(0, {k_cent - 1}), c -> {terms})"),
-        )
-    return p.drop("__cbm", "__qx")
+        p = p.withColumn(f"__cb{m}", F.lit([int(v) for v in books[m]]))
+    luts = ", ".join(
+        f"transform(sequence(0, {k_cent - 1}), c -> "
+        f"aggregate(sequence(0, {d - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + xq[{m * d}+j] * __cb{m}[c*{d}+j]))"
+        for m in range(m_sub)
+    )
+    return p.withColumn(
+        "__luts", _bind_xq(f"array({luts})", vec_col)
+    ).drop(vec_col, *[f"__cb{m}" for m in range(m_sub)])
 
 
 def _pq_adc_score(m_sub: int):
     """The per-PAIR ADC score: M table lookups summed (exact int64),
-    no higher-order fold on the pair path — one parsed expression."""
+    no higher-order fold on the pair path — one parsed expression over
+    the exchange-materialized ``__luts``."""
     return F.expr(
-        " + ".join(f"__lut{m}[codes[{m}]]" for m in range(m_sub))
+        " + ".join(f"__luts[{m}][codes[{m}]]" for m in range(m_sub))
     )
 
 
@@ -285,9 +282,9 @@ def pq_adc_topk(
         corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks
     ).select(F.col(id_col).alias("neighbor_id"), "codes")
     p = probes.select(
-        F.col(id_col).alias("query_id"), _quantize_expr(vec_col).alias("__qx")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    p = _pq_probe_luts(p, books, m_sub, k_cent, d)
+    p = _pq_probe_luts(p, "__qv", books, m_sub, k_cent, d)
     score = _pq_adc_score(m_sub)
     cond = (
         F.col("neighbor_id") != F.col("query_id")
@@ -419,9 +416,9 @@ def ivf_pq_topk(
     ).select("query_id", "cluster")
     p = _pq_probe_luts(
         probes.select(
-            F.col(id_col).alias("query_id"),
-            _quantize_expr(vec_col).alias("__qx"),
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         ),
+        "__qv",
         books,
         m_sub,
         k_cent,
@@ -569,27 +566,41 @@ def ivf_index(
     return centroids_df, assigned.drop("__features", "__hashes")
 
 
-def _quantize_expr(vec_col: str):
-    """Micro-unit int64 quantization of a vector column as ONE parsed
-    SQL expression (round half-up then truncate-cast — identical to
-    ``F.round(x · 10⁶).cast("long")`` and to the oracles' idiom)."""
+def _quantize_sql(vec_col: str) -> str:
+    """SQL for the micro-quantized int64 vector (round half-up then
+    truncate-cast — identical to ``F.round(x·10⁶).cast("long")`` and
+    the oracles' idiom)."""
     name = vectors._sql_name(vec_col)
-    return F.expr(
+    return (
         f"transform(CAST({name} AS ARRAY<DOUBLE>), "
         f"x -> CAST(round(x * {SRP_FIXED_POINT}) AS BIGINT))"
     )
 
 
+def _bind_xq(inner_sql: str, vec_col: str):
+    """Evaluate the quantized vector ONCE per row and bind it as the
+    lambda variable ``xq`` inside ``inner_sql`` — the expression-shape
+    discipline these committed-artifact folds converged on after
+    measuring the two failure modes: (a) a STAGED quantize column gets
+    re-inlined per reference by CollapseProject and re-evaluated
+    interpreted (~5 ms/row at K=16·dim=64); (b) fully UNROLLED plain
+    arithmetic stays in codegen but the ~6k-node methods cost ~10 s of
+    janino compilation per stage. A small higher-order tree with xq
+    lambda-bound evaluates each op once, parses in one py4j call, and
+    compiles instantly — ~0.1-0.3 ms/row interpreted, no fixed cost."""
+    return F.expr(f"transform(array({_quantize_sql(vec_col)}), xq -> {inner_sql})[0]")
+
+
 def _with_centroid_dists(
     df: DataFrame, centroids: list, vec_col: str, out: str = "__cdist"
 ) -> DataFrame:
-    """Stage an ``array<long>`` of exact integer squared distances from
-    the micro-quantized vector to EVERY committed centroid — the
-    pq_encode distance staging generalized to full-dimension centroid
-    tables. Components quantize to micro units first so the distances
+    """Stage an ``array<long>`` of exact integer squared distances
+    from the micro-quantized vector to EVERY committed centroid.
+    Components quantize to micro units first so the distances
     (≤ dim · (few·10⁶)² ≈ 10¹⁵) stay in int64 and every engine agrees
-    bit-for-bit; the K·dim term expansion is one codegen projection,
-    no Python, no shuffle."""
+    bit-for-bit; the expression is the xq-bound small-tree form (see
+    :func:`_bind_xq`) over a staged centroid array literal — literal
+    inlining is free, so CollapseProject cannot make it quadratic."""
     k = len(centroids)
     dim = len(centroids[0])
     if vectors.infer_dim(df, vec_col) != dim:
@@ -597,24 +608,18 @@ def _with_centroid_dists(
             f"centroid_assign: vectors are dim {vectors.infer_dim(df, vec_col)}, "
             f"centroids expect {dim}"
         )
-    # plan-construction discipline (the dot_expanded note): the whole
-    # K·dim distance expansion parses as ONE SQL string and the
-    # centroid table stages as ONE array literal (F.lit(list)) —
-    # building this tree from Column operators costs thousands of
-    # driver round trips (~10 s of pure plan wall per serving request,
-    # measured before the rewrite; ~0.3 s after). Semantics unchanged:
-    # arr[i] is the 0-based twin of element_at(arr, i+1).
     flat = [int(v) for c in centroids for v in c]
-    staged = df.withColumn("__cb", F.lit(flat)).withColumn(
-        "__xq", _quantize_expr(vec_col)
+    inner = (
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + (xq[j] - __cb[c*{dim}+j]) "
+        f"* (xq[j] - __cb[c*{dim}+j])))"
     )
-    terms = " + ".join(
-        f"(__xq[{j}] - __cb[c*{dim}+{j}]) * (__xq[{j}] - __cb[c*{dim}+{j}])"
-        for j in range(dim)
+    return (
+        df.withColumn("__cb", F.lit(flat))
+        .withColumn(out, _bind_xq(inner, vec_col))
+        .drop("__cb")
     )
-    return staged.withColumn(
-        out, F.expr(f"transform(sequence(0, {k - 1}), c -> {terms})")
-    ).drop("__xq", "__cb")
 
 
 def centroid_assign(
@@ -1512,7 +1517,8 @@ def ivfpq_topk_indexed(
         f"query_id {id_sql}, qv array<double>, qn double",
     )
     p = _pq_probe_luts(
-        pv_local.select("query_id", _quantize_expr("qv").alias("__qx")),
+        pv_local.select("query_id", F.col("qv").alias("__qv")),
+        "__qv",
         books,
         m_sub,
         k_cent,

@@ -1196,7 +1196,7 @@ def main() -> None:
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
         "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops", "spans", "r9ops",
-        "admission",
+        "admission", "r10ops",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
