@@ -218,7 +218,7 @@ def main() -> None:
         # compare only the matched set: exclude queries with no DuckDB
         # twin (derived from the registries, not a hardcoded list —
         # round 10 shrank the no-oracle tail to q42 + q139)
-        from big_data_song_recommendation_spark.plans import ORACLES, QUERIES
+        from big_data_song_recommendation_spark.plans import ORACLES
 
         no_twin = {k.split("_")[0] for k in QUERIES} - {
             k.split("_")[0] for k in ORACLES

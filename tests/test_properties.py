@@ -483,7 +483,13 @@ def test_line_dedup_matches_python_reference(spark, lines):
     ).collect()[0]
     seen, want = set(), []
     for ln in text.split("\n"):
-        key = ln.strip().lower()
+        # strip(' ') — SPACES ONLY, matching the operator's documented
+        # key lower(trim(line)) (SQL trim in Spark AND DuckDB removes
+        # only ' '; Python's bare .strip() also eats \r/\t, which
+        # hypothesis eventually caught with lines=['', '\r']). CRLF
+        # ownership: control-char normalization belongs to the
+        # extraction/mojibake stages upstream, not the line key.
+        key = ln.strip(" ").lower()
         if key not in seen:
             seen.add(key)
             want.append(ln)
