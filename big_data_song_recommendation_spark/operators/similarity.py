@@ -437,6 +437,179 @@ def ivf_pq_topk(
     )
 
 
+def _route_with_offsets(
+    probes: DataFrame,
+    centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """:func:`ivf_route_committed` plus the per-cell score offset:
+    (query_id, cluster, __qc) where ``__qc = ⟨q, c_L⟩`` in micro² int64
+    — the constant term of the residual-ADC decomposition
+    ``⟨q, x⟩ = ⟨q, c_L⟩ + ⟨q, r⟩``. Distances (for the routing order)
+    and dots (for the offsets) compute in ONE xq binding per probe."""
+    k = len(centroids)
+    dim = len(centroids[0])
+    if vectors.infer_dim(probes, vec_col) != dim:
+        raise ValueError(
+            f"route: vectors are dim {vectors.infer_dim(probes, vec_col)}, "
+            f"centroids expect {dim}"
+        )
+    flat = [int(v) for c in centroids for v in c]
+    inner = (
+        f"transform(sequence(0, {k - 1}), c -> struct("
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + (xq[j] - __cb[c*{dim}+j]) "
+        f"* (xq[j] - __cb[c*{dim}+j])) AS d, "
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + xq[j] * __cb[c*{dim}+j]) AS qc))"
+    )
+    staged = (
+        probes.withColumn("__cb", F.lit(flat))
+        .withColumn("__dc", _bind_xq(inner, vec_col))
+        .drop("__cb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__d"), F.asc("cluster")
+    )
+    return (
+        staged.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode("__dc").alias("cluster", "__s"),
+        )
+        .select(
+            "query_id",
+            "cluster",
+            F.col("__s.d").alias("__d"),
+            F.col("__s.qc").alias("__qc"),
+        )
+        .withColumn("__crnk", F.row_number().over(w))
+        .filter(F.col("__crnk") <= nprobe)
+        .select("query_id", "cluster", "__qc")
+    )
+
+
+def _rpq_params(rcodebooks):
+    if rcodebooks is None:
+        from ..ml import pq_residual_codebooks as rcb
+
+        rcodebooks = (rcb.RPQ_CODEBOOKS, rcb.RPQ_DIM)
+    return _pq_params(rcodebooks)
+
+
+def pq_residual_encode(
+    assigned: DataFrame,
+    coarse_centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    rcodebooks=None,
+    out_col: str = "codes",
+) -> DataFrame:
+    """RESIDUAL product-quantization encode (IVFADC, Jégou et al.
+    2011 §IV): each vector's residual against its assigned coarse
+    centroid — an exact integer subtraction inside the xq binding —
+    is what the per-subspace argmin quantizes, against the committed
+    residual codebooks (ml/pq_residual_codebooks.py). Residuals
+    concentrate near zero, so the same M·K budget loses less per code
+    than raw-vector PQ (q175 measures the recall delta). Same
+    expression shape and tie rules as :func:`pq_encode`."""
+    books, m_sub, k_cent, dim, d = _rpq_params(rcodebooks)
+    _pq_check_dim(assigned, vec_col, dim, "input")
+    if len(coarse_centroids[0]) != dim:
+        raise ValueError("residual encode: coarse centroid dim mismatch")
+    staged = assigned.select(
+        F.col(id_col), F.col(cluster_col), F.col(vec_col)
+    ).withColumn(
+        "__cbf", F.lit([int(v) for c in coarse_centroids for v in c])
+    )
+    for m in range(m_sub):
+        staged = staged.withColumn(
+            f"__cb{m}", F.lit([int(v) for v in books[m]])
+        )
+    code_exprs = []
+    for m in range(m_sub):
+        res_j = (
+            f"(xq[{m * d}+j] - __cbf[{cluster_col}*{dim} + {m * d}+j])"
+        )
+        dists = (
+            f"transform(sequence(0, {k_cent - 1}), c -> "
+            f"aggregate(sequence(0, {d - 1}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + ({res_j} - __cb{m}[c*{d}+j]) "
+            f"* ({res_j} - __cb{m}[c*{d}+j])))"
+        )
+        code_exprs.append(
+            f"transform(array({dists}), dm -> "
+            f"CAST(array_position(dm, array_min(dm)) - 1 AS INT))[0]"
+        )
+    codes = _bind_xq("array(" + ", ".join(code_exprs) + ")", vec_col)
+    return staged.select(
+        id_col, cluster_col, codes.alias(out_col)
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    coarse_centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+    candidates: int = 20,
+    rcodebooks=None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF+PQ with RESIDUAL codes — the full IVFADC layout: corpus
+    vectors store residual codes per cell, probes route with per-cell
+    offsets, and the candidate score is
+    ``⟨q, c_L⟩ + Σₘ LUT[m][code_m]`` where the LUTs are the raw
+    probe's inner products against the RESIDUAL codebooks — the exact
+    decomposition ``⟨q, x⟩ = ⟨q, c_L⟩ + ⟨q, r⟩`` with ``r`` replaced
+    by its quantization. Everything integer micro² and committed, so
+    q175's twin replays it; shares :func:`_ivfpq_tail` (candidate
+    window, exact-cosine re-rank, n_scanned) with the raw-PQ form —
+    the recall comparison is apples to apples."""
+    books, m_sub, k_cent, dim, d = _rpq_params(rcodebooks)
+    _pq_check_dim(probes, vec_col, dim, "probe")
+    assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
+    enc = pq_residual_encode(
+        assigned,
+        coarse_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        rcodebooks=rcodebooks,
+    ).select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+    routed = _route_with_offsets(
+        probes, coarse_centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    p = _pq_probe_luts(
+        probes.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        "__qv",
+        books,
+        m_sub,
+        k_cent,
+        d,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
+    pv = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
+    return _ivfpq_tail(
+        enc, routed, p, pv, c, dim, m_sub,
+        k=k, candidates=candidates, exclude_self=exclude_self,
+        adc_offset_col="__qc",
+    )
+
+
 def _ivfpq_tail(
     enc: DataFrame,
     routed: DataFrame,
@@ -449,6 +622,7 @@ def _ivfpq_tail(
     k: int,
     candidates: int,
     exclude_self: bool,
+    adc_offset_col: str | None = None,
 ) -> DataFrame:
     """Shared ADC-scan + exact-rerank tail of :func:`ivf_pq_topk` and
     :func:`ivfpq_topk_indexed` — one implementation, so the persisted
@@ -469,7 +643,12 @@ def _ivfpq_tail(
         enc.join(F.broadcast(routed), "cluster")
         .filter(cond)
         .join(F.broadcast(p), "query_id")
-        .withColumn("__adc", _pq_adc_score(m_sub))
+        .withColumn(
+            "__adc",
+            _pq_adc_score(m_sub) + F.col(adc_offset_col)
+            if adc_offset_col
+            else _pq_adc_score(m_sub),
+        )
         .withColumn("n_scanned", F.count("*").over(w_all))
         .withColumn("__ark", F.row_number().over(w_adc))
         .filter(F.col("__ark") <= candidates)

@@ -1685,7 +1685,163 @@ def _lm_buckets_sql() -> str:
     """
 
 
+
+
+def _residual_pq_sql() -> str:
+    """q175 twin: raw-PQ vs residual-PQ recall under identical IVF
+    routing, both paths replayed in uniform component-row relational
+    form — the coarse assignment/routing CTEs are shared with
+    q41/q47/q173, each codebook is a long-form VALUES table
+    (m, centroid, component, value), codes are per-(vec, subspace)
+    integer argmins, and the residual score adds the routed cell's
+    ⟨q, c_L⟩ offset. Every quantity is exact int64; ranking ties break
+    on the neighbor id; the re-rank is the q16 cosine idiom."""
+    from ..ml.centroids import IVF_CENTROIDS
+    from ..ml.pq_codebooks import PQ_CODEBOOKS, PQ_DIM, PQ_M
+    from ..ml.pq_residual_codebooks import RPQ_CODEBOOKS
+
+    d = PQ_DIM // PQ_M
+
+    def book_values(books):
+        return ", ".join(
+            f"({m},{c},{jj},{books[m][c * d + jj]})"
+            for m in range(PQ_M)
+            for c in range(len(books[m]) // d)
+            for jj in range(d)
+        )
+
+    def code_ctes(tag: str, src: str) -> str:
+        """codes for every corpus vector from component rows ``src``
+        (vec_id, j, comp) against VALUES table ``{tag}pq``."""
+        return f"""
+        {tag}dist AS (
+            SELECT s.vec_id, rp.m, rp.c,
+                   SUM((s.comp - rp.v) * (s.comp - rp.v)) AS dd
+            FROM {src} s
+            JOIN {tag}pq rp ON rp.m = s.j // {d} AND rp.jj = s.j % {d}
+            GROUP BY 1, 2, 3
+        ),
+        {tag}code AS (
+            SELECT vec_id, m, c AS code FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY dd ASC, c ASC) AS rn
+                FROM {tag}dist
+            ) WHERE rn = 1
+        ),
+        {tag}lut AS (
+            SELECT p.vec_id AS query_id, rp.m, rp.c,
+                   SUM(p.xq * rp.v) AS lut
+            FROM elx p
+            JOIN {tag}pq rp ON rp.m = p.j // {d} AND rp.jj = p.j % {d}
+            WHERE p.vec_id < 8
+            GROUP BY 1, 2, 3
+        )"""
+
+    def rerank(tag: str, score_expr: str, extra_group: str) -> str:
+        return f"""
+        {tag}score AS (
+            SELECT cc.query_id, cc.neighbor_id,
+                   {score_expr} AS score
+            FROM cellcand cc
+            JOIN {tag}code rc ON rc.vec_id = cc.neighbor_id
+            JOIN {tag}lut l ON l.query_id = cc.query_id
+                 AND l.m = rc.m AND l.c = rc.code
+            GROUP BY cc.query_id, cc.neighbor_id{extra_group}
+        ),
+        {tag}cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM {tag}score
+            ) WHERE rn <= 5
+        ),
+        {tag}top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pv.v, cv.v), 6) DESC,
+                                    c.neighbor_id ASC) AS rrk
+                FROM {tag}cand c
+                JOIN vecs pv ON pv.vec_id = c.query_id
+                JOIN vecs cv ON cv.vec_id = c.neighbor_id
+            ) WHERE rrk <= 3
+        ),
+        {tag}hits AS (
+            SELECT e.query_id, COUNT(t.neighbor_id) AS n_hits
+            FROM exact e LEFT JOIN {tag}top t
+              ON e.query_id = t.query_id
+                 AND e.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        )"""
+
+    return f"""
+        WITH {_centroid_assign_ctes(IVF_CENTROIDS)},
+        cdq AS (
+            SELECT e.vec_id, c.c,
+                   SUM((e.xq - c.cv) * (e.xq - c.cv)) AS dd,
+                   SUM(e.xq * c.cv) AS qc
+            FROM elx e JOIN cents c ON c.j = e.j
+            WHERE e.vec_id < 8
+            GROUP BY 1, 2
+        ),
+        route AS (
+            SELECT vec_id AS query_id, c AS cluster, qc FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY dd ASC, c ASC) AS rn
+                FROM cdq
+            ) WHERE rn <= 4
+        ),
+        cellcand AS (
+            SELECT r.query_id, a.vec_id AS neighbor_id, r.qc
+            FROM route r JOIN assign a ON a.cluster = r.cluster
+            WHERE a.vec_id <> r.query_id
+        ),
+        rawpq AS (SELECT * FROM (VALUES {book_values(PQ_CODEBOOKS)})
+                  AS t(m, c, jj, v)),
+        respq AS (SELECT * FROM (VALUES {book_values(RPQ_CODEBOOKS)})
+                  AS t(m, c, jj, v)),
+        rawcomp AS (SELECT vec_id, j, xq AS comp FROM elx),
+        rescomp AS (
+            SELECT e.vec_id, e.j, e.xq - c.cv AS comp
+            FROM elx e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN cents c ON c.c = a.cluster AND c.j = e.j
+        ),
+        {code_ctes("raw", "rawcomp").lstrip()},
+        {code_ctes("res", "rescomp").lstrip()},
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT pp.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY pp.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        pp.v, cc.v), 6) DESC,
+                                    cc.vec_id ASC) AS rnk
+                FROM vecs pp JOIN vecs cc ON cc.vec_id <> pp.vec_id
+                WHERE pp.vec_id < 8
+            ) WHERE rnk <= 3
+        ),
+        {rerank("raw", "SUM(l.lut)", "").lstrip()},
+        {rerank("res", "cc.qc + SUM(l.lut)", ", cc.qc").lstrip()}
+        SELECT hr.query_id,
+               hr.n_hits AS n_hits_raw,
+               hs.n_hits AS n_hits_res,
+               SUM(hs.n_hits) OVER () >= SUM(hr.n_hits) OVER ()
+                   AS gate_residual_total_no_worse
+        FROM rawhits hr JOIN reshits hs ON hs.query_id = hr.query_id
+        ORDER BY hr.query_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    # round-10: residual vs raw PQ recall under IVF routing (IVFADC)
+    "q175_residual_pq_recall": _residual_pq_sql(),
+
     # round-10: committed trigram LM perplexity buckets (VERDICT r9 #4)
     "q174_lm_perplexity": _lm_buckets_sql(),
 

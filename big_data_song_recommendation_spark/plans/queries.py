@@ -5559,7 +5559,63 @@ def q174_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores(docs).transform(_ordered, "doc_id")
 
 
+def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual vs raw product quantization under identical IVF
+    routing (the IVFADC refinement q173's docstring flags as the
+    documented trade): both paths route probes to the same 4 cells
+    and re-rank the same number of ADC survivors (candidates=5 — small
+    enough that the re-rank cannot mask candidate quality), differing
+    ONLY in what the codes quantize — raw vectors (ml/pq_codebooks)
+    vs residuals against the assigned coarse centroid
+    (ml/pq_residual_codebooks; score = ⟨q,c_L⟩ + Σ LUT[m][code_m]).
+    Emits per-probe hits@3 vs brute-force truth for both, plus the
+    corpus-level no-worse gate (measured: residual lifts 4/24 → 8/24
+    at sf0.01). Twin replays both integer paths from the same
+    committed literals."""
+    from pyspark.sql import Window as W
+
+    from ..ml.centroids import IVF_CENTROIDS
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_knn(emb, probes, k=3).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(approx, name):
+        return (
+            exact.join(
+                approx.select("query_id", "neighbor_id").withColumn(
+                    "__h", F.lit(1)
+                ),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("__h").alias(name))
+        )
+
+    raw = similarity.ivf_pq_topk(
+        emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=5
+    )
+    res = similarity.ivf_pq_residual_topk(
+        emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=5
+    )
+    both = hits(raw, "n_hits_raw").join(hits(res, "n_hits_res"), "query_id")
+    w_all = W.partitionBy()
+    return (
+        both.withColumn(
+            "gate_residual_total_no_worse",
+            F.sum("n_hits_res").over(w_all)
+            >= F.sum("n_hits_raw").over(w_all),
+        )
+        .transform(_ordered, "query_id")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q175_residual_pq_recall": q175_residual_pq_recall,
     "q174_lm_perplexity": q174_lm_perplexity,
     "q173_ivf_pq_search": q173_ivf_pq_search,
     "q172_admission_two_tier": q172_admission_two_tier,
