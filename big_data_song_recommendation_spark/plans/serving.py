@@ -119,6 +119,42 @@ def collaborative(
     ).orderBy("user_id", "rnk")
 
 
+def collaborative_committed(
+    spark,
+    users: DataFrame,
+    display: DataFrame,
+    *,
+    n: int = 10,
+) -> DataFrame:
+    """The collaborative endpoint served from the COMMITTED factor
+    matrices (round 10, ml/als_factors.py) — no fitted model object in
+    the serving process at all: the nightly trainer commits factors,
+    every replica serves exact integer dot-product top-n from the
+    literals (ml/recommend.recommend_top_n_committed) plus the display
+    join. Same output contract as :func:`collaborative`; scores are
+    the micro² integers rescaled to the model's float scale at 4 dp.
+    This is the q40 serving surface with display enrichment — the
+    deployment shape where model artifacts, not model OBJECTS, cross
+    the trainer/server boundary."""
+    from ..ml.recommend import recommend_top_n_committed
+
+    recs = recommend_top_n_committed(spark, users, n).withColumnRenamed(
+        "item_id", "track_id"
+    )
+    out = with_display(recs, display)
+    return out.select(
+        "user_id",
+        "track_id",
+        "track_name",
+        "artist_name",
+        "url",
+        F.round(F.col("score_micro2") / F.lit(1_000_000_000_000.0), 4).alias(
+            "score"
+        ),
+        "rnk",
+    ).orderBy("user_id", "rnk")
+
+
 def content(
     tracks: DataFrame,
     seed_track_id: str,

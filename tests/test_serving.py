@@ -148,3 +148,35 @@ def test_batch_endpoints_over_lake(spark, tmp_path):
     feat = serving.featured_items(spark, str(tmp_path / "lake"), n=2).collect()
     assert len(feat) == 2
     assert feat[0]["max_rating"] >= feat[1]["max_rating"]
+
+
+def test_collaborative_committed_serves_without_model(spark, domain):
+    """Round 10: the collaborative endpoint served from the committed
+    factor matrices — no fitted model object; parity with the q40
+    scoring surface (same user set → same (item, rnk) pairs), display
+    contract intact, cold users absent."""
+    from big_data_song_recommendation_spark.ml.als_factors import (
+        ALS_USER_FACTORS,
+    )
+    from big_data_song_recommendation_spark.ml.recommend import (
+        recommend_top_n_committed,
+    )
+
+    uid = ALS_USER_FACTORS[0][0]
+    users = spark.createDataFrame([(uid,), (999_999,)], ["user_id"])
+    # display keyed in the committed item-id space (ints); unmatched
+    # items take the deterministic synthetic fallback
+    display = spark.createDataFrame(
+        [(0, "Zero Song", "Zero Artist")],
+        "track_id int, track_name string, artist_name string",
+    )
+    out = serving.collaborative_committed(spark, users, display, n=5).collect()
+    assert {r["user_id"] for r in out} == {uid}  # cold user dropped
+    raw = recommend_top_n_committed(spark, users, 5).collect()
+    assert [(r["track_id"], r["rnk"]) for r in out] == [
+        (r["item_id"], r["rnk"]) for r in sorted(raw, key=lambda x: x["rnk"])
+    ]
+    for r in out:
+        assert r["track_name"] is not None and r["url"].startswith(
+            "https://open.spotify.com/track/"
+        )
