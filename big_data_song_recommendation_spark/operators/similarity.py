@@ -1250,6 +1250,7 @@ def merge_srp_index(
     vec_col: str = "embedding",
     label_col: str | None = None,
     check_new_ids: bool = True,
+    idempotent: bool = False,
 ) -> None:
     """Fold a batch of NEW vectors into a persisted SRP serving layout
     (:func:`build_srp_index`) — insert-only incremental maintenance,
@@ -1270,8 +1271,12 @@ def merge_srp_index(
     Insert-only: a re-ingested id would come back twice from the
     candidate read, so delta ids are anti-checked against
     ``{name}_by_id`` by default; pass ``check_new_ids=False`` when an
-    upstream dedup store owns that invariant. Updates/deletes have no
-    retraction story in this layout — rebuild the affected vectors.
+    upstream dedup store owns that invariant, or ``idempotent=True``
+    to anti-join already-indexed ids OUT of the delta instead of
+    raising — the crash-replay reconcile mode (the
+    merge_minhash_index discipline; see CurationSink._guarded_merge).
+    Updates/deletes have no retraction story in this layout — rebuild
+    the affected vectors.
     """
     from .retrieval import _bucket_count
 
@@ -1298,7 +1303,13 @@ def merge_srp_index(
             "merge_srp_index: label_col must match the built index "
             f"(has_label={bool(meta['has_label'])})"
         )
-    if check_new_ids:
+    if idempotent:
+        delta = delta.join(
+            spark.table(tables["by_id"]).select(idc), idc, "left_anti"
+        )
+        if delta.limit(1).isEmpty():
+            return
+    elif check_new_ids:
         dup = (
             spark.table(tables["by_id"])
             .select(idc)
@@ -1572,6 +1583,7 @@ def merge_ivfpq_index(
     coarse_centroids: list | None = None,
     codebooks=None,
     check_new_ids: bool = True,
+    idempotent: bool = False,
 ) -> None:
     """Fold NEW vectors into a persisted IVF+PQ layout — insert-only
     incremental maintenance (the merge_srp_index discipline): every
@@ -1580,7 +1592,9 @@ def merge_ivfpq_index(
     the merge is two bucketed APPENDs and merged == rebuilt holds
     bit-exactly. The artifact fingerprint is checked against the meta
     row — merging with different centroids/codebooks would silently
-    mix incompatible code spaces."""
+    mix incompatible code spaces. ``idempotent=True`` anti-joins
+    already-indexed ids out of the delta instead of raising — the
+    crash-replay reconcile mode shared by every index merge."""
     from .retrieval import _bucket_count
 
     spark = delta.sparkSession
@@ -1599,7 +1613,13 @@ def merge_ivfpq_index(
             "merge_ivfpq_index: centroids/codebooks differ from the "
             "ones the index was built with — rebuild instead"
         )
-    if check_new_ids:
+    if idempotent:
+        delta = delta.join(
+            spark.table(tables["by_id"]).select(idc), idc, "left_anti"
+        )
+        if delta.limit(1).isEmpty():
+            return
+    elif check_new_ids:
         dup = (
             spark.table(tables["by_id"])
             .select(idc)

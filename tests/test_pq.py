@@ -354,3 +354,39 @@ def test_residual_encode_shape_and_dim_check(spark):
     )
     with _pytest.raises(ValueError, match="dim"):
         pq_residual_encode(short, IVF_CENTROIDS)
+
+
+def test_ivfpq_idempotent_merge_replay(spark):
+    """Same replay contract for the IVF+PQ layout."""
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+        merge_ivfpq_index,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter("vec_id % 4 != 0")
+    d1 = emb.filter("vec_id % 8 = 0")
+    tables = build_ivfpq_index(base, name="t_ivfpq_i", n_buckets=4)
+    try:
+        merge_ivfpq_index(d1, name="t_ivfpq_i", check_new_ids=False)
+        snap = {
+            t: sorted(tuple(r) for r in spark.table(n).collect())
+            for t, n in tables.items()
+            if t != "meta"
+        }
+        merge_ivfpq_index(d1, name="t_ivfpq_i", idempotent=True)
+        for t, rows in snap.items():
+            assert sorted(
+                tuple(r) for r in spark.table(tables[t]).collect()
+            ) == rows, t
+        merge_ivfpq_index(
+            emb.filter("vec_id % 4 = 0"), name="t_ivfpq_i", idempotent=True
+        )
+        got = {
+            r[0] for r in spark.table(tables["by_id"]).select("vec_id").collect()
+        }
+        assert got == {r[0] for r in emb.select("vec_id").collect()}
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

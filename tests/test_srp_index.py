@@ -223,3 +223,39 @@ class TestMergeSrpIndex:
             )
         with pytest.raises(RuntimeError, match="build_srp_index first"):
             merge_srp_index(new, name="t_srp_absent", label_col="label")
+
+
+def test_srp_idempotent_merge_replay(spark):
+    """Round-10 replay contract on the vector side: re-merging the
+    same delta with idempotent=True leaves both tables bit-identical;
+    a partial overlap folds in only the new ids."""
+    from big_data_song_recommendation_spark.operators.similarity import (
+        merge_srp_index,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter("vec_id % 4 != 0")
+    d1 = emb.filter("vec_id % 4 = 0 and vec_id % 8 = 0")
+    tables = build_srp_index(
+        base, planes=PLANES, name="t_srp_idem", n_buckets=4
+    )
+    try:
+        merge_srp_index(d1, name="t_srp_idem", check_new_ids=False)
+        snap = {
+            t: sorted(tuple(r) for r in spark.table(n).collect())
+            for t, n in tables.items()
+            if t != "meta"
+        }
+        merge_srp_index(d1, name="t_srp_idem", idempotent=True)
+        for t, rows in snap.items():
+            assert sorted(
+                tuple(r) for r in spark.table(tables[t]).collect()
+            ) == rows, t
+        d2 = emb.filter("vec_id % 4 = 0")  # superset of d1
+        merge_srp_index(d2, name="t_srp_idem", idempotent=True)
+        got = {r[0] for r in spark.table(tables["by_id"]).select("vec_id").collect()}
+        assert got == {r[0] for r in emb.select("vec_id").collect()}
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

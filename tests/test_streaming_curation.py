@@ -325,3 +325,49 @@ def test_curation_sink_near_dup_admission_gate(spark, tmp_path):
     finally:
         for s in ("bands", "sigs", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS t_cur_mh_{s}")
+
+
+def test_curation_sink_crash_replay_reconciles_merge(spark, tmp_path):
+    """Round-10 crash window: a failure between an epoch's index merge
+    and its commit marker leaves the INTENT marker behind; the replay
+    must re-run the merge in idempotent mode (already-indexed ids
+    anti-joined out) instead of double-appending postings — the
+    ADVICE-r9 scenario, end to end through the sink."""
+    from big_data_song_recommendation_spark.operators.retrieval import (
+        build_bm25_index,
+    )
+
+    out_dir = str(tmp_path / "out")
+    initial = spark.createDataFrame([(100, GOOD_C, "en")], SCHEMA)
+    tables = build_bm25_index(
+        initial.select("doc_id", "text"), name="t_cur_crash", n_buckets=2
+    )
+    try:
+        sink = jobs.CurationSink(out_dir, n_shards=1, bm25_index="t_cur_crash")
+        batch = spark.createDataFrame(
+            [(1, GOOD_A, "en"), (2, GOOD_B, "en")], SCHEMA
+        )
+        sink(batch, 0)
+        snap = sorted(
+            tuple(r) for r in spark.table("t_cur_crash_postings").collect()
+        )
+        # simulate the crash: commit marker gone, intent left behind
+        marker_dir = tmp_path / "out" / "index_epochs"
+        (marker_dir / "epoch=0").unlink()
+        (marker_dir / "epoch=0.intent").write_text("merging")
+        sink(batch, 0)  # replay takes the idempotent reconcile path
+        replay = json.loads(
+            (tmp_path / "out" / "audit" / "batch_000000.json").read_text()
+        )
+        assert replay["indexed"] is True  # merge ran (reconcile mode)
+        assert (marker_dir / "epoch=0").exists()
+        assert not (marker_dir / "epoch=0.intent").exists()
+        assert (
+            sorted(
+                tuple(r) for r in spark.table("t_cur_crash_postings").collect()
+            )
+            == snap
+        )  # nothing double-inserted
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
