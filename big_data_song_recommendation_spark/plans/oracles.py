@@ -1612,14 +1612,16 @@ def _ivf_pq_sql() -> str:
 
 
 
-def _lm_buckets_sql() -> str:
-    """q174 twin: the committed trigram LM replayed — vocabulary
-    mapping to <unk>, trigram formation, three-tier stupid-backoff
-    lookups against score tables derived by the SAME
-    ``ml/lm.score_maps()`` the Spark scorer uses (engines cannot
-    drift), integer-DIV doc averages, committed tertile buckets."""
+def _lm_score_ctes(src: str) -> str:
+    """The committed-trigram-LM scoring CTE chain over ``src`` (any
+    CTE/table exposing (doc_id, text)) — vocabulary mapping to <unk>,
+    trigram formation, three-tier stupid-backoff lookups against
+    score tables derived by the SAME ``ml/lm.score_maps()`` the Spark
+    scorer uses, integer-DIV doc averages. Ends in ``lmfin(doc_id,
+    n_trigrams, lm_score_micro)``. Shared by the q174 twin (over
+    ``documents``) and the q176 capstone twin (over the post-front-
+    door text)."""
     from ..ml import lm
-    from ..ml import lm_counts as LMC
 
     tri, bi23, uni = lm.score_maps()
 
@@ -1628,43 +1630,43 @@ def _lm_buckets_sql() -> str:
 
     vocab_in = ", ".join(f"'{t}'" for t in lm.vocab())
     return f"""
-        WITH toks AS (
+        lmtoks AS (
             SELECT doc_id,
                    list_filter(string_split({_NORMALIZED_TEXT}, ' '),
                                t -> t <> '') AS tk
-            FROM documents
+            FROM {src}
         ),
-        mapped AS (
+        lmmapped AS (
             SELECT doc_id,
                    list_transform(tk,
                        t -> CASE WHEN t IN ({vocab_in}) THEN t
                                  ELSE '<unk>' END) AS m
-            FROM toks
+            FROM lmtoks
         ),
-        tri_rows AS (
+        lmtri AS (
             SELECT doc_id, m[i] || ' ' || m[i + 1] || ' ' || m[i + 2] AS sh
-            FROM mapped,
+            FROM lmmapped,
                  unnest(range(1, greatest(len(m) - 1, 1))) AS t(i)
         ),
-        ts AS (SELECT * FROM (VALUES {vals(tri)}) AS t(k, s)),
-        bs AS (SELECT * FROM (VALUES {vals(bi23)}) AS t(k, s)),
-        us AS (SELECT * FROM (VALUES {vals(uni)}) AS t(k, s)),
-        sc AS (
+        lmts AS (SELECT * FROM (VALUES {vals(tri)}) AS t(k, s)),
+        lmbs AS (SELECT * FROM (VALUES {vals(bi23)}) AS t(k, s)),
+        lmus AS (SELECT * FROM (VALUES {vals(uni)}) AS t(k, s)),
+        lmsc AS (
             SELECT r.doc_id,
-                   CAST(COALESCE(ts.s, bs.s, us.s, 0) AS BIGINT) AS s
-            FROM tri_rows r
-            LEFT JOIN ts ON ts.k = r.sh
-            LEFT JOIN bs
-              ON bs.k = string_split(r.sh, ' ')[2] || ' '
+                   CAST(COALESCE(lmts.s, lmbs.s, lmus.s, 0) AS BIGINT) AS s
+            FROM lmtri r
+            LEFT JOIN lmts ON lmts.k = r.sh
+            LEFT JOIN lmbs
+              ON lmbs.k = string_split(r.sh, ' ')[2] || ' '
                         || string_split(r.sh, ' ')[3]
-            LEFT JOIN us ON us.k = string_split(r.sh, ' ')[3]
+            LEFT JOIN lmus ON lmus.k = string_split(r.sh, ' ')[3]
         ),
-        agg AS (
+        lmagg AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
                    SUM(s) AS ss
-            FROM sc GROUP BY 1
+            FROM lmsc GROUP BY 1
         ),
-        fin AS (
+        lmfin AS (
             SELECT d.doc_id,
                    COALESCE(a.n_trigrams, 0) AS n_trigrams,
                    CASE WHEN COALESCE(a.n_trigrams, 0) > 0
@@ -1672,19 +1674,30 @@ def _lm_buckets_sql() -> str:
                         -- float); pin the engine-boundary type
                         THEN CAST(a.ss // a.n_trigrams AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS lm_score_micro
-            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        )
+            FROM {src} d LEFT JOIN lmagg a ON a.doc_id = d.doc_id
+        )"""
+
+
+def _lm_bucket_case() -> str:
+    from ..ml import lm_counts as LMC
+
+    return (
+        f"CASE WHEN lm_score_micro >= {LMC.LM_HEAD_MIN_MICRO} THEN 'head' "
+        f"WHEN lm_score_micro >= {LMC.LM_MID_MIN_MICRO} THEN 'middle' "
+        f"ELSE 'tail' END"
+    )
+
+
+def _lm_buckets_sql() -> str:
+    """q174 twin: committed trigram LM replayed over the documents
+    table (see :func:`_lm_score_ctes`), committed tertile buckets."""
+    return f"""
+        WITH {_lm_score_ctes("documents").lstrip()}
         SELECT doc_id, n_trigrams, lm_score_micro,
-               CASE WHEN lm_score_micro >= {LMC.LM_HEAD_MIN_MICRO}
-                    THEN 'head'
-                    WHEN lm_score_micro >= {LMC.LM_MID_MIN_MICRO}
-                    THEN 'middle'
-                    ELSE 'tail' END AS ppl_bucket
-        FROM fin
+               {_lm_bucket_case()} AS ppl_bucket
+        FROM lmfin
         ORDER BY doc_id
     """
-
-
 
 
 def _residual_pq_sql() -> str:
@@ -1838,7 +1851,90 @@ def _residual_pq_sql() -> str:
     """
 
 
+
+
+def _front_door_lm_sql() -> str:
+    """q176 twin: the q171 stage composition (extraction → C4 →
+    line-dedup → canonicalization → blocklist) extended with the
+    committed-LM scoring CTEs over the POST-pipeline text and the
+    CCNet keep (head+middle), rolled up per domain with the bucket
+    mix and score mass."""
+    from .queries import _Q171_CLEAN_LINE
+
+    line_lit = _Q171_CLEAN_LINE.replace("'", "''")
+    page = (
+        "'<html><head><script>var x = 1;</script></head><body>"
+        '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+        "<article><p>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "' of the corpus.</p><p>' || text || ' tail marker.</p>"
+        "<p>Subscribe to our newsletter today.</p>"
+        "<p>Subscribe to our newsletter today.</p><p>"
+        f"{line_lit}" + "</p><p>lang ' || lang || "
+        "'</p><p>Enable javascript to continue.</p></article>"
+        "<footer>&copy; corp</footer></body></html>'"
+    )
+    return f"""
+        WITH {_extraction_ctes(page)},
+        c AS (
+            SELECT doc_id,
+                   {_c4_kept("string_split(extracted, chr(10))")} AS kept
+            FROM f
+        ),
+        cl AS (
+            SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept, kept
+            FROM c WHERE len(kept) >= 2
+        ),
+        lines AS (
+            SELECT doc_id, unnest(kept) AS line,
+                   unnest(range(1, len(kept) + 1)) AS pos
+            FROM cl
+        ),
+        ranked AS (
+            SELECT doc_id, line, pos,
+                   row_number() OVER (
+                       PARTITION BY doc_id, lower(trim(line))
+                       ORDER BY pos) AS rn
+            FROM lines
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dup_lines,
+                   COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE rn = 1), '') AS text
+            FROM ranked GROUP BY doc_id
+        ),
+        {_lm_score_ctes("dl").lstrip()},
+        lmb AS (
+            SELECT doc_id, lm_score_micro,
+                   {_lm_bucket_case()} AS ppl_bucket
+            FROM lmfin
+        ),
+        u AS ({_url_canonicalization_sql()})
+        SELECT u.domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN lmb.ppl_bucket = 'head' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_head,
+               CAST(SUM(CASE WHEN lmb.ppl_bucket = 'middle' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_middle,
+               CAST(SUM(cl.n_kept) AS BIGINT) AS kept_lines,
+               CAST(SUM(dl.n_dup_lines) AS BIGINT) AS dup_lines_removed,
+               CAST(SUM(lmb.lm_score_micro) AS BIGINT) AS lm_score_sum,
+               CAST(SUM(length(dl.text)) AS BIGINT) AS clean_chars
+        FROM cl
+        JOIN dl USING (doc_id)
+        JOIN lmb USING (doc_id)
+        JOIN u USING (doc_id)
+        WHERE u.domain <> 'example.co.uk'
+          AND lmb.ppl_bucket IN ('head', 'middle')
+        GROUP BY u.domain ORDER BY u.domain
+    """
+
+
 ORACLES: dict[str, str] = {
+    # round-10: capstone with the CCNet LM gate composed last
+    "q176_front_door_lm_rollup": _front_door_lm_sql(),
+
     # round-10: residual vs raw PQ recall under IVF routing (IVFADC)
     "q175_residual_pq_recall": _residual_pq_sql(),
 

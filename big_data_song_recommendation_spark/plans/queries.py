@@ -5374,25 +5374,11 @@ def q170_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q171_CLEAN_LINE = "Great café — it’s naïve effort."
 
 
-def q171_full_front_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE crawl front door, composed and oracle-proven end
-    to end (q158's capstone extended with the round's three new
-    stages): URL blocklist (q169 — de-domain docs drop before
-    extraction), encoding repair (q170 — every third page carries a
-    mojibake'd sentence the repair must fix in the RAW html),
-    extraction (q151), C4 line rules (q153), intra-doc line dedup
-    (q166 — a duplicated subscribe-boilerplate paragraph collapses),
-    URL canonicalization (q154), rolled up per registrable domain
-    with exact-integer audit sums (docs, hosts, C4-kept lines,
-    dedup-removed lines, final clean chars). The DuckDB twin is
-    COMPOSED from the same stage generators — and synthesizes the
-    CLEAN page directly, so a broken Spark-side repair diverges the
-    hash (the round-trip is the load-bearing claim). Map-only + one
-    window, the same callable the streaming sink runs."""
-    from ..functions.url import host, registrable_domain
-    from ..operators.quality import crawl_front_door
-
-    docs = load_table(spark, sf_dir, "documents")
+def _q171_source(docs: DataFrame) -> DataFrame:
+    """The synthesized crawl corpus the capstone queries share (q171,
+    q176): every document wrapped in chrome-laden HTML with a
+    duplicated boilerplate paragraph, a mojibake'd sentence on every
+    third page, and a synthetic URL."""
     moji = F.when(
         F.col("doc_id") % 3 == 0, F.lit(_q170_mojibake(_Q171_CLEAN_LINE))
     ).otherwise(F.lit(_Q171_CLEAN_LINE))
@@ -5418,9 +5404,30 @@ def q171_full_front_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<footer>&copy; corp</footer></body></html>"
         ),
     )
-    src = docs.select(
+    return docs.select(
         "doc_id", page.alias("html"), _synth_url().alias("url")
     )
+
+
+def q171_full_front_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE crawl front door, composed and oracle-proven end
+    to end (q158's capstone extended with the round's three new
+    stages): URL blocklist (q169 — de-domain docs drop before
+    extraction), encoding repair (q170 — every third page carries a
+    mojibake'd sentence the repair must fix in the RAW html),
+    extraction (q151), C4 line rules (q153), intra-doc line dedup
+    (q166 — a duplicated subscribe-boilerplate paragraph collapses),
+    URL canonicalization (q154), rolled up per registrable domain
+    with exact-integer audit sums (docs, hosts, C4-kept lines,
+    dedup-removed lines, final clean chars). The DuckDB twin is
+    COMPOSED from the same stage generators — and synthesizes the
+    CLEAN page directly, so a broken Spark-side repair diverges the
+    hash (the round-trip is the load-bearing claim). Map-only + one
+    window, the same callable the streaming sink runs."""
+    from ..functions.url import host, registrable_domain
+    from ..operators.quality import crawl_front_door
+
+    src = _q171_source(load_table(spark, sf_dir, "documents"))
     fd = crawl_front_door(
         src,
         url_col="url",
@@ -5614,7 +5621,59 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q176_front_door_lm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone with the CCNet stage order COMPLETE: q171's full
+    front door (blocklist → mojibake repair → extraction → C4 →
+    intra-doc line dedup → canonical-URL dedup) plus the committed
+    trigram-LM perplexity gate LAST (``lm_buckets=('head',
+    'middle')`` — the tail third of the reference distribution drops,
+    exactly CCNet's split), rolled up per registrable domain with the
+    bucket mix, the LM score mass, and the audit sums. The twin
+    composes q171's stage generators with q174's scoring CTEs over the
+    POST-pipeline text, so the whole nine-stage pipeline — including
+    the learned gate's verdicts on cleaned text — is hash-checked."""
+    from ..functions.url import host, registrable_domain
+    from ..operators.quality import crawl_front_door
+
+    src = _q171_source(load_table(spark, sf_dir, "documents"))
+    fd = crawl_front_door(
+        src,
+        url_col="url",
+        blocked_domains=["example.co.uk"],
+        fix_encoding=True,
+        dedup_lines=True,
+        lm_buckets=("head", "middle"),
+    )
+    h = host(F.col("url"))
+    return (
+        fd.select(
+            registrable_domain(h).alias("domain"),
+            "n_kept",
+            "n_dup_lines",
+            "lm_score_micro",
+            "ppl_bucket",
+            F.length("text").cast("long").alias("__chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("ppl_bucket") == "head").cast("long")).alias(
+                "n_head"
+            ),
+            F.sum((F.col("ppl_bucket") == "middle").cast("long")).alias(
+                "n_middle"
+            ),
+            F.sum("n_kept").alias("kept_lines"),
+            F.sum("n_dup_lines").alias("dup_lines_removed"),
+            F.sum("lm_score_micro").alias("lm_score_sum"),
+            F.sum("__chars").alias("clean_chars"),
+        )
+        .transform(_ordered, "domain")
+    )
+
+
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q176_front_door_lm_rollup": q176_front_door_lm_rollup,
     "q175_residual_pq_recall": q175_residual_pq_recall,
     "q174_lm_perplexity": q174_lm_perplexity,
     "q173_ivf_pq_search": q173_ivf_pq_search,
