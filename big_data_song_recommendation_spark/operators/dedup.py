@@ -1863,10 +1863,19 @@ def merge_minhash_index(
     if cut_lineage:
         # same trade as near_dup_probe: streaming callers pass False
         sig = sig.localCheckpoint(eager=False)
+    band_rows = _band_key_rows(
+        sig, idc, num_hashes=nh, bands=int(meta["bands"])
+    ).select(F.col("sid").alias(idc), "key")
+    if idempotent:
+        # per-table reconcile (the merge_ivfpq_index discipline): the
+        # guard anti-join above is on sigs — the LAST table written —
+        # so a crash between the bands and sigs appends leaves bands
+        # ahead; replay must not re-append those band rows
+        band_rows = band_rows.join(
+            spark.table(tables["bands"]).select(idc), idc, "left_anti"
+        )
     (
-        _band_key_rows(sig, idc, num_hashes=nh, bands=int(meta["bands"]))
-        .select(F.col("sid").alias(idc), "key")
-        .write.format("parquet")
+        band_rows.write.format("parquet")
         .mode("append")
         .bucketBy(_bucket_count(spark, tables["bands"]), "key")
         .sortBy("key")

@@ -352,7 +352,15 @@ def merge_bm25_index(
     merge inserts nothing twice — the reconcile path streaming callers
     take when an intent marker exists without its commit marker
     (``streaming.jobs.CurationSink``); the steady-state merge stays
-    scan-free. Updates/deletes are NOT expressible as
+    scan-free. Because postings is the FIRST table written, a crash
+    after its append but before the terms/totals rebuild would make a
+    guard-on-postings replay a no-op and leave df/N/avgdl permanently
+    behind the postings — so the idempotent path never trusts the
+    additive merge: it ALWAYS rebuilds terms and totals FROM the
+    postings table (both are pure aggregates of it: df = row count
+    per tok, totals from the distinct per-doc dl), repairing any
+    crash point at the cost of one postings scan — paid only on the
+    suspicious-replay path. Updates/deletes are NOT expressible as
     negative postings here (rank windows are not retractable the way
     sums are): rebuild the affected docs via filtered rebuild instead.
     """
@@ -371,6 +379,11 @@ def merge_bm25_index(
             "left_anti",
         )
         if delta_docs.limit(1).isEmpty():
+            # Nothing to append — but the previous attempt may have
+            # died AFTER the postings append and BEFORE the
+            # terms/totals rebuild, so repair them from postings
+            # unconditionally before declaring the replay done.
+            _rebuild_bm25_aggregates(spark, tables, id_col)
             return
     elif check_new_ids:
         dup = (
@@ -397,6 +410,15 @@ def merge_bm25_index(
         .sortBy("tok")
         .saveAsTable(tables["postings"])
     )
+    if idempotent:
+        # Replay mode never trusts the additive merge: the crash being
+        # reconciled may sit anywhere between the postings append and
+        # the totals swap, so derive terms/totals from the one source
+        # of truth (identical values by the same additivity argument —
+        # the additive merge IS the incremental evaluation of these
+        # aggregates).
+        _rebuild_bm25_aggregates(spark, tables, id_col)
+        return
     delta_terms = tf.groupBy("tok").agg(F.count("*").alias("df"))
     merged_terms = (
         spark.table(tables["terms"])
@@ -419,6 +441,27 @@ def merge_bm25_index(
         stage = f"{tables[t]}_stage"
         df_new.write.format("parquet").mode("overwrite").saveAsTable(stage)
         spark.sql(f"DROP TABLE {tables[t]}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {tables[t]}")
+
+
+def _rebuild_bm25_aggregates(spark, tables: dict, id_col: str) -> None:
+    """Recompute ``{name}_terms`` and ``{name}_totals`` from
+    ``{name}_postings`` (postings is the source of truth: df is the
+    per-token row count, totals aggregate the distinct per-doc dl) and
+    staging-swap them in. The idempotent-replay repair path of
+    :func:`merge_bm25_index` — makes the three-table layout consistent
+    regardless of where a crashed merge stopped."""
+    postings = spark.table(tables["postings"])
+    terms = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    totals = (
+        postings.select(id_col, "dl")
+        .distinct()
+        .agg(F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs"))
+    )
+    for t, df_new in (("terms", terms), ("totals", totals)):
+        stage = f"{tables[t]}_stage"
+        df_new.write.format("parquet").mode("overwrite").saveAsTable(stage)
+        spark.sql(f"DROP TABLE IF EXISTS {tables[t]}")
         spark.sql(f"ALTER TABLE {stage} RENAME TO {tables[t]}")
 
 

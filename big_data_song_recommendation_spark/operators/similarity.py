@@ -1275,8 +1275,11 @@ def merge_srp_index(
     to anti-join already-indexed ids OUT of the delta instead of
     raising — the crash-replay reconcile mode (the
     merge_minhash_index discipline; see CurationSink._guarded_merge).
-    Updates/deletes have no retraction story in this layout — rebuild
-    the affected vectors.
+    Replay guards on ``by_id``, the LAST table written, and each
+    append additionally anti-joins its own table, so a crash BETWEEN
+    the by_bucket and by_id appends repairs instead of duplicating
+    bucket rows. Updates/deletes have no retraction story in this
+    layout — rebuild the affected vectors.
     """
     from .retrieval import _bucket_count
 
@@ -1335,8 +1338,17 @@ def merge_srp_index(
         cols.append(F.col(label_col).alias("lbl"))
     rows = delta.select(*cols).join(sigs, idc)
     for t, key in (("by_bucket", "bucket"), ("by_id", idc)):
+        out = rows
+        if idempotent:
+            # per-table reconcile (the merge_ivfpq_index discipline):
+            # the guard anti-join above is on by_id — the LAST table
+            # written — so a crash between the two appends leaves
+            # by_bucket ahead; replay must not re-append those rows
+            out = rows.join(
+                spark.table(tables[t]).select(idc), idc, "left_anti"
+            )
         (
-            rows.write.format("parquet")
+            out.write.format("parquet")
             .mode("append")
             .bucketBy(_bucket_count(spark, tables[t]), key)
             .sortBy(key)
@@ -1481,16 +1493,40 @@ def _ivfpq_meta(spark, name: str):
 def _with_routing(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
     """Append ``routing`` — the vector's full coarse-cluster ranking
     (distance asc, cluster asc), i.e. the order
-    :func:`ivf_route_committed` would emit — as one array column.
-    ``array_sort`` on (distance, cluster) structs reproduces the
-    row_number rule exactly; computed once at index build."""
+    :func:`ivf_route_committed` would emit — AND ``offsets``, the
+    aligned per-cluster inner products ``⟨q, c⟩`` in micro² int64 (the
+    residual-ADC constant term, :func:`_route_with_offsets`'s ``__qc``
+    stored instead of recomputed per request). ``array_sort`` on
+    (distance, cluster, qc) structs reproduces the row_number rule
+    exactly (d then c — qc never reached, (d, c) is unique); computed
+    once at index build with ONE xq binding."""
     k = len(centroids)
-    staged = _with_centroid_dists(df, centroids, vec_col)
-    routing = F.expr(
-        f"transform(array_sort(transform(sequence(0, {k - 1}),"
-        f" c -> struct(__cdist[c] AS d, c AS c))), s -> CAST(s.c AS INT))"
+    dim = len(centroids[0])
+    if vectors.infer_dim(df, vec_col) != dim:
+        raise ValueError(
+            f"routing: vectors are dim {vectors.infer_dim(df, vec_col)}, "
+            f"centroids expect {dim}"
+        )
+    flat = [int(v) for c in centroids for v in c]
+    inner = (
+        f"transform(sequence(0, {k - 1}), c -> struct("
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + (xq[j] - __cb[c*{dim}+j]) "
+        f"* (xq[j] - __cb[c*{dim}+j])) AS d, "
+        f"c AS c, "
+        f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + xq[j] * __cb[c*{dim}+j]) AS qc))"
     )
-    return staged.withColumn("routing", routing).drop("__cdist")
+    staged = df.withColumn("__cb", F.lit(flat)).withColumn(
+        "__rt", _bind_xq(f"array_sort({inner})", vec_col)
+    )
+    return (
+        staged.withColumn(
+            "routing", F.expr("transform(__rt, s -> CAST(s.c AS INT))")
+        )
+        .withColumn("offsets", F.expr("transform(__rt, s -> s.qc)"))
+        .drop("__cb", "__rt")
+    )
 
 
 def build_ivfpq_index(
@@ -1502,6 +1538,7 @@ def build_ivfpq_index(
     codebooks=None,
     name: str = "ivfpq_idx",
     n_buckets: int = 8,
+    residual: bool = False,
 ) -> dict[str, str]:
     """Persist the IVF+PQ serving layout (:func:`ivf_pq_topk`'s
     storage form — the byte-compact ANN index a 10⁹-vector corpus
@@ -1512,44 +1549,48 @@ def build_ivfpq_index(
       clusters' buckets, M small ints per vector instead of dim
       doubles (the ~64× compression axis), and the cluster IN-list
       bucket-prunes it (the sub-linear axis).
-    - ``{name}_by_id`` — ``(id, v, n, routing)`` bucketed by id:
-      probe-row lookups and the exact re-rank's point reads.
+    - ``{name}_by_id`` — ``(id, v, n, routing, offsets)`` bucketed by
+      id: probe-row lookups and the exact re-rank's point reads.
       ``routing`` is the vector's FULL coarse-cluster ranking
       (distance asc, cluster asc — the ivf_route_committed rule), so
       a serving call routes by slicing the stored prefix instead of
       re-running the K·dim distance expression and a routing job per
-      request; K is small, so the column is K ints.
+      request; ``offsets`` holds the aligned ``⟨q, c⟩`` micro² int64
+      constants the residual variant's ADC adds. K is small, so the
+      two columns are K ints + K longs.
     - ``{name}_meta`` — 1 row, including an md5 fingerprint of the
       coarse centroids + codebooks used at build time, so a serve
       call with DIFFERENT artifacts fails loudly instead of mixing
       incompatible code spaces.
 
+    ``residual=True`` stores RESIDUAL codes (:func:`pq_residual_encode`
+    against the committed per-cell residual codebooks —
+    ml/pq_residual_codebooks.py) instead of raw-vector codes: q175
+    measured residual PQ doubling recall at tight candidate budgets,
+    so it is the layout a production index should carry (VERDICT r10
+    #4). ``by_id`` additionally stores ``offsets`` — the aligned
+    per-cluster ``⟨q, c⟩`` micro² int64 constants — so residual
+    serving adds the ADC offset by slicing the stored prefix, not by
+    recomputing K·dim dot products per request. The meta row records
+    the ``variant``; serving and merge check it together with the
+    artifact fingerprint, so raw probes against a residual index (or
+    vice versa) fail loudly.
+
     Assignment/encode cost is paid once here; both are committed-
     artifact integer folds (:func:`centroid_assign`,
-    :func:`pq_encode`), so rebuild == merge == in-session bit-exactly.
+    :func:`pq_encode` / :func:`pq_residual_encode`), so rebuild ==
+    merge == in-session bit-exactly.
     """
     from ..sources.bucketing import write_bucketed
 
     spark = corpus.sparkSession
     coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
-    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
-    assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
-    enc = pq_encode(
-        assigned.select(id_col, vec_col, "cluster"),
-        id_col=id_col,
-        vec_col=vec_col,
-        codebooks=codebooks,
-        keep=("cluster",),
+    books, m_sub, k_cent, dim, d = (
+        _rpq_params(codebooks) if residual else _pq_params(codebooks)
     )
-    by_id = _with_routing(
-        corpus.select(
-            F.col(id_col),
-            vectors.as_double_array(vec_col).alias("v"),
-            F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
-        ),
-        coarse_centroids,
-        "v",
-    ).select(id_col, "v", "n", "routing")
+    enc, by_id = _ivfpq_rows(
+        corpus, id_col, vec_col, coarse_centroids, codebooks, dim, residual
+    )
     tables = {
         "codes": f"{name}_codes",
         "by_id": f"{name}_by_id",
@@ -1566,13 +1607,57 @@ def build_ivfpq_index(
                 m_sub,
                 k_cent,
                 _artifact_fp(coarse_centroids, books),
+                "residual" if residual else "raw",
             )
         ],
         "dim int, id_col string, n_centroids int, pq_m int, pq_k int,"
-        " artifact_fp string",
+        " artifact_fp string, variant string",
     ).write.format("parquet").mode("overwrite").saveAsTable(tables["meta"])
     _ivfpq_meta_memo.pop((id(spark), name), None)
     return tables
+
+
+def _ivfpq_rows(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_centroids: list,
+    codebooks,
+    dim: int,
+    residual: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """The (codes, by_id) row sets of the persisted IVF+PQ layout —
+    shared by :func:`build_ivfpq_index` and :func:`merge_ivfpq_index`
+    so merged == rebuilt holds bit-exactly by construction (every row
+    is a pure function of its own vector and the committed
+    artifacts)."""
+    assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
+    if residual:
+        enc = pq_residual_encode(
+            assigned,
+            coarse_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            rcodebooks=codebooks,
+        )
+    else:
+        enc = pq_encode(
+            assigned.select(id_col, vec_col, "cluster"),
+            id_col=id_col,
+            vec_col=vec_col,
+            codebooks=codebooks,
+            keep=("cluster",),
+        )
+    by_id = _with_routing(
+        corpus.select(
+            F.col(id_col),
+            vectors.as_double_array(vec_col).alias("v"),
+            F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
+        ),
+        coarse_centroids,
+        "v",
+    ).select(id_col, "v", "n", "routing", "offsets")
+    return enc, by_id
 
 
 def merge_ivfpq_index(
@@ -1594,7 +1679,13 @@ def merge_ivfpq_index(
     row — merging with different centroids/codebooks would silently
     mix incompatible code spaces. ``idempotent=True`` anti-joins
     already-indexed ids out of the delta instead of raising — the
-    crash-replay reconcile mode shared by every index merge."""
+    crash-replay reconcile mode shared by every index merge. The
+    anti-join guards on ``by_id`` — the LAST table written, so its
+    presence implies the codes append completed — and the codes
+    append additionally anti-joins its own table in replay mode,
+    closing the crash window BETWEEN the two appends (a guard-only
+    replay would re-append codes there, and duplicate code rows pass
+    the ADC/rerank windows as repeated neighbor_id entries)."""
     from .retrieval import _bucket_count
 
     spark = delta.sparkSession
@@ -1605,8 +1696,11 @@ def merge_ivfpq_index(
                 f"merge_ivfpq_index: {t!r} missing — build_ivfpq_index first"
             )
     coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
-    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
     meta = _ivfpq_meta(spark, name)
+    residual = meta["variant"] == "residual"
+    books, m_sub, k_cent, dim, d = (
+        _rpq_params(codebooks) if residual else _pq_params(codebooks)
+    )
     idc = meta["id_col"]
     if _artifact_fp(coarse_centroids, books) != meta["artifact_fp"]:
         raise ValueError(
@@ -1633,24 +1727,17 @@ def merge_ivfpq_index(
                 "insert-only maintenance would duplicate candidates; "
                 "dedup upstream or rebuild"
             )
-    assigned = centroid_assign(delta, coarse_centroids, vec_col=vec_col)
-    enc = pq_encode(
-        assigned.select(idc, vec_col, "cluster"),
-        id_col=idc,
-        vec_col=vec_col,
-        codebooks=codebooks,
-        keep=("cluster",),
+    enc, by_id = _ivfpq_rows(
+        delta, idc, vec_col, coarse_centroids, codebooks, dim, residual
     )
-    by_id = _with_routing(
-        delta.select(
-            F.col(idc),
-            vectors.as_double_array(vec_col).alias("v"),
-            F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
-        ),
-        coarse_centroids,
-        "v",
-    ).select(idc, "v", "n", "routing")
     for df, t, key in ((enc, "codes", "cluster"), (by_id, "by_id", idc)):
+        if idempotent:
+            # per-table reconcile: rows this table already holds are
+            # anti-joined out, so a replay of a crash BETWEEN the two
+            # appends repairs rather than duplicates
+            df = df.join(
+                spark.table(tables[t]).select(idc), idc, "left_anti"
+            )
         (
             df.write.format("parquet")
             .mode("append")
@@ -1680,12 +1767,22 @@ def ivfpq_topk_indexed(
     clusters' code buckets (cluster IN-list, bucket-pruned — the
     driver-side collect is bounded by len(probe_ids)·nprobe, the
     _srp_probe_rows grain), and ``candidates`` full vectors per probe
-    for the re-rank — independent of corpus size."""
+    for the re-rank — independent of corpus size.
+
+    The meta row's ``variant`` decides the scoring form: a ``raw``
+    index serves exactly :func:`ivf_pq_topk`; a ``residual`` index
+    (built with ``residual=True``) serves exactly
+    :func:`ivf_pq_residual_topk` — the ADC offsets ``⟨q, c⟩`` come
+    from the STORED per-cluster prefix (by_id ``offsets``), so the
+    residual form costs the same one point-lookup job."""
     if not probe_ids:
         raise ValueError("ivfpq serving: probe_ids must be non-empty")
     coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
-    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
     meta = _ivfpq_meta(spark, name)
+    residual = meta["variant"] == "residual"
+    books, m_sub, k_cent, dim, d = (
+        _rpq_params(codebooks) if residual else _pq_params(codebooks)
+    )
     idc = meta["id_col"]
     if _artifact_fp(coarse_centroids, books) != meta["artifact_fp"]:
         raise ValueError(
@@ -1700,14 +1797,26 @@ def ivfpq_topk_indexed(
     # previous ~5 s request wall).
     by_id = spark.table(f"{name}_by_id")
     rows = by_id.filter(F.col(idc).isin(list(probe_ids))).collect()
+    missing = set(probe_ids) - {r[idc] for r in rows}
+    if missing:
+        # loud, like the artifact/dim checks above: a typo'd or
+        # unmerged probe id must not silently serve an empty result
+        raise ValueError(
+            f"ivfpq_topk_indexed: probe ids not in {name}_by_id: "
+            f"{sorted(missing)}"
+        )
     id_sql = by_id.schema[idc].dataType.simpleString()
     routed_local = [
-        (r[idc], int(c)) for r in rows for c in r["routing"][:nprobe]
+        (r[idc], int(c), int(o))
+        for r in rows
+        for c, o in zip(r["routing"][:nprobe], r["offsets"][:nprobe])
     ]
     routed = spark.createDataFrame(
-        routed_local, f"query_id {id_sql}, cluster int"
+        routed_local, f"query_id {id_sql}, cluster int, __qc long"
     )
-    clusters = sorted({c for _, c in routed_local})
+    if not residual:
+        routed = routed.drop("__qc")
+    clusters = sorted({c for _, c, _o in routed_local})
     enc = spark.table(f"{name}_codes").filter(
         F.col("cluster").isin(clusters) if clusters else F.lit(False)
     ).select(F.col(idc).alias("neighbor_id"), "cluster", "codes")
@@ -1731,6 +1840,7 @@ def ivfpq_topk_indexed(
     return _ivfpq_tail(
         enc, routed, p, pv_local, c, dim, m_sub,
         k=k, candidates=candidates, exclude_self=True,
+        adc_offset_col="__qc" if residual else None,
     )
 
 

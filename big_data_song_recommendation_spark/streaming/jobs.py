@@ -634,11 +634,11 @@ class CurationSink:
         #: (tiny atomic renames): a commit marker written AFTER the
         #: merge skips clean replays, and a pre-merge INTENT marker
         #: routes crash replays through the idempotent reconcile
-        #: (_guarded_merge) instead of double-appending postings. The
-        #: residual window is a crash INSIDE the multi-table merge; a
-        #: transactional table format (Delta/Iceberg) closes it in
-        #: deployment, and the audit row records `indexed` so the gap
-        #: is observable.
+        #: (_guarded_merge) instead of double-appending postings. A
+        #: crash INSIDE the multi-table merge is repaired by the
+        #: reconcile itself (merge_bm25_index's replay mode rebuilds
+        #: terms/totals from postings), and the audit row records
+        #: `indexed` so replays are observable.
         #: id-newness (merge precondition) comes from the fingerprint
         #: store: accepted docs are content-new, and the pipeline's id
         #: discipline keys docs uniquely.
@@ -673,12 +673,16 @@ class CurationSink:
         ``idempotent=True`` (already-indexed ids anti-joined out of
         the delta) instead of trusting the marker. Steady state pays
         two tiny atomic file ops and zero extra scans; only the
-        suspicious replay pays the reconcile anti-join. Residual
-        window (documented, needs a transactional table format to
-        close): a crash INSIDE a multi-table merge can leave its
-        first table appended and the id table not, in which case the
-        reconcile re-appends the first table's rows (duplicate
-        candidates, still gated correct by the sink's re-distinct)."""
+        suspicious replay pays the reconcile anti-join. The
+        crash-INSIDE-the-merge window is closed by the merges
+        themselves: every multi-table merge guards on its LAST-written
+        table and per-table anti-joins the earlier appends
+        (merge_minhash_index/merge_srp_index/merge_ivfpq_index), and
+        merge_bm25_index's replay mode rebuilds its derivable
+        terms/totals aggregates from postings — so a replay repairs
+        any crash point instead of duplicating or orphaning rows. A
+        transactional table format (Delta/Iceberg) would make the
+        same guarantee atomic rather than reconciled."""
         commit = marker_dir / f"epoch={epoch_id}"
         if commit.exists():
             return False

@@ -30,7 +30,15 @@ def _py_score(text: str) -> tuple[int, int]:
     for j in range(n):
         key = " ".join(toks[j : j + 3])
         b = " ".join(toks[j + 1 : j + 3])
-        s += tri.get(key) or bi23.get(b) or uni[toks[j + 2]]
+        # explicit None checks, not `or`: a committed score of 0 is
+        # falsy but must terminate the backoff exactly like the Spark
+        # scorer's coalesce stops at a non-null 0
+        t = tri.get(key)
+        if t is None:
+            t = bi23.get(b)
+        if t is None:
+            t = uni[toks[j + 2]]
+        s += t
     return n, s // n
 
 
