@@ -1363,6 +1363,52 @@ def _centroid_assign_ctes(centroids: list) -> str:
         )"""
 
 
+def _tfidf_features_sql() -> str:
+    """q42 twin: replay the COMMITTED TF-IDF model (ml/tfidf_vocab.py
+    — MLlib pipeline fit once offline, scripts/gen_tfidf_vocab.py).
+    nnz = committed-vocab members among the whitespace tokens
+    (list_intersect dedups, matching Spark's array_intersect); the
+    per-doc mass is Σ tf·idf_micro summed as exact int64 (each
+    surviving token row contributes its idf once)."""
+    from ..ml.tfidf_vocab import MICRO, TFIDF_IDF_MICRO, TFIDF_VOCAB
+
+    active = [
+        (v, w) for v, w in zip(TFIDF_VOCAB, TFIDF_IDF_MICRO) if w != 0
+    ]
+    vocab_rows = ", ".join(f"('{v}', {w})" for v, w in active)
+    # literal list, not a subquery: DuckDB's list_intersect lowers to
+    # a lambda, and lambdas reject subqueries
+    vocab_list = "[" + ", ".join(f"'{v}'" for v, _ in active) + "]"
+    return f"""
+        WITH vocab(tok, idf_micro) AS (VALUES {vocab_rows}),
+        toks AS (
+            SELECT doc_id, lang,
+                   string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS toks
+            FROM documents
+        ),
+        nnz AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(toks, {vocab_list})) AS nnz
+            FROM toks
+        ),
+        mass AS (
+            SELECT t.doc_id, SUM(v.idf_micro)::BIGINT AS score_micro
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) t
+            JOIN vocab v USING (tok)
+            GROUP BY t.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               FLOOR(AVG(nnz) * 100) / 100 AS avg_terms,
+               FLOOR(AVG(COALESCE(score_micro, 0)) / {float(MICRO)}
+                     * 100) / 100 AS avg_score
+        FROM nnz LEFT JOIN mass USING (doc_id)
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
 def _kmeans_histogram_sql() -> str:
     """q41 twin: committed-centroid integer argmin assignment →
     cluster-size histogram."""
@@ -1948,6 +1994,7 @@ ORACLES: dict[str, str] = {
     # iterative fits ran once offline; serving replays exactly
     "q40_als_recommendations": _als_topk_sql(),
     "q41_kmeans_clusters": _kmeans_histogram_sql(),
+    "q42_tfidf_features": _tfidf_features_sql(),
     "q43_hybrid_recommendations": _hybrid_sql(),
     "q47_ivf_ann_search": _ivf_knn_sql(),
 

@@ -1132,25 +1132,59 @@ def q41_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M11: TF-IDF vectors over documents; per-language mean non-zero
-    term count (vector column summarized relationally). MLlib-pipeline
-    product (hash-bucketed vocabulary order) → rows-only + golden;
-    the exact relational TF-IDF twin is q73."""
-    from pyspark.ml.functions import vector_to_array
+    """M11 serving form — TF-IDF features from the COMMITTED model
+    (round 11, the last rows-only query graduated): the MLlib pipeline
+    (Tokenizer → StopWordsRemover → CountVectorizer → IDF) fit ONCE
+    offline (scripts/gen_tfidf_vocab.py, verified nnz-identical to the
+    pipeline transform on the fit corpus) and only its vocabulary +
+    IDF micro-int weights commit (ml/tfidf_vocab.py). Per language:
+    doc count, mean nonzero-term count (committed-vocab membership —
+    array_intersect over whitespace tokens), and mean per-doc TF-IDF
+    mass (Σ tf·idf_micro, exact int64 both engines). The fit itself
+    stays golden-pinned (tests/test_ml_goldens.py); the exact
+    relational per-query TF-IDF twin is q73."""
+    from ..ml.tfidf_vocab import MICRO, TFIDF_IDF_MICRO, TFIDF_VOCAB
 
-    from ..ml import features
-
+    active = [
+        (v, w) for v, w in zip(TFIDF_VOCAB, TFIDF_IDF_MICRO) if w != 0
+    ]
     docs = load_table(spark, sf_dir, "documents")
-    _, out = features.fit_transform(features.tfidf_pipeline("text", vocab_size=100), docs)
-    nnz = F.size(
-        F.filter(vector_to_array(F.col("tfidf_features")), lambda x: x != 0.0)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.array_intersect(
+                F.array(*[F.lit(v) for v, _ in active]), toks
+            )
+        ).alias("nnz"),
+        toks.alias("__toks"),
+    )
+    # tf·idf mass: explode only rows whose token IS a vocab term (the
+    # filter prunes before the shuffle), broadcast-join the ≤100-row
+    # committed idf table (the lm_perplexity_scores tier discipline —
+    # a literal map would re-scan linearly per row)
+    idf = spark.createDataFrame(active, "tok string, idf_micro long")
+    mass = (
+        per_doc.select("doc_id", F.explode("__toks").alias("tok"))
+        .join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        # each surviving token ROW contributes its idf once, so the
+        # plain sum IS Σ tf·idf_micro — no separate tf aggregate
+        .agg(F.sum("idf_micro").alias("score_micro"))
     )
     return (
-        out.withColumn("nnz", nnz)
+        per_doc.join(mass, "doc_id", "left")
+        .withColumn("score_micro", F.coalesce("score_micro", F.lit(0)))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("nnz"), 2).alias("avg_terms"),
+            scalars.stable_round(F.avg("nnz"), 2).alias("avg_terms"),
+            scalars.stable_round(
+                F.avg("score_micro") / F.lit(float(MICRO)), 2
+            ).alias("avg_score"),
         )
         .transform(_ordered, "lang")
     )

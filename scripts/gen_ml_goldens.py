@@ -55,21 +55,37 @@ def kmeans_golden(spark):
     return sorted(sorted(g) for g in groups.values())
 
 
-def query_golden(spark, name: str) -> list[str]:
-    """Full result of a rows-only query at sf0.001, serialized row-per
-    string (column=value joined sorted by column name) — the invariance
-    pin for queries with no SQL oracle (q42 TF-IDF — q43/q47
-    graduated to oracles in round 10, VERDICT r5 #4 / r9 #1). Every
-    float in these outputs is already
+def tfidf_fit_golden(spark) -> list[str]:
+    """The MLlib TF-IDF PIPELINE-FIT rollup (per-lang mean vector nnz
+    at sf0.001) — the pre-round-11 q42 computation, kept as the fit's
+    invariance pin now that q42 the QUERY serves from the committed
+    artifact (ml/tfidf_vocab.py) and is oracle-checked. Every float is
     rounded in-plan, so the string form is run-stable."""
-    from big_data_song_recommendation_spark.plans.queries import QUERIES
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
 
-    df = QUERIES[name](spark, SF)
-    rows = [
+    from big_data_song_recommendation_spark.ml import features
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    _, out = features.fit_transform(
+        features.tfidf_pipeline("text", vocab_size=100), docs
+    )
+    nnz = F.size(
+        F.filter(vector_to_array(F.col("tfidf_features")), lambda x: x != 0.0)
+    )
+    df = (
+        out.withColumn("nnz", nnz)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nnz"), 2).alias("avg_terms"),
+        )
+    )
+    return sorted(
         "|".join(f"{c}={r[c]}" for c in sorted(df.columns))
         for r in df.collect()
-    ]
-    return sorted(rows)
+    )
 
 
 def main() -> None:
@@ -77,7 +93,7 @@ def main() -> None:
     golden = {
         "als_top3": als_golden(spark),
         "kmeans_partition": kmeans_golden(spark),
-        "q42_tfidf_rows": query_golden(spark, "q42_tfidf_features"),
+        "q42_tfidf_rows": tfidf_fit_golden(spark),
     }
     with open(OUT, "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)

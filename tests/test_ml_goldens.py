@@ -60,26 +60,55 @@ def test_kmeans_assignment_matches_golden(spark, golden):
     assert got == golden["kmeans_partition"]
 
 
-@pytest.mark.parametrize(
-    "key,query",
-    [
-        # q43/q47 graduated to DuckDB oracles in round 10 (committed
-        # serving artifacts); only the MLlib TF-IDF pipeline stays
-        # golden-pinned.
-        ("q42_tfidf_rows", "q42_tfidf_features"),
-    ],
-)
-def test_rows_only_query_matches_golden(spark, golden, key, query):
-    """VERDICT r5 #4: the three remaining rows-only queries (TF-IDF
-    vocabulary selection, ALS-backed hybrid blend, KMeans-routed IVF)
-    pinned to committed full-result goldens — seed/partitioning/
-    convergence drift fails here instead of shipping invisibly. All
-    floats are rounded in-plan, so string equality is run-stable."""
-    from big_data_song_recommendation_spark.plans.queries import QUERIES
+def test_tfidf_pipeline_fit_matches_golden(spark, golden):
+    """q42 graduated to a committed-artifact oracle in round 11
+    (ml/tfidf_vocab.py), but the MLlib PIPELINE FIT stays golden-
+    pinned — this replays the pre-round-11 q42 rollup (fit at query
+    time, per-lang mean vector nnz) so vocabulary-selection or IDF
+    drift in the fit itself fails here instead of shipping
+    invisibly."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
 
-    df = QUERIES[query](spark, SF)
+    docs = load_table(spark, SF, "documents")
+    _, out = features.fit_transform(
+        features.tfidf_pipeline("text", vocab_size=100), docs
+    )
+    nnz = F.size(
+        F.filter(vector_to_array(F.col("tfidf_features")), lambda x: x != 0.0)
+    )
+    df = (
+        out.withColumn("nnz", nnz)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nnz"), 2).alias("avg_terms"),
+        )
+    )
     got = sorted(
         "|".join(f"{c}={r[c]}" for c in sorted(df.columns))
         for r in df.collect()
     )
-    assert got == golden[key]
+    assert got == golden["q42_tfidf_rows"]
+
+
+def test_committed_tfidf_artifact_matches_refit(spark, golden):
+    """The committed vocabulary/IDF literals (ml/tfidf_vocab.py) must
+    equal a fresh fit on the fit corpus — the als_factors/centroids
+    regeneration pin applied to the TF-IDF artifact."""
+    import math
+
+    from big_data_song_recommendation_spark.ml.tfidf_vocab import (
+        FIT_SF_DIR,
+        MICRO,
+        TFIDF_IDF_MICRO,
+        TFIDF_VOCAB,
+    )
+
+    docs = load_table(spark, FIT_SF_DIR, "documents")
+    model, _ = features.fit_transform(
+        features.tfidf_pipeline("text", vocab_size=100), docs
+    )
+    assert list(model.stages[2].vocabulary) == TFIDF_VOCAB
+    refit = [int(math.floor(float(x) * MICRO)) for x in model.stages[3].idf]
+    assert refit == TFIDF_IDF_MICRO

@@ -21,12 +21,10 @@ def test_every_query_has_oracle_or_is_declared():
     # queries without oracles are allowed (rows-only gate) but must be
     # deliberate: keep the allowlist here explicit.
     rows_only_allowed = {
-        # MLlib-pipeline TF-IDF (hash-bucketed vocabulary order) —
-        # golden-pinned; the exact relational TF-IDF twin is q73.
-        # q40/q41/q43/q47 left this list in round 10: they now serve
-        # from committed artifacts (ml/als_factors.py, ml/centroids.py)
-        # and are oracle-checked.
-        "q42_tfidf_features",
+        # q40/q41/q43/q47 left this list in round 10 and q42 in round
+        # 11: all now serve from committed artifacts (ml/als_factors,
+        # ml/centroids, ml/tfidf_vocab) and are oracle-checked; the
+        # MLlib fits stay golden-pinned in tests/test_ml_goldens.py.
         # iterative BPE trainer — an oracle would need n_merges
         # unrolled recursive list-rebuild CTEs; pinned against a
         # pure-Python reference trainer instead (tests/test_bpe.py)
