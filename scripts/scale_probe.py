@@ -1042,6 +1042,111 @@ def r10ops_probe(spark, reps: list[int]) -> None:
         release_query_state(spark)
 
 
+def r11ops_probe(spark, reps: list[int]) -> None:
+    """×r scaling for the K ∝ √n IVF retrain path (VERDICT r10 #3).
+    r10ops pinned the FIXED-K story: scanned fraction flat at
+    ~nprobe/K, i.e. scanned ROWS growing linearly with the corpus.
+    This probe closes the loop — retrain the coarse centroids with
+    K = K₀·√r at each replication (train_ivf_centroids, the
+    distributed integer Lloyd) and show:
+
+    - scanned_frac FALLS ~1/√r (nprobe/K with K growing),
+    - scanned ROWS grow ~√r, not ~r (the true sub-linear exponent),
+    - merged == rebuilt still holds bit-exactly at the retrained K,
+    - ivfpq_rebuild_advice flips merge → rebuild exactly when the
+      corpus outgrows the build-time size and recommends the √(n·
+      nprobe) K the retrain then uses.
+    """
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivfpq_rebuild_advice,
+        merge_ivfpq_index,
+        train_ivf_centroids,
+    )
+    from big_data_song_recommendation_spark.session import (
+        release_query_state,
+    )
+
+    K0, NPROBE = 16, 4
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    n0 = emb0.count()
+    base_rows = None
+    for r in reps:
+        emb = (
+            replicate(emb0, r, "vec_id").withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, i) -> CASE WHEN i = 0 "
+                    f"THEN x + (vec_id % {r}) * 0.001 ELSE x END)"
+                ),
+            )
+            if r > 1
+            else emb0
+        ).localCheckpoint()
+        n = emb.count()
+        k_r = int(K0 * math.sqrt(r))
+
+        t0 = time.perf_counter()
+        cents = train_ivf_centroids(emb, k=k_r, iters=3)
+        t_train = time.perf_counter() - t0
+
+        probes = emb.filter(F.col("vec_id") < 8)
+        rows = ivf_pq_topk(
+            emb, probes, cents, k=3, nprobe=NPROBE, candidates=20
+        ).collect()
+        scanned = max(x.n_scanned for x in rows)
+        frac = scanned / n
+        if base_rows is None:
+            base_rows = scanned
+
+        # merged == rebuilt at the RETRAINED K
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        delta = emb.filter(F.col("vec_id") % 10 == 0)
+        t_full = build_ivfpq_index(
+            emb, name="probe_r11f", n_buckets=8, coarse_centroids=cents
+        )
+        t_part = build_ivfpq_index(
+            base, name="probe_r11m", n_buckets=8, coarse_centroids=cents
+        )
+        merge_ivfpq_index(
+            delta, name="probe_r11m", coarse_centroids=cents,
+            check_new_ids=False,
+        )
+        merged_eq = sorted(
+            tuple(x) for x in spark.table("probe_r11m_codes").collect()
+        ) == sorted(tuple(x) for x in spark.table("probe_r11f_codes").collect())
+
+        # the decision rule: same index asked at build size (merge)
+        # and at a 4x-grown corpus (rebuild, k_target = sqrt(n*nprobe))
+        adv_now = ivfpq_rebuild_advice(
+            spark, name="probe_r11f", n_now=n, nprobe=NPROBE
+        )
+        adv_grown = ivfpq_rebuild_advice(
+            spark, name="probe_r11f", n_now=4 * n, nprobe=NPROBE
+        )
+        for t in list(t_full.values()) + list(t_part.values()):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        print(
+            f"x{r}: n={n} K={k_r} train={t_train:.1f}s"
+            f" scanned={scanned} frac={frac:.4f}"
+            f" rows_vs_x1={scanned / base_rows:.2f} (sqrt_r={math.sqrt(r):.2f})"
+            f" merged_eq={merged_eq}"
+            f" advice_now={adv_now['action']}"
+            f" advice_4x={adv_grown['action']}:K{adv_grown['k_target']}",
+            flush=True,
+        )
+        assert merged_eq, f"x{r}: merged != rebuilt at retrained K"
+        assert adv_now["action"] == "merge"
+        assert adv_grown["action"] == "rebuild"
+        release_query_state(spark)
+
+
 def spans_probe(spark, reps: list[int]) -> None:
     """×r scaling for exact-substring duplicate spans (q156): salted
     replicas (the r8ops trick — a per-replica token interleaved
@@ -1196,7 +1301,7 @@ def main() -> None:
     modes = (
         "dedup", "relational", "curation", "r4ops", "ranks",
         "botuser", "skew", "r7ops", "r7b", "r7c", "r8ops", "spans", "r9ops",
-        "admission", "r10ops",
+        "admission", "r10ops", "r11ops",
     )
     if args and args[0] in modes:
         mode, args = args[0], args[1:]
@@ -1253,6 +1358,10 @@ def main() -> None:
         return
     if mode == "r10ops":
         r10ops_probe(spark, reps)
+        spark.stop()
+        return
+    if mode == "r11ops":
+        r11ops_probe(spark, reps)
         spark.stop()
         return
     if mode == "admission":

@@ -493,3 +493,80 @@ def test_residual_merge_equals_rebuild(spark):
         for d in (part, full):
             for t in d.values():
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# -- K ∝ √n retrain path (round 11, VERDICT r10 #3) ----------------------------
+
+
+def test_train_ivf_centroids_distributed_lloyd(spark):
+    """The distributed integer Lloyd separates well-separated blobs,
+    is deterministic, and returns micro-int centroids compatible with
+    centroid_assign (same argmin/tie rules)."""
+    from big_data_song_recommendation_spark.operators.similarity import (
+        centroid_assign,
+        train_ivf_centroids,
+    )
+
+    # 3 tight blobs around (0,0), (10,10), (-10,5) in 4-dim space
+    rows = [
+        (i, [b[0] + (i % 5) * 0.01, b[1] - (i % 3) * 0.01, b[0], b[1]])
+        for i, b in (
+            [(i, (0.0, 0.0)) for i in range(0, 20)]
+            + [(i, (10.0, 10.0)) for i in range(20, 40)]
+            + [(i, (-10.0, 5.0)) for i in range(40, 60)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = train_ivf_centroids(df, k=3, iters=10)
+    c2 = train_ivf_centroids(df, k=3, iters=10)
+    assert c1 == c2  # deterministic
+    assert len(c1) == 3 and all(len(c) == 4 for c in c1)
+    # every blob lands in one cluster, clusters distinct
+    got = centroid_assign(df, c1).groupBy("cluster").count().collect()
+    assert sorted(r["count"] for r in got) == [20, 20, 20]
+    # centroids sit at the blob means (within the micro quantization
+    # of the 0.01 jitter)
+    approx = sorted(tuple(round(x / 1_000_000) for x in c) for c in c1)
+    assert approx == [(-10, 5, -10, 5), (0, 0, 0, 0), (10, 10, 10, 10)]
+
+
+def test_train_ivf_centroids_failure_modes(spark):
+    import pytest as _pytest
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="only 2 vectors"):
+        train_ivf_centroids(df, k=5)
+    with _pytest.raises(ValueError, match="k must be"):
+        train_ivf_centroids(df, k=0)
+
+
+def test_ivfpq_rebuild_advice_rule(spark, ivfpq_index):
+    """merge below the growth threshold; rebuild with K = round(√(n·
+    nprobe)) once the corpus has outgrown the build-time size."""
+    import math
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        ivfpq_rebuild_advice,
+    )
+
+    emb, _ = ivfpq_index
+    n0 = emb.count()
+    now = ivfpq_rebuild_advice(spark, name="t_ivfpq", nprobe=4)
+    assert now["action"] == "merge"
+    assert now["n_at_build"] == n0 and now["n_now"] == n0
+    grown = ivfpq_rebuild_advice(spark, name="t_ivfpq", n_now=5 * n0, nprobe=4)
+    assert grown["action"] == "rebuild"
+    assert grown["k_target"] == max(
+        grown["k_current"], round(math.sqrt(5 * n0 * 4))
+    )
+    assert grown["scan_rows_after"] < grown["scan_rows_now"]
+    # under the threshold, K stays put even though n grew a bit
+    mild = ivfpq_rebuild_advice(spark, name="t_ivfpq", n_now=2 * n0, nprobe=4)
+    assert mild["action"] == "merge" and mild["k_target"] == mild["k_current"]
