@@ -13,6 +13,8 @@ first-class additions the build brief mandates for 100 TB curation.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -788,6 +790,77 @@ def dedup_lines_within_doc(
     ).drop("__dl_lines", "__dl_norm", "__dl_kept")
 
 
+@dataclass(frozen=True)
+class FrontDoorConfig:
+    """Declarative stage list for the crawl front door (VERDICT r10
+    #5): the nine CCNet-ordered stages as data — order FROZEN here,
+    per-stage on/off and thresholds as fields — so new stages extend
+    this object instead of widening ``crawl_front_door``'s signature,
+    and a deployment can diff two configs the way it diffs any other
+    artifact.
+
+    Stage order (the q176 capstone order; ``stage_list()`` names the
+    enabled subset): ``blocklist`` → ``mojibake_repair`` →
+    ``extract`` → ``c4`` → ``line_dedup`` → ``url_dedup`` →
+    ``quality`` → ``langid`` → ``lm_gate``. Gating stages (the ones
+    that DROP documents) are blocklist, c4, url_dedup, and — when
+    their thresholds are set — quality, langid, lm_gate;
+    :func:`front_door_audit` accounts every input row to exactly one
+    of them or to ``kept``."""
+
+    id_col: str = "doc_id"
+    html_col: str = "html"
+    url_col: str | None = None
+    blocked_domains: object = None  # list/tuple of domains or a 1-col DF
+    blocked_url_patterns: tuple = ()
+    fix_encoding: bool = False
+    min_lines_kept: int = 2
+    dedup_lines: bool = False
+    quality_weights: tuple | None = None
+    min_score_micro: int | None = None
+    langid_weights: tuple | None = None
+    allowed_langs: tuple | None = None
+    lm_buckets: tuple | None = None
+
+    def stage_list(self) -> list[str]:
+        """The enabled stages, in execution order — the declarative
+        contract tests and audits pin against."""
+        stages = []
+        if self.blocked_domains is not None or self.blocked_url_patterns:
+            stages.append("blocklist")
+        if self.fix_encoding:
+            stages.append("mojibake_repair")
+        stages += ["extract", "c4"]
+        if self.dedup_lines:
+            stages.append("line_dedup")
+        if self.url_col:
+            stages.append("url_dedup")
+        if self.quality_weights is not None:
+            stages.append("quality")
+        if self.langid_weights is not None:
+            stages.append("langid")
+        if self.lm_buckets is not None:
+            stages.append("lm_gate")
+        return stages
+
+    def gate_list(self) -> list[str]:
+        """The subset of stage_list() that can DROP a document."""
+        gates = [
+            s for s in self.stage_list() if s in ("blocklist", "c4", "url_dedup")
+        ]
+        if self.quality_weights is not None and self.min_score_micro is not None:
+            gates.append("quality")
+        if self.langid_weights is not None and self.allowed_langs:
+            gates.append("langid")
+        if self.lm_buckets is not None:
+            gates.append("lm_gate")
+        # re-sort into execution order
+        order = [
+            "blocklist", "c4", "url_dedup", "quality", "langid", "lm_gate"
+        ]
+        return [s for s in order if s in gates]
+
+
 def crawl_front_door(
     df: DataFrame,
     *,
@@ -805,7 +878,36 @@ def crawl_front_door(
     dedup_lines: bool = False,
     lm_buckets: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """The crawl preprocessing stage, composed: HTML → text extraction
+    """Keyword-argument shim over :func:`crawl_front_door_configured`
+    — kept for call-site compatibility; the configuration IS the
+    :class:`FrontDoorConfig`, and round-12+ stages land there, not
+    here. See the configured form for the stage semantics."""
+    return crawl_front_door_configured(
+        df,
+        FrontDoorConfig(
+            id_col=id_col,
+            html_col=html_col,
+            url_col=url_col,
+            blocked_domains=blocked_domains,
+            blocked_url_patterns=tuple(blocked_url_patterns),
+            fix_encoding=fix_encoding,
+            min_lines_kept=min_lines_kept,
+            dedup_lines=dedup_lines,
+            quality_weights=quality_weights,
+            min_score_micro=min_score_micro,
+            langid_weights=langid_weights,
+            allowed_langs=tuple(allowed_langs) if allowed_langs else None,
+            lm_buckets=tuple(lm_buckets) if lm_buckets is not None else None,
+        ),
+    )
+
+
+def crawl_front_door_configured(
+    df: DataFrame, cfg: FrontDoorConfig
+) -> DataFrame:
+    """The crawl preprocessing stage, composed from a declarative
+    :class:`FrontDoorConfig` (stage ORDER frozen in the class, on/off
+    and thresholds in the instance): HTML → text extraction
     (functions/html.extract_text), C4 line cleaning
     (:func:`c4_line_filter` — documents failing the kept-lines gate
     drop here), and, when ``url_col`` is given, URL canonicalization
@@ -851,7 +953,8 @@ def crawl_front_door(
 
     from ..functions.html import extract_text
 
-    if blocked_domains is not None or blocked_url_patterns:
+    id_col, html_col, url_col = cfg.id_col, cfg.html_col, cfg.url_col
+    if cfg.blocked_domains is not None or cfg.blocked_url_patterns:
         if url_col is None:
             raise ValueError(
                 "crawl_front_door: URL blocking needs url_col"
@@ -860,15 +963,15 @@ def crawl_front_door(
         df = (
             url_blocklist_filter(
                 df,
-                blocked_domains if blocked_domains is not None else [],
+                cfg.blocked_domains if cfg.blocked_domains is not None else [],
                 url_col=url_col,
-                blocked_url_patterns=blocked_url_patterns,
+                blocked_url_patterns=cfg.blocked_url_patterns,
             )
             .filter(F.col("kept_url"))
             .drop("url_domain", "blocked_domain", "blocked_pattern", "kept_url")
         )
 
-    if fix_encoding:
+    if cfg.fix_encoding:
         # encoding errors live in the raw bytes: repair the HTML before
         # the extraction regexes see it (map-only, q170's chain)
         from ..functions.text import repair_mojibake
@@ -881,7 +984,7 @@ def crawl_front_door(
         ext,
         id_col,
         "__x",
-        min_lines_kept=min_lines_kept,
+        min_lines_kept=cfg.min_lines_kept,
         out_text="__clean",
     )
     out = (
@@ -889,7 +992,7 @@ def crawl_front_door(
         .withColumn("text", F.col("__clean"))
         .drop("__x", "__clean", "kept_doc")
     )
-    if dedup_lines:
+    if cfg.dedup_lines:
         # intra-doc boilerplate (nav top+bottom, duplicated footers)
         # collapses here, BEFORE the canonical-dedup/quality/langid
         # stages key on the text — still map-only (q166's operator)
@@ -911,11 +1014,11 @@ def crawl_front_door(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    if quality_weights is not None:
+    if cfg.quality_weights is not None:
         # learned curation stage (CCNet/GPT-3/LLaMA): score the CLEANED
         # text with the committed linear model — still map-only; when
         # min_score_micro is set, below-threshold docs drop here
-        weights_micro, bias_micro = quality_weights
+        weights_micro, bias_micro = cfg.quality_weights
         scored = quality_model_scores(
             out,
             weights_micro,
@@ -925,9 +1028,11 @@ def crawl_front_door(
             carry_cols=[c for c in out.columns if c != id_col],
         )
         out = scored
-        if min_score_micro is not None:
-            out = out.filter(F.col("score_micro") >= int(min_score_micro))
-    if langid_weights is not None:
+        if cfg.min_score_micro is not None:
+            out = out.filter(
+                F.col("score_micro") >= int(cfg.min_score_micro)
+            )
+    if cfg.langid_weights is not None:
         # learned language gate (the fastText-lid stage of CCNet-style
         # pipelines): label the CLEANED text with the committed
         # Bernoulli NB — another map-only fold appending ``pred_lang``;
@@ -937,7 +1042,7 @@ def crawl_front_door(
         # stages stay map-only — no collision join.
         from .langid import langid_model_scores
 
-        w_micro, b_micro = langid_weights
+        w_micro, b_micro = cfg.langid_weights
         staged = out.withColumnsRenamed(
             {"score_micro": "__q_score", "n_bigrams": "__q_nb"}
         )
@@ -955,9 +1060,11 @@ def crawl_front_door(
                 {"__q_score": "score_micro", "__q_nb": "n_bigrams"}
             )
         )
-        if allowed_langs:
-            out = out.filter(F.col("pred_lang").isin(list(allowed_langs)))
-    if lm_buckets is not None:
+        if cfg.allowed_langs:
+            out = out.filter(
+                F.col("pred_lang").isin(list(cfg.allowed_langs))
+            )
+    if cfg.lm_buckets is not None:
         # CCNet's final stage: perplexity against the committed
         # reference trigram LM (:func:`lm_perplexity_scores`), keep
         # only the requested buckets — canonically ('head', 'middle').
@@ -972,9 +1079,179 @@ def crawl_front_door(
             {"n_trigrams": "lm_n_trigrams"}
         )
         out = out.join(lm, id_col).filter(
-            F.col("ppl_bucket").isin(list(lm_buckets))
+            F.col("ppl_bucket").isin(list(cfg.lm_buckets))
         )
     return out
+
+
+def front_door_verdicts(df: DataFrame, cfg: FrontDoorConfig) -> DataFrame:
+    """Per-document stage accounting for the configured front door:
+    every input row labeled with the FIRST gating stage that rejects
+    it (``verdict`` ∈ :meth:`FrontDoorConfig.gate_list`) or NULL for
+    kept — the no-drop twin of :func:`crawl_front_door_configured`
+    (the url_blocklist_filter emits-never-drops pattern applied to
+    the whole pipeline). One doc-grain pass: the text transformations
+    run exactly once in the pipeline order, gates become flag
+    expressions, and the only cross-document stage (canonical-URL
+    dedup) conditions its winner on documents still alive at that
+    point (min-alive-id per canonical_url — identical survivors to
+    the dropping form, test-pinned). Returns (id_col, verdict)."""
+    from pyspark.sql import Window
+
+    from ..functions.html import extract_text
+
+    id_col, html_col, url_col = cfg.id_col, cfg.html_col, cfg.url_col
+    out = df
+    verdict = F.lit(None).cast("string")
+    if cfg.blocked_domains is not None or cfg.blocked_url_patterns:
+        if url_col is None:
+            raise ValueError("front_door_verdicts: URL blocking needs url_col")
+        out = url_blocklist_filter(
+            out,
+            cfg.blocked_domains if cfg.blocked_domains is not None else [],
+            url_col=url_col,
+            blocked_url_patterns=cfg.blocked_url_patterns,
+        )
+        out = out.withColumn(
+            "__verdict", F.when(~F.col("kept_url"), F.lit("blocklist"))
+        ).drop("url_domain", "blocked_domain", "blocked_pattern", "kept_url")
+    else:
+        out = out.withColumn("__verdict", verdict)
+    if cfg.fix_encoding:
+        from ..functions.text import repair_mojibake
+
+        out = out.withColumn(html_col, repair_mojibake(html_col))
+    ext = out.withColumn(
+        "__x", extract_text(F.col(html_col))
+    ).localCheckpoint(eager=False)
+    out = c4_line_filter(
+        ext, id_col, "__x", min_lines_kept=cfg.min_lines_kept,
+        out_text="__clean",
+    ).withColumn(
+        "__verdict",
+        F.coalesce(
+            F.col("__verdict"), F.when(~F.col("kept_doc"), F.lit("c4"))
+        ),
+    ).withColumn("text", F.col("__clean")).drop("__x", "__clean", "kept_doc")
+    if cfg.dedup_lines:
+        out = (
+            dedup_lines_within_doc(
+                out, "text", out_text="__ddl", audit_prefix="__dl_"
+            )
+            .withColumn("text", F.col("__ddl"))
+            .drop("__ddl", "__dl_n_lines", "__dl_n_kept_lines", "__dl_n_removed")
+        )
+    if url_col:
+        from ..functions.url import canonical_url
+
+        w = Window.partitionBy("canonical_url")
+        out = out.withColumn(
+            "canonical_url", canonical_url(F.col(url_col))
+        ).withColumn(
+            "__min_alive",
+            F.min(
+                F.when(F.col("__verdict").isNull(), F.col(id_col))
+            ).over(w),
+        ).withColumn(
+            "__verdict",
+            F.coalesce(
+                F.col("__verdict"),
+                F.when(F.col("__min_alive") != F.col(id_col), F.lit("url_dedup")),
+            ),
+        ).drop("__min_alive")
+    if cfg.quality_weights is not None:
+        weights_micro, bias_micro = cfg.quality_weights
+        out = quality_model_scores(
+            out,
+            weights_micro,
+            bias_micro,
+            id_col=id_col,
+            text_col="text",
+            carry_cols=[c for c in out.columns if c != id_col],
+        )
+        if cfg.min_score_micro is not None:
+            out = out.withColumn(
+                "__verdict",
+                F.coalesce(
+                    F.col("__verdict"),
+                    F.when(
+                        F.col("score_micro") < int(cfg.min_score_micro),
+                        F.lit("quality"),
+                    ),
+                ),
+            )
+        out = out.drop("n_bigrams", "score_micro", "is_quality")
+    if cfg.langid_weights is not None:
+        from .langid import langid_model_scores
+
+        w_micro, b_micro = cfg.langid_weights
+        out = langid_model_scores(
+            out,
+            w_micro,
+            b_micro,
+            id_col=id_col,
+            text_col="text",
+            carry_cols=[c for c in out.columns if c != id_col],
+        )
+        if cfg.allowed_langs:
+            out = out.withColumn(
+                "__verdict",
+                F.coalesce(
+                    F.col("__verdict"),
+                    F.when(
+                        ~F.col("pred_lang").isin(list(cfg.allowed_langs)),
+                        F.lit("langid"),
+                    ),
+                ),
+            )
+        out = out.drop("n_trigrams", "score_micro", "pred_lang")
+    if cfg.lm_buckets is not None:
+        lm = lm_perplexity_scores(
+            out.select(id_col, "text"), id_col=id_col, text_col="text"
+        ).select(id_col, "ppl_bucket")
+        out = out.join(lm, id_col).withColumn(
+            "__verdict",
+            F.coalesce(
+                F.col("__verdict"),
+                F.when(
+                    ~F.col("ppl_bucket").isin(list(cfg.lm_buckets)),
+                    F.lit("lm_gate"),
+                ),
+            ),
+        )
+    return out.select(F.col(id_col), F.col("__verdict").alias("verdict"))
+
+
+def front_door_audit(df: DataFrame, cfg: FrontDoorConfig) -> list[dict]:
+    """Per-stage accounting rows for the configured front door —
+    ``[{stage, n_in, n_rejected, n_kept}, ...]`` in gate order, where
+    ``n_in`` of each gate equals ``n_kept`` of the previous one, the
+    first ``n_in`` equals the input row count, and the last ``n_kept``
+    equals :func:`crawl_front_door_configured`'s output count — every
+    input row accounted to exactly one stage or to the survivors
+    (the SOAK/observability contract, VERDICT r10 #7). Driver cost:
+    one verdict pass + a ≤|gates|+1-row collect."""
+    counts = {
+        (r["verdict"] or "__kept"): r["n"]
+        for r in front_door_verdicts(df, cfg)
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_in = sum(counts.values())
+    rows = []
+    for stage in cfg.gate_list():
+        rejected = counts.get(stage, 0)
+        rows.append(
+            {
+                "stage": stage,
+                "n_in": n_in,
+                "n_rejected": rejected,
+                "n_kept": n_in - rejected,
+            }
+        )
+        n_in -= rejected
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,16 @@ _FILLER = (
 )
 
 
+def _q170_style_mojibake(text: str) -> str:
+    """UTF-8 bytes misread as cp1252 — the q170 generator, so the
+    front door's repair stage has real work on every kind-3 doc."""
+    from big_data_song_recommendation_spark.functions.text import (
+        _cp1252_or_latin1,
+    )
+
+    return "".join(_cp1252_or_latin1(b) for b in text.encode("utf-8"))
+
+
 def _interleaved_text(marker):
     """_FILLER with ``marker`` inserted after every 2nd word: every
     3-token shingle contains the marker, so texts with different
@@ -78,6 +88,15 @@ def main() -> None:
         "(fingerprint-NEW, so only the near-dup gate can reject them - "
         "deterministically, est 1.0 at threshold 1.0); the index is "
         "merged incrementally every epoch with the accepted docs",
+    )
+    ap.add_argument(
+        "--frontdoor",
+        action="store_true",
+        help="run the q176 CCNet stage order (blocklist -> mojibake "
+        "repair -> extract -> C4 -> line dedup -> canonical-URL dedup "
+        "-> trigram-LM gate) as the sink's preprocess stage, with the "
+        "per-stage audit (front_door_audit) accumulated per epoch and "
+        "verified to account every input row",
     )
     args = ap.parse_args()
 
@@ -129,9 +148,67 @@ def main() -> None:
                 minhash_index="soak_mh",
                 near_dup_threshold_micro=1_000_000,
             )
+        fd_cfg = None
+        fd_stage_counts: dict[str, int] = {}
+        fd_epoch_fails: list[str] = []
+        if args.frontdoor:
+            # pool % 10 == 0 makes kind a pure function of the marker
+            # (value % 10 == (value % pool) % 10), so the accepted
+            # text pool is a fixed SUBSET of the marker pool and the
+            # store-flatness pins apply unchanged
+            assert args.pool % 10 == 0, "--frontdoor needs pool % 10 == 0"
+            from big_data_song_recommendation_spark.operators.quality import (
+                FrontDoorConfig,
+                crawl_front_door_configured,
+                front_door_audit,
+            )
+
+            fd_cfg = FrontDoorConfig(
+                url_col="url",
+                blocked_domains=("blocked.test",),
+                fix_encoding=True,
+                dedup_lines=True,
+                lm_buckets=("head", "middle"),
+            )
+            # the cleaned text is vocab-poor for the heuristic quality
+            # gate (the LM gate IS the quality stage here), so the
+            # sink's own text gate is opened wide
+            sink_kw = dict(
+                preprocess=lambda df: crawl_front_door_configured(
+                    df, fd_cfg
+                ).select("doc_id", "text"),
+                quality_threshold=0.0,
+            )
         sink = CurationSink(out_dir, n_shards=4, **sink_kw)
 
         def batch_fn(df, epoch_id):
+            if args.frontdoor and not df.isEmpty():
+                from big_data_song_recommendation_spark.operators.quality import (
+                    front_door_audit,
+                )
+
+                df = df.localCheckpoint()  # one source eval for audit+sink
+                audit = front_door_audit(df, fd_cfg)
+                n_batch = df.count()
+                if audit[0]["n_in"] != n_batch:
+                    fd_epoch_fails.append(
+                        f"epoch {epoch_id}: audit n_in {audit[0]['n_in']}"
+                        f" != batch rows {n_batch}"
+                    )
+                if (
+                    sum(a["n_rejected"] for a in audit) + audit[-1]["n_kept"]
+                    != n_batch
+                ):
+                    fd_epoch_fails.append(
+                        f"epoch {epoch_id}: audit rows do not sum to events_in"
+                    )
+                for a in audit:
+                    fd_stage_counts[a["stage"]] = (
+                        fd_stage_counts.get(a["stage"], 0) + a["n_rejected"]
+                    )
+                fd_stage_counts["__kept"] = (
+                    fd_stage_counts.get("__kept", 0) + audit[-1]["n_kept"]
+                )
             sink(df, epoch_id)
             _sample(f"epoch_{epoch_id}")
 
@@ -161,12 +238,95 @@ def main() -> None:
             text = _interleaved_text(marker)
         else:
             text = base_text
-        docs = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", args.rate)
-            .load()
-            .select(F.col("value").alias("doc_id"), text.alias("text"))
-        )
+        if args.frontdoor:
+            # deterministic kinds on the rate source's value stream:
+            #   kind 0 -> blocked domain        (blocklist reject)
+            #   kind 1 -> shared canonical URL  (url_dedup rejects all
+            #             but the smallest id per batch)
+            #   kind 2 -> OOV gibberish body    (LM tail -> lm_gate)
+            #   kind 3 -> mojibake'd extra line (repaired, accepted)
+            #   kind 4 -> punct-less body, no other keepable lines
+            #             (c4 kept-lines gate reject)
+            #   else   -> clean                 (accepted -> store gate)
+            # bodies carry the pool marker so the store-dedup flatness
+            # pin holds on the accepted subset; the head phrase is a
+            # greedy chain over the committed trigram tables, verified
+            # head-bucket WITH the OOV marker and C4 survivors included
+            # (scripts comment — see NOTES_r11).
+            good_body = (
+                "part spark line data the part column part slow scan "
+                "query merge slow window hash line slow value slow hash "
+                "batch small fast a the table line"
+            )
+            bad_body = "zz qq ww vv kk jj pp mm nn oo"
+            moji_line = _q170_style_mojibake("Caf\u00e9 corner mix.")
+            kind = F.col("value") % 10
+            marker = F.concat(
+                F.lit("u"), (F.col("value") % args.pool).cast("string")
+            )
+            body = F.concat(
+                F.when(kind == 2, F.lit(bad_body)).otherwise(
+                    F.lit(good_body)
+                ),
+                F.lit(" "),
+                marker,
+                # kind 4: no terminal punctuation -> the line fails C4
+                F.when(kind == 4, F.lit(" end")).otherwise(F.lit(" end.")),
+            )
+            extra = F.when(
+                kind == 3, F.lit("<p>" + moji_line + "</p>")
+            ).otherwise(F.lit(""))
+            subs = F.when(kind == 4, F.lit("")).otherwise(
+                F.lit(
+                    "<p>Subscribe to our newsletter today.</p>"
+                    "<p>Subscribe to our newsletter today.</p>"
+                )
+            )
+            page = F.concat(
+                F.lit(
+                    "<html><head><script>var x = 1;</script></head>"
+                    '<body><nav><a href="/">Home</a></nav><p>'
+                ),
+                body,
+                F.lit("</p>"),
+                subs,
+                extra,
+                F.lit(
+                    "<p>Enable javascript to continue.</p>"
+                    "<footer>&copy; corp</footer></body></html>"
+                ),
+            )
+            url = F.when(
+                kind == 0,
+                F.concat(
+                    F.lit("https://blocked.test/p/"),
+                    F.col("value").cast("string"),
+                ),
+            ).when(kind == 1, F.lit("https://dup.test/shared")).otherwise(
+                F.concat(
+                    F.lit("https://ok"),
+                    (F.col("value") % 7).cast("string"),
+                    F.lit(".test/p/"),
+                    F.col("value").cast("string"),
+                )
+            )
+            docs = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", args.rate)
+                .load()
+                .select(
+                    F.col("value").alias("doc_id"),
+                    page.alias("html"),
+                    url.alias("url"),
+                )
+            )
+        else:
+            docs = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", args.rate)
+                .load()
+                .select(F.col("value").alias("doc_id"), text.alias("text"))
+            )
         t_start = time.time()
         _sample("start")
         q = (
@@ -237,6 +397,30 @@ def main() -> None:
             )
 
         fails = []
+        fails.extend(fd_epoch_fails)
+        if args.frontdoor:
+            report["frontdoor_stage_rejections"] = {
+                k: v for k, v in sorted(fd_stage_counts.items())
+            }
+            kept_fd = fd_stage_counts.get("__kept", 0)
+            rejected_fd = sum(
+                v for k, v in fd_stage_counts.items() if k != "__kept"
+            )
+            if kept_fd + rejected_fd != n_in:
+                fails.append(
+                    f"front-door audit total {kept_fd + rejected_fd} != "
+                    f"events_in {n_in}"
+                )
+            for gate in ("blocklist", "c4", "url_dedup", "lm_gate"):
+                if fd_stage_counts.get(gate, 0) == 0 and n_in > 100:
+                    fails.append(f"front-door gate {gate!r} never fired")
+            lake = spark.read.parquet(os.path.join(out_dir, "data"))
+            moji_left = lake.filter(F.col("text").contains("\u00c3")).count()
+            if moji_left:
+                fails.append(
+                    f"{moji_left} docs reached the lake with unrepaired "
+                    "mojibake"
+                )
         if args.minhash:
             # the gate is the ONLY defense against seed copies (their
             # fingerprints are new) — any leak is a gate failure
