@@ -821,6 +821,12 @@ class FrontDoorConfig:
     langid_weights: tuple | None = None
     allowed_langs: tuple | None = None
     lm_buckets: tuple | None = None
+    #: cut the extraction lineage with a lazy localCheckpoint (the
+    #: measured 4x win for batch plans with four extraction
+    #: consumers). Streaming callers pass False — a forever-process
+    #: must not pin blocks per micro-batch (the near_dup_probe
+    #: cut_lineage discipline; the round-11 soak caught the leak)
+    cut_lineage: bool = True
 
     def stage_list(self) -> list[str]:
         """The enabled stages, in execution order — the declarative
@@ -977,9 +983,9 @@ def crawl_front_door_configured(
         from ..functions.text import repair_mojibake
 
         df = df.withColumn(html_col, repair_mojibake(html_col))
-    ext = df.withColumn(
-        "__x", extract_text(F.col(html_col))
-    ).localCheckpoint(eager=False)
+    ext = df.withColumn("__x", extract_text(F.col(html_col)))
+    if cfg.cut_lineage:
+        ext = ext.localCheckpoint(eager=False)
     cleaned = c4_line_filter(
         ext,
         id_col,
@@ -1121,9 +1127,9 @@ def front_door_verdicts(df: DataFrame, cfg: FrontDoorConfig) -> DataFrame:
         from ..functions.text import repair_mojibake
 
         out = out.withColumn(html_col, repair_mojibake(html_col))
-    ext = out.withColumn(
-        "__x", extract_text(F.col(html_col))
-    ).localCheckpoint(eager=False)
+    ext = out.withColumn("__x", extract_text(F.col(html_col)))
+    if cfg.cut_lineage:
+        ext = ext.localCheckpoint(eager=False)
     out = c4_line_filter(
         ext, id_col, "__x", min_lines_kept=cfg.min_lines_kept,
         out_text="__clean",

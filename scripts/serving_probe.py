@@ -289,6 +289,40 @@ def run_probe(sf_dir: str, n_req: int = 30, spark=None) -> dict:
         for t in pq_tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    # ---- IVF+PQ residual variant (round 11): same serving calls,
+    # residual codes + stored offsets — the recall-preferred layout
+    t0 = time.perf_counter()
+    pqr_tables = build_ivfpq_index(
+        emb_raw, name="probe_ivfpqr", n_buckets=8, residual=True
+    )
+    report["ivfpq_res_index_build_s"] = round(time.perf_counter() - t0, 2)
+    try:
+        id_reqs = [[(11 * i) % n_vec] for i in range(n_req)]
+
+        def ivfpq_res_indexed(ids):
+            ivfpq_topk_indexed(
+                spark, ids, name="probe_ivfpqr", k=3, nprobe=4
+            ).collect()
+
+        report["ivfpq_res_indexed"] = _timed(ivfpq_res_indexed, id_reqs)
+        batch_ids = [(11 * i) % n_vec for i in range(20)]
+        ivfpq_topk_indexed(
+            spark, batch_ids, name="probe_ivfpqr", k=3, nprobe=4
+        ).collect()
+        t0 = time.perf_counter()
+        ivfpq_topk_indexed(
+            spark, batch_ids, name="probe_ivfpqr", k=3, nprobe=4
+        ).collect()
+        wall = (time.perf_counter() - t0) * 1000
+        report["ivfpq_res_indexed_batch"] = {
+            "n_queries": len(batch_ids),
+            "batch_ms": round(wall, 1),
+            "per_query_ms": round(wall / len(batch_ids), 1),
+        }
+    finally:
+        for t in pqr_tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
     # ---- near-dup admission: persisted MinHash band index ----------
     from big_data_song_recommendation_spark.operators.dedup import (
         build_minhash_index,

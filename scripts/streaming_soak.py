@@ -169,6 +169,7 @@ def main() -> None:
                 fix_encoding=True,
                 dedup_lines=True,
                 lm_buckets=("head", "middle"),
+                cut_lineage=False,  # forever-process: no pinned blocks
             )
             # the cleaned text is vocab-poor for the heuristic quality
             # gate (the LM gate IS the quality stage here), so the
@@ -187,7 +188,9 @@ def main() -> None:
                     front_door_audit,
                 )
 
-                df = df.localCheckpoint()  # one source eval for audit+sink
+                # one source eval for audit+sink; RELEASED in finally —
+                # the in-flight max stays bounded and the end count 0
+                df = df.persist()
                 audit = front_door_audit(df, fd_cfg)
                 n_batch = df.count()
                 if audit[0]["n_in"] != n_batch:
@@ -202,14 +205,28 @@ def main() -> None:
                     fd_epoch_fails.append(
                         f"epoch {epoch_id}: audit rows do not sum to events_in"
                     )
-                for a in audit:
-                    fd_stage_counts[a["stage"]] = (
-                        fd_stage_counts.get(a["stage"], 0) + a["n_rejected"]
+                # accumulate only AFTER the sink commits this epoch:
+                # a batch interrupted mid-sink must appear in neither
+                # ledger, or the totals can't reconcile (events_in is
+                # the sum of the sink's per-epoch audits)
+                pending = audit
+            else:
+                pending = None
+            try:
+                sink(df, epoch_id)
+                if pending is not None:
+                    for a in pending:
+                        fd_stage_counts[a["stage"]] = (
+                            fd_stage_counts.get(a["stage"], 0)
+                            + a["n_rejected"]
+                        )
+                    fd_stage_counts["__kept"] = (
+                        fd_stage_counts.get("__kept", 0)
+                        + pending[-1]["n_kept"]
                     )
-                fd_stage_counts["__kept"] = (
-                    fd_stage_counts.get("__kept", 0) + audit[-1]["n_kept"]
-                )
-            sink(df, epoch_id)
+            finally:
+                if args.frontdoor:
+                    df.unpersist()
             _sample(f"epoch_{epoch_id}")
 
         base_text = F.concat(
@@ -261,8 +278,13 @@ def main() -> None:
             bad_body = "zz qq ww vv kk jj pp mm nn oo"
             moji_line = _q170_style_mojibake("Caf\u00e9 corner mix.")
             kind = F.col("value") % 10
-            marker = F.concat(
-                F.lit("u"), (F.col("value") % args.pool).cast("string")
+            # kind-1 docs share ONE marker: exactly one survives the
+            # url dedup per batch, and a constant text keeps that
+            # survivor from trickling new fingerprints into the tail
+            marker = F.when(kind == 1, F.lit("udup")).otherwise(
+                F.concat(
+                    F.lit("u"), (F.col("value") % args.pool).cast("string")
+                )
             )
             body = F.concat(
                 F.when(kind == 2, F.lit(bad_body)).otherwise(
@@ -343,6 +365,14 @@ def main() -> None:
         finally:
             q.stop()
             q.awaitTermination(60)
+        if args.frontdoor:
+            # harness state, not sink state: the batch-level persist of
+            # an in-flight batch interrupted by q.stop() bypasses the
+            # foreachBatch finally; release it before the end sample so
+            # the leak checks measure the SINK
+            jsc_rdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jsc_rdds.keySet().toArray()):
+                jsc_rdds.get(rid).unpersist()
         # per-epoch heap samples are GC-noise (the JVM only collects
         # under pressure); one explicit GC makes the END number a real
         # retained-state measurement
