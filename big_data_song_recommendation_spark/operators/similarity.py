@@ -205,7 +205,7 @@ def pq_encode(
     # once; codebooks stage as array literals (inlining-free)
     for m in range(m_sub):
         staged = staged.withColumn(
-            f"__cb{m}", F.lit([int(v) for v in books[m]])
+            f"__cb{m}", _int_array_lit(books[m])
         )
     code_exprs = []
     for m in range(m_sub):
@@ -223,6 +223,17 @@ def pq_encode(
     return staged.select(id_col, *keep, codes.alias(out_col))
 
 
+def _int_array_lit(vals) -> "F.Column":
+    """Integer array literal in ONE py4j call: ``F.lit(list)`` costs a
+    py4j round trip PER ELEMENT (measured round 11: ~0.67 s to stage
+    the 8x128-int PQ codebooks per serving request — the dominant term
+    of the ivfpq single-probe p50), while parsing one ``array(...)``
+    text is a single call and ConstantFolding collapses it to the same
+    literal before codegen. Use for every staged codebook/centroid
+    column."""
+    return F.expr("array(" + ",".join(str(int(v)) for v in vals) + ")")
+
+
 def _pq_probe_luts(
     p: DataFrame, vec_col: str, books, m_sub: int, k_cent: int, d: int
 ) -> DataFrame:
@@ -234,7 +245,7 @@ def _pq_probe_luts(
     any pair joins read it. Shared by :func:`pq_adc_topk`,
     :func:`ivf_pq_topk`, and :func:`ivfpq_topk_indexed`."""
     for m in range(m_sub):
-        p = p.withColumn(f"__cb{m}", F.lit([int(v) for v in books[m]]))
+        p = p.withColumn(f"__cb{m}", _int_array_lit(books[m]))
     luts = ", ".join(
         f"transform(sequence(0, {k_cent - 1}), c -> "
         f"aggregate(sequence(0, {d - 1}), CAST(0 AS BIGINT), "
@@ -467,7 +478,7 @@ def _route_with_offsets(
         f"(acc, j) -> acc + xq[j] * __cb[c*{dim}+j]) AS qc))"
     )
     staged = (
-        probes.withColumn("__cb", F.lit(flat))
+        probes.withColumn("__cb", _int_array_lit(flat))
         .withColumn("__dc", _bind_xq(inner, vec_col))
         .drop("__cb")
     )
@@ -524,11 +535,11 @@ def pq_residual_encode(
     staged = assigned.select(
         F.col(id_col), F.col(cluster_col), F.col(vec_col)
     ).withColumn(
-        "__cbf", F.lit([int(v) for c in coarse_centroids for v in c])
+        "__cbf", _int_array_lit(v for c in coarse_centroids for v in c)
     )
     for m in range(m_sub):
         staged = staged.withColumn(
-            f"__cb{m}", F.lit([int(v) for v in books[m]])
+            f"__cb{m}", _int_array_lit(books[m])
         )
     code_exprs = []
     for m in range(m_sub):
@@ -795,7 +806,7 @@ def _with_centroid_dists(
         f"* (xq[j] - __cb[c*{dim}+j])))"
     )
     return (
-        df.withColumn("__cb", F.lit(flat))
+        df.withColumn("__cb", _int_array_lit(flat))
         .withColumn(out, _bind_xq(inner, vec_col))
         .drop("__cb")
     )
@@ -1665,7 +1676,7 @@ def _with_routing(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
         f"aggregate(sequence(0, {dim - 1}), CAST(0 AS BIGINT), "
         f"(acc, j) -> acc + xq[j] * __cb[c*{dim}+j]) AS qc))"
     )
-    staged = df.withColumn("__cb", F.lit(flat)).withColumn(
+    staged = df.withColumn("__cb", _int_array_lit(flat)).withColumn(
         "__rt", _bind_xq(f"array_sort({inner})", vec_col)
     )
     return (
@@ -1927,7 +1938,20 @@ def ivfpq_topk_indexed(
     (built with ``residual=True``) serves exactly
     :func:`ivf_pq_residual_topk` — the ADC offsets ``⟨q, c⟩`` come
     from the STORED per-cluster prefix (by_id ``offsets``), so the
-    residual form costs the same one point-lookup job."""
+    residual form costs the same one point-lookup job.
+
+    Single-probe p50 (round-11 breakdown, sf0.1): staging the PQ
+    codebooks through ``F.lit(list)`` cost a py4j round trip PER
+    ELEMENT (~0.67 s/request); :func:`_int_array_lit` removed it
+    (1.76 s → 1.56 s raw / 1.30 s residual pinned in
+    SERVING_LATENCY.json). The REMAINING single-probe wall is
+    structural: 2 jobs + 3 broadcasts + 2 window exchanges + the
+    re-rank join ≈ 3–4× the single-job BM25 floor (~340 ms), plus
+    ~200 ms of fresh-literal codegen (same-id repeats are that much
+    faster). Collapsing the tail below that would cost the bucket
+    pruning (IN-lists are what make per-request IO corpus-independent)
+    — evaluated and rejected; BATCH the probes instead: the amortized
+    path is 72–74 ms/query at 20 probes, the intended service shape."""
     if not probe_ids:
         raise ValueError("ivfpq serving: probe_ids must be non-empty")
     coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)

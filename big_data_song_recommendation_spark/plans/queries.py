@@ -5552,9 +5552,13 @@ def q173_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
+    # the approx result feeds TWO consumers (hits join + scanned
+    # rollup); without a barrier the whole route/encode/ADC/rerank DAG
+    # executes twice per run — the materialized slice is ≤ 8·k rows
+    # (round 11: q173 was the suite's 2nd-slowest query, harness cost)
     approx = similarity.ivf_pq_topk(
         emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=20
-    )
+    ).localCheckpoint(eager=False)
     exact = similarity.brute_force_knn(emb, probes, k=3).select(
         "query_id", "neighbor_id"
     )
@@ -5620,9 +5624,12 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
+    # brute-force truth feeds BOTH arms' hits joins: one barrier
+    # (≤ 8·k rows) instead of two full corpus scans per run — the
+    # shared-truth-subplan slim (VERDICT r10 next-round #1c)
     exact = similarity.brute_force_knn(emb, probes, k=3).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=False)
 
     def hits(approx, name):
         return (
