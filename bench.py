@@ -2,14 +2,27 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Each query is forced with a count-style action that materializes the
-full result (``df.write.format("noop")``) so nothing is skipped by
-laziness, and timed after a warm-up of the session.
+Each query is forced with ``df.write.format("noop")`` so nothing is
+skipped by laziness and every run pays the full pipeline — scan,
+compute, exchanges — which keeps BENCH_rN comparable across rounds.
+Disclosed caveat (round-11 analysis): the noop wrapper re-plans the
+query per run, so each run ALSO pays full Catalyst re-optimization —
+on this engine's committed-model literal trees (centroid/codebook/LM
+tables folded into the plan) that is 1-3 s of pure re-planning per
+heavy query, a prepare cost no prepared workload pays twice.
+``SPARK_GRAFT_BENCH_ACTION=collect`` measures the other extreme —
+runs 2+ re-execute the SAME prepared plan (and skip any stage behind
+a materialized lazy checkpoint): round-11 A/B at sf0.1 recorded
+noop 72.3 s vs collect 6.2 s against the same-run DuckDB 52.5 s, i.e.
+the committed ratio is dominated by per-run re-planning + stage
+floors, not by data-path work. The committed artifact stays noop —
+full re-execution, round-comparable; the collect number lives in
+NOTES as the prepared-workload steady-state view.
 
-Each query runs ``$SPARK_GRAFT_RUNS`` times (default 2) and reports the
-per-query MINIMUM — steady-state timing, disclosed via
+Each query runs ``$SPARK_GRAFT_RUNS`` times (default 3) and reports
+the per-query MINIMUM — steady-state timing, disclosed via
 ``runs_per_query``/``timing`` in the output. Single-run wall on this
-box swings ±15% with OS page-cache and JIT state; min-of-2 keeps the
+box swings ±15% with OS page-cache and JIT state; min-of-N keeps the
 recorded number about the plan, not the weather.
 """
 
@@ -158,12 +171,16 @@ def main() -> None:
     # query's runs across the whole suite decorrelates them (measured:
     # the same suite recorded 27.7 s and 30.6 s back-to-back purely on
     # which queries the noise hit). DuckDB gets the identical protocol.
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
     best: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in sorted(QUERIES.items()):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            if action == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             el = time.perf_counter() - t0
             if el < best.get(name, float("inf")):
                 best[name] = el
@@ -209,6 +226,10 @@ def main() -> None:
         # it — min-of-N therefore times execution, not py4j plan
         # assembly. Disclosed here; SPARK_GRAFT_PLAN_CACHE=0 reverts.
         "plan_cache": os.environ.get("SPARK_GRAFT_PLAN_CACHE", "1") != "0",
+        # "noop" (default, round-comparable): full re-plan +
+        # re-execution per run; "collect": prepared-plan steady state
+        # — see the module docstring for the A/B and the disclosure
+        "bench_action": action,
         "shuffle_partitions": shuffle_partitions,
         "aqe": aqe,
         "max_split_bytes": max_split,
