@@ -1543,9 +1543,9 @@ def _band_key_rows(sig: DataFrame, id_col: str, *, num_hashes: int, bands: int) 
 _mh_meta_memo: dict = {}
 
 
-def _mh_meta(spark, name: str):
+def _mh_meta(spark, name: str, *, fresh: bool = False):
     key = (id(spark), name)
-    if key not in _mh_meta_memo:
+    if fresh or key not in _mh_meta_memo:
         _mh_meta_memo[key] = spark.table(f"{name}_meta").collect()[0]
     return _mh_meta_memo[key]
 
@@ -1661,7 +1661,9 @@ def near_dup_probe(
     join — the q20 two-tier discipline.
     """
     spark = new_docs.sparkSession
-    meta = _mh_meta(spark, name)
+    # fresh read (not the probe memo): merging on a stale meta for a
+    # rebuilt same-name index would mix hash families
+    meta = _mh_meta(spark, name, fresh=True)
     idc, nh = meta["id_col"], int(meta["num_hashes"])
     if idc not in new_docs.columns:
         raise ValueError(f"near_dup_probe: probe batch lacks id col {idc!r}")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import int_array_lit
+
 from ..functions import text as Ftext
 
 LID_N_FEATURES = 256
@@ -168,7 +170,7 @@ def langid_model_scores(
     scores: dict[str, Column] = {}
     for cls in classes:
         scores[cls] = _fold(
-            F.array(*[F.lit(int(w)) for w in weights_micro[cls]]),
+            int_array_lit(weights_micro[cls]),
             biases_micro[cls],
         )
     best = (

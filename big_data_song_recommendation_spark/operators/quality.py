@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as Ftext
-from ..functions.scalars import md5_bucket, stable_round
+from ..functions.scalars import int_array_lit, md5_bucket, stable_round
 from .dedup import shingle_rows
 
 
@@ -1335,7 +1335,7 @@ def quality_model_scores(
     """
     carry = list(carry_cols or [])
     n = len(weights_micro)
-    w_arr = F.array(*[F.lit(int(w)) for w in weights_micro])
+    w_arr = int_array_lit(weights_micro)
     # staged projection: the bucket array has two consumers (size +
     # fold) and lambda-bearing exprs are skipped by codegen CSE —
     # multi-referenced alias keeps the tokenize chain single-run

@@ -223,15 +223,10 @@ def pq_encode(
     return staged.select(id_col, *keep, codes.alias(out_col))
 
 
-def _int_array_lit(vals) -> "F.Column":
-    """Integer array literal in ONE py4j call: ``F.lit(list)`` costs a
-    py4j round trip PER ELEMENT (measured round 11: ~0.67 s to stage
-    the 8x128-int PQ codebooks per serving request — the dominant term
-    of the ivfpq single-probe p50), while parsing one ``array(...)``
-    text is a single call and ConstantFolding collapses it to the same
-    literal before codegen. Use for every staged codebook/centroid
-    column."""
-    return F.expr("array(" + ",".join(str(int(v)) for v in vals) + ")")
+from ..functions.scalars import int_array_lit as _int_array_lit  # noqa: E402
+# (shared: functions/scalars.int_array_lit — the round-11 py4j
+# literal-tax fix; langid/quality_clf stage their weight tables
+# through the same helper)
 
 
 def _pq_probe_luts(
@@ -1449,7 +1444,9 @@ def merge_srp_index(
             raise RuntimeError(
                 f"merge_srp_index: {t!r} missing — build_srp_index first"
             )
-    meta = _srp_meta(spark, name)
+    # fresh read (not the serving memo): merging on a stale meta for a
+    # rebuilt same-name index would mix hash families
+    meta = _srp_meta(spark, name, fresh=True)
     idc = meta["id_col"]
     if idc not in delta.columns:
         raise ValueError(
@@ -1515,9 +1512,9 @@ def merge_srp_index(
         )
 
 
-def _srp_meta(spark, name: str):
+def _srp_meta(spark, name: str, *, fresh: bool = False):
     key = (id(spark), name)
-    if key not in _srp_meta_memo:
+    if fresh or key not in _srp_meta_memo:
         _srp_meta_memo[key] = spark.table(f"{name}_meta").collect()[0]
     return _srp_meta_memo[key]
 
@@ -1642,10 +1639,25 @@ def _artifact_fp(coarse_centroids, books) -> str:
 _ivfpq_meta_memo: dict = {}
 
 
-def _ivfpq_meta(spark, name: str):
+def _ivfpq_meta(spark, name: str, *, fresh: bool = False):
+    """Meta row of a persisted IVF+PQ index. Serving memoizes it (the
+    _srp_meta discipline — one point read per session per index);
+    MERGES pass ``fresh=True`` and re-read the table: a merge acting
+    on a stale memo (index rebuilt under the same name since the memo
+    was taken) would mix code spaces, and a merge is never
+    latency-critical. Pre-round-11 meta rows (no ``variant`` /
+    ``n_at_build``) fail with a rebuild hint instead of a bare
+    field error."""
     key = (id(spark), name)
-    if key not in _ivfpq_meta_memo:
-        _ivfpq_meta_memo[key] = spark.table(f"{name}_meta").collect()[0]
+    if fresh or key not in _ivfpq_meta_memo:
+        row = spark.table(f"{name}_meta").collect()[0]
+        if "variant" not in row.__fields__ or "n_at_build" not in row.__fields__:
+            raise ValueError(
+                f"{name}_meta predates the round-11 layout (variant/"
+                "n_at_build missing) — rebuild the index with "
+                "build_ivfpq_index"
+            )
+        _ivfpq_meta_memo[key] = row
     return _ivfpq_meta_memo[key]
 
 
@@ -1860,7 +1872,7 @@ def merge_ivfpq_index(
                 f"merge_ivfpq_index: {t!r} missing — build_ivfpq_index first"
             )
     coarse_centroids, codebooks = _ivfpq_params(coarse_centroids, codebooks)
-    meta = _ivfpq_meta(spark, name)
+    meta = _ivfpq_meta(spark, name, fresh=True)
     residual = meta["variant"] == "residual"
     books, m_sub, k_cent, dim, d = (
         _rpq_params(codebooks) if residual else _pq_params(codebooks)

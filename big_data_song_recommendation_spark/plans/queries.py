@@ -1157,7 +1157,12 @@ def q42_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(
             F.array_intersect(
-                F.array(*[F.lit(v) for v, _ in active]), toks
+                F.expr(
+                    "array("
+                    + ",".join(f"'{v}'" for v, _ in active)
+                    + ")"
+                ),
+                toks,
             )
         ).alias("nnz"),
         toks.alias("__toks"),
