@@ -612,6 +612,83 @@ def dsir_scores(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    planes: int = 6,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic complement of
+    the n-gram pass (:func:`decontaminate`, q71): flag corpus vectors
+    whose cosine against ANY benchmark vector reaches ``threshold``.
+    N-gram overlap misses paraphrases and translations; an embedding
+    match catches them (the reason modern data cards report both).
+
+    Shape (the srp_knn/q165 discipline, sides swapped to the
+    decontamination asymmetry): benchmark sets are SMALL and bounded
+    (eval suites — 10³–10⁵ rows), so the benchmark side carries the
+    Hamming-1 multi-probe expansion (×(planes+1), still bounded) and
+    BROADCASTS into the bucket equi-join against the corpus
+    signatures; the corpus pays one signature pass and one
+    bucket-join — never |corpus|·|benchmark| pairs. Exact cosine
+    (6 dp, the q16 idiom) verifies every candidate, so a flagged row
+    is court-grade; LSH only bounds RECALL, gated in q177 against the
+    exhaustive blocked-GEMM truth (``dedup.embedding_dup_pairs``'s
+    shape) on the test corpus. Everything derives from the
+    deterministic md5 hyperplanes, so the whole path is
+    cross-engine replayable (q75's oracle discipline).
+
+    Returns ONE row per contaminated corpus vector: (``id_col``,
+    ``bench_id`` — the argmax-sim benchmark match, ties to the
+    smaller id — , ``sim``). Anti-join the output against the corpus
+    for the clean training set."""
+    from .similarity import _hamming1_buckets, srp_signatures
+    from ..functions import vectors
+
+    dim = vectors.infer_dim(corpus, vec_col)
+    c_sig = srp_signatures(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes
+    )
+    b_sig = srp_signatures(
+        benchmark, id_col=id_col, vec_col=vec_col, planes=planes
+    )
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+        .withColumn("cn", F.sqrt(vectors.sq_norm_expanded("cv", dim)))
+        .join(c_sig, id_col)
+    )
+    b = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv")
+        )
+        .withColumn("bn", F.sqrt(vectors.sq_norm_expanded("bv", dim)))
+        .join(
+            b_sig.select(F.col(id_col).alias("bench_id"), "bucket"),
+            "bench_id",
+        )
+    )
+    if multiprobe:
+        b = b.withColumn("bucket", F.explode(_hamming1_buckets(planes)))
+    sim = vectors.dot_expanded("cv", "bv", dim) / (
+        F.col("cn") * F.col("bn")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("sim"), F.asc("bench_id")
+    )
+    return (
+        c.join(F.broadcast(b), "bucket")
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= float(threshold))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "bench_id", "sim")
+    )
+
+
 def srp_balanced_sample(
     df: DataFrame,
     *,

@@ -3344,6 +3344,76 @@ ORACLES: dict[str, str] = {
     """,
     # SRP-LSH: fixed-point projections keep the sign computation in
     # exact int64 arithmetic on both engines (see similarity.py)
+    # q177: semantic decontamination — synthesized benchmark (every
+    # 41st vector, first component +0.002, id remapped), the q75 SRP
+    # chain (planes=6) on BOTH sides, Hamming-1 probe expansion on the
+    # benchmark side, exact 6-dp cosine >= 0.999, argmax per corpus id
+    "q177_semantic_decontamination": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bvecs AS (
+            SELECT vec_id + 1000000000 AS bench_id,
+                   list_prepend(v[1] + 0.002, v[2:]) AS v
+            FROM vecs WHERE vec_id % 41 = 1
+        ),
+        planes AS (SELECT unnest(range(0, 6)) AS p),
+        celx AS (
+            SELECT vec_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i
+                  FROM vecs)
+        ),
+        cbucket AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM (
+                SELECT vec_id, p,
+                       SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                                THEN 1 ELSE -1 END) AS proj
+                FROM celx CROSS JOIN planes GROUP BY 1, 2
+            ) GROUP BY 1
+        ),
+        belx AS (
+            SELECT bench_id, i - 1 AS d,
+                   CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+            FROM (SELECT bench_id, v, unnest(range(1, len(v) + 1)) AS i
+                  FROM bvecs)
+        ),
+        bbucket AS (
+            SELECT bench_id,
+                   SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM (
+                SELECT bench_id, p,
+                       SUM(xq * CASE WHEN {_hash60("p || '_' || d")} % 2 = 0
+                                THEN 1 ELSE -1 END) AS proj
+                FROM belx CROSS JOIN planes GROUP BY 1, 2
+            ) GROUP BY 1
+        ),
+        bprobe AS (
+            SELECT bench_id, bucket FROM bbucket
+            UNION ALL
+            SELECT bench_id, xor(bucket, (CAST(1 AS BIGINT) << p)) AS bucket
+            FROM bbucket CROSS JOIN planes
+        ),
+        cand AS (
+            SELECT c.vec_id, b.bench_id,
+                   ROUND(list_cosine_similarity(cv.v, bv.v), 6) AS sim
+            FROM cbucket c
+            JOIN bprobe b ON c.bucket = b.bucket
+            JOIN vecs cv ON cv.vec_id = c.vec_id
+            JOIN bvecs bv ON bv.bench_id = b.bench_id
+        )
+        SELECT vec_id, bench_id, sim FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, bench_id ASC) AS rn
+            FROM cand WHERE sim >= 0.999
+        ) WHERE rn = 1
+        ORDER BY vec_id
+    """,
     "q75_srp_lsh_ann": f"""
         WITH vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -5667,6 +5667,37 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q177_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination (round 11 —
+    operators/quality.semantic_decontaminate): the semantic complement
+    of q71's n-gram pass, catching the paraphrase/translation leaks
+    token overlap misses. The benchmark is SYNTHESIZED the q171 way —
+    every 41st corpus vector, first component perturbed by +0.002 and
+    id remapped — so contamination exists at the operator's designed
+    operating point (near-dup similarity), deterministically at every
+    SF. Candidates come from the deterministic SRP bucket equi-join
+    (benchmark side Hamming-1 multi-probed and broadcast — bounded by
+    the eval suite, never |corpus|·|benchmark|), exact 6-dp cosine
+    verifies, argmax per corpus vector (ties to the smaller bench id).
+    The oracle replays the synthesis, the hyperplanes, the probe
+    expansion, and the verify from the same md5 literals. Recall vs
+    the exhaustive blocked-GEMM truth is pinned in
+    tests/test_dedup_similarity.py."""
+    from ..operators.quality import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 41 == 1).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "CASE WHEN i = 0 THEN x + 0.002 ELSE x END)"
+        ).alias("embedding"),
+    )
+    return semantic_decontaminate(
+        emb, bench, threshold=0.999, planes=6
+    ).transform(_ordered, "vec_id")
+
+
 def q176_front_door_lm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone with the CCNet stage order COMPLETE: q171's full
     front door (blocklist → mojibake repair → extraction → C4 →
@@ -5719,6 +5750,7 @@ def q176_front_door_lm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q177_semantic_decontamination": q177_semantic_decontamination,
     "q176_front_door_lm_rollup": q176_front_door_lm_rollup,
     "q175_residual_pq_recall": q175_residual_pq_recall,
     "q174_lm_perplexity": q174_lm_perplexity,

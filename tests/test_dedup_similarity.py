@@ -582,3 +582,136 @@ def test_recommend_top_n_committed_matches_float_dot(spark):
     assert [(r.item_id, r.score_micro2) for r in sorted(recs, key=lambda r: r.rnk)] == [
         (item, -neg) for neg, item in scored
     ]
+
+
+# -- semantic decontamination (round 11) ----------------------------------------
+
+
+def _decontam_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bench = emb.filter(F.col("vec_id") % 41 == 1).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "CASE WHEN i = 0 THEN x + 0.002 ELSE x END)"
+        ).alias("embedding"),
+    )
+    return emb, bench
+
+
+def test_semantic_decontaminate_finds_planted_copies(spark):
+    """Every perturbed benchmark copy flags exactly its source vector
+    at dup-grade similarity, and nothing else reaches the threshold."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        semantic_decontaminate,
+    )
+
+    emb, bench = _decontam_fixture(spark)
+    rows = semantic_decontaminate(emb, bench, threshold=0.999).collect()
+    assert len(rows) == bench.count()
+    assert all(r["bench_id"] - 10**9 == r["vec_id"] for r in rows)
+    assert all(r["sim"] >= 0.999 for r in rows)
+
+
+def test_semantic_decontaminate_matches_exhaustive_truth(spark):
+    """LSH-candidate recall at the designed operating point: the
+    flagged id set equals the exhaustive cross-join truth at the same
+    threshold (brute force is the baseline, LSH the scale path)."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.functions import vectors
+    from big_data_song_recommendation_spark.operators.quality import (
+        semantic_decontaminate,
+    )
+
+    emb, bench = _decontam_fixture(spark)
+    dim = vectors.infer_dim(emb, "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")).withColumn(
+        "cn", F.sqrt(vectors.sq_norm_expanded("cv", dim))
+    )
+    b = bench.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")).withColumn(
+        "bn", F.sqrt(vectors.sq_norm_expanded("bv", dim))
+    )
+    truth = {
+        r["cid"]
+        for r in c.crossJoin(F.broadcast(b))
+        .withColumn(
+            "sim",
+            F.round(
+                vectors.dot_expanded("cv", "bv", dim)
+                / (F.col("cn") * F.col("bn")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= 0.999)
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in semantic_decontaminate(emb, bench, threshold=0.999).collect()
+    }
+    assert got == truth and truth
+
+
+def test_semantic_decontaminate_clean_benchmark_flags_nothing(spark):
+    """Near-orthogonal synthetic vectors never reach dup-grade cosine:
+    an UNperturbed disjoint benchmark yields an empty result."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.quality import (
+        semantic_decontaminate,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bench = emb.filter(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    assert semantic_decontaminate(corpus, bench, threshold=0.999).isEmpty()
+
+
+def test_semantic_decontaminate_benchmark_side_broadcasts(spark):
+    """The 100 TB shape: the (multi-probed) benchmark side rides a
+    broadcast hash join — the corpus is never shuffled for the pairing
+    and never crosses |corpus|x|benchmark|."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        semantic_decontaminate,
+    )
+
+    emb, bench = _decontam_fixture(spark)
+    df = semantic_decontaminate(emb, bench, threshold=0.999)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_multiprobe_superset(spark):
+    """Hamming-1 probing can only ADD candidates: the exact-bucket
+    result is a subset of the multi-probed one."""
+    from big_data_song_recommendation_spark.operators.quality import (
+        semantic_decontaminate,
+    )
+
+    emb, bench = _decontam_fixture(spark)
+    single = {
+        (r["vec_id"], r["bench_id"])
+        for r in semantic_decontaminate(
+            emb, bench, threshold=0.999, multiprobe=False
+        ).collect()
+    }
+    multi = {
+        (r["vec_id"], r["bench_id"])
+        for r in semantic_decontaminate(
+            emb, bench, threshold=0.999, multiprobe=True
+        ).collect()
+    }
+    assert single <= multi
