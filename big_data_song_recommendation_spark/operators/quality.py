@@ -867,6 +867,72 @@ def dedup_lines_within_doc(
     ).drop("__dl_lines", "__dl_norm", "__dl_kept")
 
 
+def dedup_lines_across_corpus(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+    out_text: str = "clean_text",
+) -> DataFrame:
+    """C4's GLOBAL line rule (Raffel et al. 2020 §2.2: lines that
+    appear more than once IN THE DATA SET are discarded — every copy):
+    count each normalized line (``lower(trim(line))``, the
+    :func:`dedup_lines_within_doc` key) across the WHOLE corpus and
+    remove all copies of any line whose count exceeds
+    ``max_occurrences`` — the cookie banners, footers, and license
+    blurbs shared by mirrors that the intra-doc pass cannot see.
+    Empty lines are exempt (never counted, never removed): they carry
+    no boilerplate signal and would otherwise all vanish together.
+
+    Shape: one posexplode for the global counts (line-keyed shuffle),
+    the hot set derives as ``count > max_occurrences`` — a tiny
+    fraction of distinct lines by construction (only REPEATED
+    boilerplate crosses the cap), so the anti-join back onto the line
+    stream broadcasts under AQE; the doc rebuild is one id-keyed
+    aggregate (order restored by the carried ``pos``). Hot lines are
+    exactly the join's heavy keys and they sit on the SMALL side —
+    the corpus side streams. A 100 TB corpus pays two exchanges
+    (line counts, doc rebuild), both on spreadable keys.
+
+    Emits, never drops (the q78/q153 audit pattern): ``id_col``, all
+    carried input columns, ``n_lines``, ``n_kept_lines``,
+    ``n_removed``, ``out_text`` (docs whose every line was hot keep a
+    zero-fill row with ``out_text = ''``)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "__line"),
+    ).withColumn("__key", F.lower(F.trim("__line")))
+    hot = (
+        lines.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > int(max_occurrences))
+        .select("__key")
+    )
+    kept = lines.join(hot, "__key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_text),
+    )
+    return (
+        df.withColumn(
+            "n_lines",
+            F.size(F.split(F.col(text_col), "\n")).cast("long"),
+        )
+        .join(rebuilt, id_col, "left")
+        .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)))
+        .withColumn(out_text, F.coalesce(out_text, F.lit("")))
+        .withColumn("n_removed", F.col("n_lines") - F.col("n_kept_lines"))
+    )
+
+
 @dataclass(frozen=True)
 class FrontDoorConfig:
     """Declarative stage list for the crawl front door (VERDICT r10

@@ -2019,6 +2019,54 @@ ORACLES: dict[str, str] = {
     # q166: intra-document keep-first line dedup — positional unnest
     # + row_number keep-first + ordered string_agg replays the
     # operator's array_position(norm, norm[i]) == i+1 filter exactly
+    # q178: C4's GLOBAL line rule — corpus-wide normalized-line counts,
+    # every copy above the cap removed, empty lines exempt; per-doc
+    # audit + ordered rebuild length
+    "q178_corpus_line_dedup": """
+        WITH pages AS (
+            SELECT doc_id,
+                   'Accept all cookies to continue.' || chr(10) ||
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                       || chr(10) ||
+                   'lang ' || lang || ' section.' || chr(10) ||
+                   'pair ' ||
+                   CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)
+                       || ' marker.' || chr(10) ||
+                   '' AS page
+            FROM documents
+        ),
+        arr AS (
+            SELECT doc_id, string_split(page, chr(10)) AS lines
+            FROM pages
+        ),
+        lines AS (
+            SELECT doc_id, unnest(lines) AS line,
+                   unnest(range(1, len(lines) + 1)) AS pos
+            FROM arr
+        ),
+        keyed AS (
+            SELECT doc_id, pos, line, lower(trim(line)) AS key FROM lines
+        ),
+        counts AS (
+            SELECT key, count(*) AS n FROM keyed
+            WHERE key <> '' GROUP BY key
+        ),
+        flagged AS (
+            SELECT k.doc_id, k.pos, k.line,
+                   (k.key = '' OR c.n IS NULL OR c.n <= 2) AS kept
+            FROM keyed k LEFT JOIN counts c USING (key)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (WHERE kept) AS BIGINT)
+                   AS n_kept_lines,
+               CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT)
+                   AS n_removed,
+               CAST(length(COALESCE(
+                   string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE kept), '')) AS BIGINT) AS clean_chars
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
     "q166_line_dedup": """
         WITH pages AS (
             SELECT doc_id,

@@ -5667,6 +5667,49 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q178_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's GLOBAL line rule (round 11 —
+    operators/quality.dedup_lines_across_corpus): every copy of a line
+    repeated past the cap ACROSS the corpus is discarded, the
+    boilerplate the intra-doc pass (q166) cannot see. Each document
+    synthesizes a 5-line page: a cookie banner shared by ALL docs and
+    a lang line shared by hundreds (both removed at cap=2), a pair
+    line shared by exactly 2 docs and a unique body (both kept — the
+    cap's threshold semantics, not just 'seen twice'). Shape: one
+    line-keyed count shuffle; the hot set (repeated boilerplate only)
+    anti-joins back small-side; one id-keyed rebuild. Twin: positional
+    unnest + global counts + ordered string_agg."""
+    from ..operators.quality import dedup_lines_across_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Accept all cookies to continue."),
+        F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"),
+            F.lit(": "), F.col("text"),
+        ),
+        F.concat(F.lit("lang "), F.col("lang"), F.lit(" section.")),
+        F.concat(
+            F.lit("pair "),
+            F.floor(F.col("doc_id") / 2).cast("string"),
+            F.lit(" marker."),
+        ),
+        F.lit(""),
+    )
+    out = dedup_lines_across_corpus(
+        docs.select("doc_id", page.alias("text")),
+        max_occurrences=2,
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+    ).transform(_ordered, "doc_id")
+
+
 def q177_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING-space decontamination (round 11 —
     operators/quality.semantic_decontaminate): the semantic complement
@@ -5750,6 +5793,7 @@ def q176_front_door_lm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q178_corpus_line_dedup": q178_corpus_line_dedup,
     "q177_semantic_decontamination": q177_semantic_decontamination,
     "q176_front_door_lm_rollup": q176_front_door_lm_rollup,
     "q175_residual_pq_recall": q175_residual_pq_recall,

@@ -310,3 +310,66 @@ def test_mojibake_pairs_are_longest_first(spark):
 
     for m, f in MOJIBAKE_PAIRS:
         assert m == "".join(_cp1252_or_latin1(b) for b in f.encode("utf-8"))
+
+
+# -- C4's GLOBAL line rule (round 11) -------------------------------------------
+
+
+def test_corpus_line_dedup_removes_every_copy_above_cap(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.quality import (
+        dedup_lines_across_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie banner.\nunique one.\nshared twice."),
+            (2, "Cookie banner.\nunique two.\nShared Twice. "),
+            (3, "Cookie banner.\nunique three."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_across_corpus(docs, max_occurrences=1).collect()
+    }
+    # banner (3 copies) drops everywhere; the normalized-key pair
+    # ("shared twice." vs "Shared Twice. ") counts as 2 > cap → drops
+    assert out[1]["clean_text"] == "unique one."
+    assert out[2]["clean_text"] == "unique two."
+    assert out[3]["clean_text"] == "unique three."
+    assert out[1]["n_removed"] == 2 and out[3]["n_removed"] == 1
+    # cap=2 keeps the pair, still drops the 3-copy banner
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup_lines_across_corpus(docs, max_occurrences=2).collect()
+    }
+    assert out2[1]["clean_text"] == "unique one.\nshared twice."
+    assert out2[2]["clean_text"] == "unique two.\nShared Twice. "
+
+
+def test_corpus_line_dedup_empty_exempt_and_zero_fill(spark):
+    from big_data_song_recommendation_spark.operators.quality import (
+        dedup_lines_across_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same.\n\nsame."),
+            (2, "same.\n\nsame."),
+            (3, "keep me."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_across_corpus(docs, max_occurrences=1).collect()
+    }
+    # "same." has 4 corpus copies → all drop; empty lines are exempt
+    # (the sole survivor), so the rebuilt text is the one empty line
+    assert out[1]["clean_text"] == "" and out[2]["clean_text"] == ""
+    assert out[1]["n_kept_lines"] == 1  # the exempt empty line
+    assert out[3]["clean_text"] == "keep me."
+    # a doc can lose every non-empty line and still emit its audit row
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
