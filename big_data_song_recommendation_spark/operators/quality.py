@@ -874,6 +874,7 @@ def dedup_lines_across_corpus(
     text_col: str = "text",
     max_occurrences: int = 1,
     out_text: str = "clean_text",
+    audit_prefix: str = "",
 ) -> DataFrame:
     """C4's GLOBAL line rule (Raffel et al. 2020 §2.2: lines that
     appear more than once IN THE DATA SET are discarded — every copy):
@@ -912,7 +913,7 @@ def dedup_lines_across_corpus(
     )
     kept = lines.join(hot, "__key", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept_lines"),
+        F.count("*").alias(f"{audit_prefix}n_kept_lines"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "__line"))),
@@ -923,13 +924,20 @@ def dedup_lines_across_corpus(
     )
     return (
         df.withColumn(
-            "n_lines",
+            f"{audit_prefix}n_lines",
             F.size(F.split(F.col(text_col), "\n")).cast("long"),
         )
         .join(rebuilt, id_col, "left")
-        .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)))
+        .withColumn(
+            f"{audit_prefix}n_kept_lines",
+            F.coalesce(f"{audit_prefix}n_kept_lines", F.lit(0)),
+        )
         .withColumn(out_text, F.coalesce(out_text, F.lit("")))
-        .withColumn("n_removed", F.col("n_lines") - F.col("n_kept_lines"))
+        .withColumn(
+            f"{audit_prefix}n_removed",
+            F.col(f"{audit_prefix}n_lines")
+            - F.col(f"{audit_prefix}n_kept_lines"),
+        )
     )
 
 
@@ -959,6 +967,13 @@ class FrontDoorConfig:
     fix_encoding: bool = False
     min_lines_kept: int = 2
     dedup_lines: bool = False
+    #: CCNet's per-shard paragraph dedup: when set, every copy of a
+    #: line repeated more than this many times WITHIN the batch is
+    #: removed (:func:`dedup_lines_across_corpus` over the
+    #: batch/shard — Wenzek et al. 2020 dedup paragraphs per shard
+    #: BEFORE the LM scores). Non-gating: documents keep their rows
+    #: (a doc reduced to nothing scores as empty downstream).
+    batch_line_cap: int | None = None
     quality_weights: tuple | None = None
     min_score_micro: int | None = None
     langid_weights: tuple | None = None
@@ -982,6 +997,8 @@ class FrontDoorConfig:
         stages += ["extract", "c4"]
         if self.dedup_lines:
             stages.append("line_dedup")
+        if self.batch_line_cap is not None:
+            stages.append("batch_line_dedup")
         if self.url_col:
             stages.append("url_dedup")
         if self.quality_weights is not None:
@@ -1153,6 +1170,25 @@ def crawl_front_door_configured(
             .withColumnRenamed("__dl_n_removed", "n_dup_lines")
             .drop("__ddl", "__dl_n_lines", "__dl_n_kept_lines")
         )
+    if cfg.batch_line_cap is not None:
+        # CCNet's per-shard paragraph dedup: boilerplate repeated
+        # ACROSS the batch's documents drops before the canonical-url
+        # / learned gates key on the text. One count shuffle + one
+        # rebuild — the front door's only exchanges besides the LM
+        # stage when enabled.
+        out = (
+            dedup_lines_across_corpus(
+                out,
+                id_col=id_col,
+                text_col="text",
+                max_occurrences=int(cfg.batch_line_cap),
+                out_text="__blc",
+                audit_prefix="__blc_",
+            )
+            .withColumn("text", F.col("__blc"))
+            .withColumnRenamed("__blc_n_removed", "n_batch_dup_lines")
+            .drop("__blc", "__blc_n_lines", "__blc_n_kept_lines")
+        )
     if url_col:
         from ..functions.url import canonical_url
 
@@ -1290,6 +1326,29 @@ def front_door_verdicts(df: DataFrame, cfg: FrontDoorConfig) -> DataFrame:
             .withColumn("text", F.col("__ddl"))
             .drop("__ddl", "__dl_n_lines", "__dl_n_kept_lines", "__dl_n_removed")
         )
+    if cfg.batch_line_cap is not None:
+        # the dropping pipeline counts lines over SURVIVORS only, so
+        # the no-drop twin must too: already-rejected docs' lines must
+        # not push a survivor's line over the cap (the url_dedup
+        # alive-conditioning rule applied to the batch counts)
+        alive = out.filter(F.col("__verdict").isNull())
+        gone = out.filter(F.col("__verdict").isNotNull())
+        alive = (
+            dedup_lines_across_corpus(
+                alive,
+                id_col=id_col,
+                text_col="text",
+                max_occurrences=int(cfg.batch_line_cap),
+                out_text="__blc",
+                audit_prefix="__blc_",
+            )
+            .withColumn("text", F.col("__blc"))
+            .drop(
+                "__blc", "__blc_n_lines", "__blc_n_kept_lines",
+                "__blc_n_removed",
+            )
+        )
+        out = alive.unionByName(gone.select(*alive.columns))
     if url_col:
         from ..functions.url import canonical_url
 

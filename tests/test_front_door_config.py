@@ -149,3 +149,39 @@ def test_quality_and_langid_gates_in_audit(spark):
     assert stages["quality"]["n_kept"] == 0  # the impossible bar
     assert stages["langid"]["n_in"] == 0  # nothing reaches it
     assert crawl_front_door_configured(src, cfg).count() == 0
+
+
+def test_batch_line_dedup_stage(spark):
+    """CCNet's per-shard paragraph dedup as a front-door stage: with
+    batch_line_cap=1, the 'Subscribe' boilerplate shared by every page
+    drops from the cleaned text, the stage appears in stage_list (not
+    gate_list — it drops lines, not documents), and the no-drop
+    verdict pipeline still marks exactly the pipeline's survivors
+    (its batch counts must run over still-alive docs only)."""
+    from pyspark.sql import functions as F
+
+    src = _source(spark)
+    cfg = FrontDoorConfig(
+        url_col="url",
+        blocked_domains=("example.co.uk",),
+        fix_encoding=True,
+        dedup_lines=True,
+        batch_line_cap=1,
+        lm_buckets=("head", "middle", "tail"),  # LM verdict kept permissive
+    )
+    assert "batch_line_dedup" in cfg.stage_list()
+    assert "batch_line_dedup" not in cfg.gate_list()
+    out = crawl_front_door_configured(src, cfg)
+    assert "n_batch_dup_lines" in out.columns
+    rows = out.collect()
+    assert rows and all(
+        "Subscribe to our newsletter" not in r["text"] for r in rows
+    )
+    assert sum(r["n_batch_dup_lines"] for r in rows) > 0
+    alive = {
+        r["doc_id"]
+        for r in front_door_verdicts(src, cfg)
+        .filter(F.col("verdict").isNull())
+        .collect()
+    }
+    assert alive == {r["doc_id"] for r in out.select("doc_id").collect()}
