@@ -1899,6 +1899,97 @@ def _residual_pq_sql() -> str:
 
 
 
+def _front_door_batch_dedup_sql() -> str:
+    """q179 twin: the q176 stage composition (clean-page synthesis →
+    extraction → C4 → intra-doc line dedup) extended with the
+    batch_line_cap stage's CTEs — the q178 count/flag/rebuild pattern
+    over the POST-intra-dedup text (count each non-empty normalized
+    line across the corpus, drop every copy past the cap, rebuild in
+    original order)."""
+    from .queries import _Q171_CLEAN_LINE
+
+    line_lit = _Q171_CLEAN_LINE.replace("'", "''")
+    page = (
+        "'<html><head><script>var x = 1;</script></head><body>"
+        '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>'
+        "<article><p>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "' of the corpus.</p><p>' || text || ' tail marker.</p>"
+        "<p>Subscribe to our newsletter today.</p>"
+        "<p>Subscribe to our newsletter today.</p><p>"
+        f"{line_lit}" + "</p><p>lang ' || lang || "
+        "'</p><p>Enable javascript to continue.</p></article>"
+        "<footer>&copy; corp</footer></body></html>'"
+    )
+    return f"""
+        WITH {_extraction_ctes(page)},
+        c AS (
+            SELECT doc_id,
+                   {_c4_kept("string_split(extracted, chr(10))")} AS kept
+            FROM f
+        ),
+        cl AS (
+            SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept, kept
+            FROM c WHERE len(kept) >= 2
+        ),
+        lines AS (
+            SELECT doc_id, unnest(kept) AS line,
+                   unnest(range(1, len(kept) + 1)) AS pos
+            FROM cl
+        ),
+        ranked AS (
+            SELECT doc_id, line, pos,
+                   row_number() OVER (
+                       PARTITION BY doc_id, lower(trim(line))
+                       ORDER BY pos) AS rn
+            FROM lines
+        ),
+        dl AS (
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dup_lines,
+                   COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE rn = 1), '') AS text
+            FROM ranked GROUP BY doc_id
+        ),
+        blines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1))
+                       AS pos
+            FROM dl
+        ),
+        bkeyed AS (
+            SELECT doc_id, pos, line, lower(trim(line)) AS key
+            FROM blines
+        ),
+        bcounts AS (
+            SELECT key, count(*) AS n FROM bkeyed
+            WHERE key <> '' GROUP BY key
+        ),
+        bflag AS (
+            SELECT k.doc_id, k.pos, k.line,
+                   (k.key = '' OR c.n IS NULL OR c.n <= 2) AS kept
+            FROM bkeyed k LEFT JOIN bcounts c USING (key)
+        ),
+        bd AS (
+            SELECT doc_id,
+                   CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT)
+                       AS n_batch_dup_lines,
+                   CAST(length(COALESCE(
+                       string_agg(line, chr(10) ORDER BY pos)
+                           FILTER (WHERE kept), '')) AS BIGINT)
+                       AS clean_chars
+            FROM bflag GROUP BY doc_id
+        )
+        SELECT cl.doc_id, cl.n_kept, dl.n_dup_lines,
+               bd.n_batch_dup_lines, bd.clean_chars
+        FROM cl
+        JOIN dl USING (doc_id)
+        JOIN bd USING (doc_id)
+        ORDER BY cl.doc_id
+    """
+
+
 def _front_door_lm_sql() -> str:
     """q176 twin: the q171 stage composition (extraction → C4 →
     line-dedup → canonicalization → blocklist) extended with the
@@ -1978,6 +2069,9 @@ def _front_door_lm_sql() -> str:
 
 
 ORACLES: dict[str, str] = {
+    # round-12: the front door's CCNet per-shard paragraph dedup stage
+    "q179_front_door_batch_dedup": _front_door_batch_dedup_sql(),
+
     # round-10: capstone with the CCNet LM gate composed last
     "q176_front_door_lm_rollup": _front_door_lm_sql(),
 
@@ -6071,3 +6165,30 @@ ORACLES: dict[str, str] = {
         ORDER BY user_id, valid_from
     """,
 }
+
+# q180: the per-doc decontamination CARD — the q71 and q177 oracle
+# texts VERBATIM as CTE subqueries (no drift possible), left-joined
+# onto the training-corpus ids with coalesced n-gram counts, nullable
+# semantic columns, and the folded verdict. Defined after the dict so
+# it can reference the two entries it composes.
+ORACLES["q180_decontamination_card"] = f"""
+    WITH ng AS (SELECT * FROM ({ORACLES["q71_decontamination"]}) t),
+         sem AS (SELECT * FROM ({ORACLES["q177_semantic_decontamination"]}) t)
+    SELECT d.doc_id,
+           COALESCE(ng.n_overlap, 0) AS n_overlap,
+           COALESCE(ng.n_bench_docs, 0) AS n_bench_docs,
+           ng.doc_id IS NOT NULL AS ngram_flagged,
+           sem.bench_id AS sem_bench_id,
+           sem.sim AS sem_sim,
+           sem.vec_id IS NOT NULL AS sem_flagged,
+           CASE WHEN ng.doc_id IS NOT NULL AND sem.vec_id IS NOT NULL
+                THEN 'both'
+                WHEN ng.doc_id IS NOT NULL THEN 'ngram'
+                WHEN sem.vec_id IS NOT NULL THEN 'semantic'
+                ELSE 'clean' END AS verdict
+    FROM documents d
+    LEFT JOIN ng ON ng.doc_id = d.doc_id
+    LEFT JOIN sem ON sem.vec_id = d.doc_id
+    WHERE d.doc_id % 20 <> 0
+    ORDER BY d.doc_id
+"""

@@ -5667,6 +5667,106 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q180_decontamination_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE verdict row per training document with BOTH decontamination
+    passes (round 12, VERDICT r11 #6): modern data cards report n-gram
+    AND embedding-space contamination together, but q71 and q177 run
+    as separate passes — this composes them with the front_door_audit
+    emit-never-drop pattern: every corpus doc (q71's %20 split) gets a
+    row; the n-gram columns coalesce to 0, the semantic columns stay
+    NULL when clean (at SFs where embeddings cover a doc prefix only,
+    uncovered docs are semantically NULL by construction), and
+    ``verdict`` folds the four outcomes (both/ngram/semantic/clean).
+    Plan: the UNION of the two existing shapes — q71's shingle
+    equi-join + q177's SRP bucket join — plus two joins of the SMALL
+    flagged sets back onto the corpus ids (broadcast under AQE; the
+    corpus side adds no new shuffle). Twin: the q71 and q177 oracle
+    texts verbatim as CTE subqueries + the same two left joins."""
+    from ..operators.quality import decontaminate, semantic_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    ng = decontaminate(corpus, bench, k=5)
+    sem_bench = emb.filter(F.col("vec_id") % 41 == 1).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"),
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), (x, i) -> "
+            "CASE WHEN i = 0 THEN x + 0.002 ELSE x END)"
+        ).alias("embedding"),
+    )
+    sem = semantic_decontaminate(emb, sem_bench, threshold=0.999, planes=6)
+    out = (
+        corpus.select("doc_id")
+        .join(ng, "doc_id", "left")
+        .join(
+            sem.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("bench_id").alias("sem_bench_id"),
+                F.col("sim").alias("sem_sim"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    ngf = F.col("n_overlap").isNotNull()
+    smf = F.col("sem_bench_id").isNotNull()
+    return out.select(
+        "doc_id",
+        F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        F.coalesce("n_bench_docs", F.lit(0).cast("long")).alias(
+            "n_bench_docs"
+        ),
+        ngf.alias("ngram_flagged"),
+        "sem_bench_id",
+        "sem_sim",
+        smf.alias("sem_flagged"),
+        F.when(ngf & smf, "both")
+        .when(ngf, "ngram")
+        .when(smf, "semantic")
+        .otherwise("clean")
+        .alias("verdict"),
+    ).transform(_ordered, "doc_id")
+
+
+def q179_front_door_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-shard paragraph dedup INSIDE the front door (round
+    12, VERDICT r11 #3 — the ``FrontDoorConfig.batch_line_cap`` stage
+    landed in r11 unit-tested but with no oracle row): q171's
+    synthesized crawl runs mojibake repair → extraction → C4 →
+    intra-doc line dedup → the batch line cap (Wenzek et al. 2020
+    dedup paragraphs per shard BEFORE the LM scores). The stage
+    removes exactly the cross-document boilerplate the intra-doc pass
+    cannot see — the subscribe banner's SURVIVING copy (one per doc
+    after q166's pass, corpus-count ≫ cap) and the shared clean
+    sentence — while per-doc-unique lines keep every copy. Non-gating:
+    every post-C4 doc keeps its audit row. Shape: the front door's
+    map-only chain + the stage's two spreadable exchanges (line-keyed
+    count, id-keyed rebuild; the hot set is the SMALL side). Twin:
+    q176's stage CTE composition + q178's count/flag/rebuild CTEs over
+    the post-intra-dedup text."""
+    from ..operators.quality import (
+        FrontDoorConfig,
+        crawl_front_door_configured,
+    )
+
+    src = _q171_source(load_table(spark, sf_dir, "documents"))
+    fd = crawl_front_door_configured(
+        src,
+        FrontDoorConfig(
+            fix_encoding=True, dedup_lines=True, batch_line_cap=2
+        ),
+    )
+    return fd.select(
+        "doc_id",
+        "n_kept",
+        "n_dup_lines",
+        "n_batch_dup_lines",
+        F.length("text").cast("long").alias("clean_chars"),
+    ).transform(_ordered, "doc_id")
+
+
 def q178_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's GLOBAL line rule (round 11 —
     operators/quality.dedup_lines_across_corpus): every copy of a line
@@ -5793,6 +5893,8 @@ def q176_front_door_lm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q180_decontamination_card": q180_decontamination_card,
+    "q179_front_door_batch_dedup": q179_front_door_batch_dedup,
     "q178_corpus_line_dedup": q178_corpus_line_dedup,
     "q177_semantic_decontamination": q177_semantic_decontamination,
     "q176_front_door_lm_rollup": q176_front_door_lm_rollup,

@@ -530,6 +530,49 @@ def test_train_ivf_centroids_distributed_lloyd(spark):
     assert approx == [(-10, 5, -10, 5), (0, 0, 0, 0), (10, 10, 10, 10)]
 
 
+def test_train_ivf_seed_has_no_single_partition_exchange(spark):
+    """VERDICT r11 #1: the seed step must NOT push the corpus through
+    one partition. The two-phase bucketed_rank form keeps every
+    full-corpus exchange hash/range-partitioned; the only permissible
+    SinglePartition window is the metadata-sized bucket-offset
+    prefix-sum, whose input is the bucket-count aggregate (bounded by
+    the bin count), never the corpus. Assert on the physical plan of
+    the exact DF the trainer collects, for BOTH id types."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        _ivf_seed_df,
+        _quantize_sql,
+    )
+
+    rows = [(i, [float(i), float(-i)]) for i in range(64)]
+    for id_expr, schema in [
+        (F.col("vec_id"), "vec_id long, embedding array<double>"),
+        (F.format_string("doc_%05d", "vec_id"), None),
+    ]:
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        base = df.select(
+            id_expr.alias("__id"),
+            F.expr(_quantize_sql("embedding")).alias("__xq"),
+        )
+        seed = _ivf_seed_df(base, [1, 22, 43])
+        plan = seed._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        # every SinglePartition exchange must feed FROM an aggregate
+        # (min/max fold or the bucket-count table — metadata-sized),
+        # never from a corpus projection/sort
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                assert "Aggregate" in lines[i + 1], plan
+        # the corpus-side row_number window is bucket-partitioned
+        rn = [ln for ln in lines if "row_number() windowspecdefinition" in ln]
+        assert rn and all("__rb0" in ln for ln in rn), plan
+        got = {r["__rn"] for r in seed.collect()}
+        assert got == {1, 22, 43}
+
+
 def test_train_ivf_centroids_failure_modes(spark):
     import pytest as _pytest
 
@@ -545,6 +588,85 @@ def test_train_ivf_centroids_failure_modes(spark):
         train_ivf_centroids(df, k=5)
     with _pytest.raises(ValueError, match="k must be"):
         train_ivf_centroids(df, k=0)
+
+
+def test_vector_index_sink_rebuilds_at_growth_threshold(spark, tmp_path):
+    """VERDICT r11 #2 end-to-end: the corpus crosses 4× growth
+    mid-stream, the maintenance epoch consults the advice and REBUILDS
+    at K = round(√(n·nprobe)) — with serving continuity (the very next
+    serve call answers, with the sink's swapped-in artifacts) and
+    merged==rebuilt parity (the rebuilt tables are bit-identical to a
+    fresh build over the same corpus with the same retrained
+    centroids), plus restart recovery (a new sink on the same out_dir
+    restores the retrained centroids from artifacts.json)."""
+    import json as _json
+    import math
+
+    from big_data_song_recommendation_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivfpq_topk_indexed,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+    from big_data_song_recommendation_spark.streaming import jobs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    name = "t_ivfpq_life"
+    tables = build_ivfpq_index(base, name=name, n_buckets=4)
+    try:
+        sink = jobs.VectorIndexSink(
+            str(tmp_path / "vix"), index_name=name, retrain_iters=2
+        )
+        # epoch 0: 100 → 300 vectors (3× < 4×) — merge only
+        sink(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)), 0)
+        a0 = _json.loads(
+            (tmp_path / "vix" / "audit" / "batch_000000.json").read_text()
+        )
+        assert a0["action"] == "merge" and not a0["rebuilt"]
+        assert len(sink.centroids) == 16
+        # epoch 1: → 500 vectors (5× ≥ 4×) — the advice flips and the
+        # sink EXECUTES the K ∝ √n rebuild in the same epoch
+        sink(emb.filter(F.col("vec_id") >= 300), 1)
+        a1 = _json.loads(
+            (tmp_path / "vix" / "audit" / "batch_000001.json").read_text()
+        )
+        k_want = round(math.sqrt(500 * 4))
+        assert a1["rebuilt"] and a1["k_target"] == k_want
+        assert len(sink.centroids) == k_want
+        # merged==rebuilt parity: fresh build over the same corpus with
+        # the same retrained centroids is bit-identical
+        t2 = build_ivfpq_index(
+            emb, coarse_centroids=sink.centroids, name="t_ivfpq_life2",
+            n_buckets=4,
+        )
+        for s in ("codes", "by_id"):
+            got = sorted(map(tuple, spark.table(f"{name}_{s}").collect()))
+            want = sorted(map(tuple, spark.table(t2[s]).collect()))
+            assert got == want, s
+        # serving continuity with the swapped-in artifacts
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_topk_indexed(
+                spark, [0, 1], name=name, k=3,
+                coarse_centroids=sink.centroids,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ivf_pq_topk(
+                emb, emb.filter(F.col("vec_id") < 2), sink.centroids, k=3
+            ).collect()
+        )
+        assert got == want and len(got) == 6
+        # restart recovery: a fresh process's sink restores artifacts
+        sink2 = jobs.VectorIndexSink(str(tmp_path / "vix"), index_name=name)
+        assert sink2.centroids == sink.centroids
+    finally:
+        for t in list(tables.values()) + [
+            f"t_ivfpq_life2_{s}" for s in ("codes", "by_id", "meta")
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_ivfpq_rebuild_advice_rule(spark, ivfpq_index):
