@@ -344,6 +344,21 @@ def pq_rerank_topk(
         codebooks=codebooks,
         exclude_self=exclude_self,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, probes, id_col, vec_col, k)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of a bounded (query_id, neighbor_id)
+    candidate set against the raw vectors — the second stage of
+    :func:`pq_rerank_topk`, factored so :func:`pq_two_stage` can feed
+    it a SHARED ADC pass. Output: (query_id, neighbor_id, sim, rnk)."""
     dim = vectors.infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
@@ -363,6 +378,47 @@ def pq_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+
+def pq_two_stage(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    candidates: int = 20,
+    codebooks=None,
+    exclude_self: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """ADC top-``k`` AND the exact re-rank from ONE ADC pass (round
+    12, the q175 shared-subplan discipline applied to q168): plain ADC
+    top-k is the HEAD (rnk ≤ k) of the candidate ranking by
+    construction — identical window, identical tie rule — so the
+    recall-comparison query that previously PQ-encoded and ADC-scored
+    the corpus once per stage shares a single lazily-checkpointed
+    candidate pass between its two consumers. Returns
+    ``(adc_topk_df, rerank_df)``, row-identical to
+    :func:`pq_adc_topk` / :func:`pq_rerank_topk` (pinned in tests)."""
+    adc_cand = pq_adc_topk(
+        corpus,
+        probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=candidates,
+        codebooks=codebooks,
+        exclude_self=exclude_self,
+    ).localCheckpoint(eager=False)
+    adc_k = adc_cand.filter(F.col("rnk") <= int(k))
+    rr = _exact_rerank(
+        adc_cand.select("query_id", "neighbor_id"),
+        corpus,
+        probes,
+        id_col,
+        vec_col,
+        k,
+    )
+    return adc_k, rr
 
 
 def ivf_pq_topk(
@@ -514,6 +570,7 @@ def pq_residual_encode(
     cluster_col: str = "cluster",
     rcodebooks=None,
     out_col: str = "codes",
+    keep: tuple = (),
 ) -> DataFrame:
     """RESIDUAL product-quantization encode (IVFADC, Jégou et al.
     2011 §IV): each vector's residual against its assigned coarse
@@ -528,7 +585,10 @@ def pq_residual_encode(
     if len(coarse_centroids[0]) != dim:
         raise ValueError("residual encode: coarse centroid dim mismatch")
     staged = assigned.select(
-        F.col(id_col), F.col(cluster_col), F.col(vec_col)
+        F.col(id_col),
+        F.col(cluster_col),
+        *[F.col(c) for c in keep],
+        F.col(vec_col),
     ).withColumn(
         "__cbf", _int_array_lit(v for c in coarse_centroids for v in c)
     )
@@ -553,7 +613,7 @@ def pq_residual_encode(
         )
     codes = _bind_xq("array(" + ", ".join(code_exprs) + ")", vec_col)
     return staged.select(
-        id_col, cluster_col, codes.alias(out_col)
+        id_col, cluster_col, *keep, codes.alias(out_col)
     )
 
 
@@ -614,6 +674,114 @@ def ivf_pq_residual_topk(
         k=k, candidates=candidates, exclude_self=exclude_self,
         adc_offset_col="__qc",
     )
+
+
+def ivf_pq_compare(
+    corpus: DataFrame,
+    probes: DataFrame,
+    coarse_centroids: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+    candidates: int = 20,
+    codebooks=None,
+    rcodebooks=None,
+    exclude_self: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw-PQ and residual-PQ IVFADC arms over ONE shared corpus
+    subplan (VERDICT r11 #5): the q175 recall comparison previously
+    ran the coarse assignment, the corpus norm scan, and the probe
+    routing TWICE — once inside each of :func:`ivf_pq_topk` and
+    :func:`ivf_pq_residual_topk` — even though both arms share them
+    bit-identically by construction (same centroids, same argmin/tie
+    rules, same (distance asc, cluster asc) routing order). Here the
+    assignment and the norm projection build once and cut with a lazy
+    localCheckpoint (two encoder / two re-rank consumers, one
+    execution), and the routing comes from ONE
+    :func:`_route_with_offsets` pass — the raw arm just drops the
+    offset column. What remains per arm is the irreducibly different
+    work: the encode scan against its own codebooks and its ADC tail.
+    Returns ``(raw_df, res_df)``, row-identical to the two standalone
+    operators (pinned in tests)."""
+    books, m_sub, k_cent, dim, d = _pq_params(codebooks)
+    rbooks, rm_sub, rk_cent, rdim, rd = _rpq_params(rcodebooks)
+    if rdim != dim:
+        raise ValueError("ivf_pq_compare: raw/residual codebook dim mismatch")
+    _pq_check_dim(probes, vec_col, dim, "probe")
+    assigned = centroid_assign(corpus, coarse_centroids, vec_col=vec_col)
+    # ONE corpus scan computes BOTH code arrays: the raw and residual
+    # encoders chain as narrow projections (whole-stage codegen fuses
+    # them), and the combined (id, cluster, codes_raw, codes_res)
+    # output — M+M small ints per row — cuts with a lazy checkpoint
+    # for its two ADC-tail consumers (the two-consumer rule; the
+    # standalone operators pay this scan once per arm)
+    enc_both = pq_residual_encode(
+        pq_encode(
+            assigned.withColumn("__v2", F.col(vec_col)),
+            id_col=id_col,
+            vec_col=vec_col,
+            codebooks=codebooks,
+            keep=("cluster", "__v2"),
+            out_col="__codes_raw",
+        ),
+        coarse_centroids,
+        id_col=id_col,
+        vec_col="__v2",
+        rcodebooks=rcodebooks,
+        keep=("__codes_raw",),
+        out_col="__codes_res",
+    ).localCheckpoint(eager=False)
+    enc_raw = enc_both.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster",
+        F.col("__codes_raw").alias("codes"),
+    )
+    enc_res = enc_both.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster",
+        F.col("__codes_res").alias("codes"),
+    )
+    routed_qc = _route_with_offsets(
+        probes, coarse_centroids, id_col=id_col, vec_col=vec_col,
+        nprobe=nprobe,
+    ).localCheckpoint(eager=False)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        )
+        .withColumn("nn", F.sqrt(vectors.sq_norm_expanded("nv", dim)))
+        .localCheckpoint(eager=False)
+    )
+    pv = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(vectors.sq_norm_expanded("qv", dim)))
+
+    def luts(bk, m, kc, dd):
+        return _pq_probe_luts(
+            probes.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            "__qv",
+            bk,
+            m,
+            kc,
+            dd,
+        )
+
+    raw = _ivfpq_tail(
+        enc_raw, routed_qc.select("query_id", "cluster"),
+        luts(books, m_sub, k_cent, d), pv, c, dim, m_sub,
+        k=k, candidates=candidates, exclude_self=exclude_self,
+    )
+    res = _ivfpq_tail(
+        enc_res, routed_qc, luts(rbooks, rm_sub, rk_cent, rd), pv, c,
+        dim, rm_sub,
+        k=k, candidates=candidates, exclude_self=exclude_self,
+        adc_offset_col="__qc",
+    )
+    return raw, res
 
 
 def _ivfpq_tail(
@@ -1979,15 +2147,20 @@ def _ivfpq_rows(
             codebooks=codebooks,
             keep=("cluster",),
         )
+    # xq (the micro-quantized int vector) is stored so SERVING can
+    # compute the probe's ADC lookup tables driver-side in EXACT int
+    # arithmetic — no per-request quantization, no codebook literal
+    # trees in the request plan (round 12, VERDICT r11 #4)
     by_id = _with_routing(
         corpus.select(
             F.col(id_col),
             vectors.as_double_array(vec_col).alias("v"),
             F.sqrt(vectors.sq_norm_expanded(vec_col, dim)).alias("n"),
+            F.expr(_quantize_sql(vec_col)).alias("xq"),
         ),
         coarse_centroids,
         "v",
-    ).select(id_col, "v", "n", "routing", "offsets")
+    ).select(id_col, "v", "n", "xq", "routing", "offsets")
     return enc, by_id
 
 
@@ -2168,14 +2341,43 @@ def ivfpq_topk_indexed(
         [(r[idc], [float(x) for x in r["v"]], float(r["n"])) for r in rows],
         f"query_id {id_sql}, qv array<double>, qn double",
     )
-    p = _pq_probe_luts(
-        pv_local.select("query_id", F.col("qv").alias("__qv")),
-        "__qv",
-        books,
-        m_sub,
-        k_cent,
-        d,
-    )
+    if "xq" in spark.table(f"{name}_by_id").columns:
+        # round-12 layout: by_id stores the micro-quantized vector, so
+        # the probe's M ADC lookup tables compute DRIVER-SIDE in exact
+        # int arithmetic (the same Σ xq·book fold _pq_probe_luts
+        # expresses) — the request plan then carries NO codebook
+        # literals and no M·K·d expression tree, the round-11-verdict
+        # literal weight that dominated the single-probe p50
+        p = spark.createDataFrame(
+            [
+                (
+                    r[idc],
+                    [
+                        [
+                            sum(
+                                int(r["xq"][m * d + j])
+                                * int(books[m][c * d + j])
+                                for j in range(d)
+                            )
+                            for c in range(k_cent)
+                        ]
+                        for m in range(m_sub)
+                    ],
+                )
+                for r in rows
+            ],
+            f"query_id {id_sql}, __luts array<array<bigint>>",
+        )
+    else:
+        # pre-round-12 index without stored xq: the expression path
+        p = _pq_probe_luts(
+            pv_local.select("query_id", F.col("qv").alias("__qv")),
+            "__qv",
+            books,
+            m_sub,
+            k_cent,
+            d,
+        )
     c = spark.table(f"{name}_by_id").select(
         F.col(idc).alias("neighbor_id"),
         F.col("v").alias("nv"),

@@ -5290,11 +5290,15 @@ def q168_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 8)
     exact = similarity.brute_force_knn(emb, probes, k=3).select(
         "query_id", "neighbor_id"
-    )
-    adc = similarity.pq_adc_topk(emb, probes, k=3).select(
+    ).localCheckpoint(eager=False)  # feeds both hit joins
+    # ONE shared encode+ADC pass: ADC top-3 is the head of the top-20
+    # candidate ranking (similarity.pq_two_stage — round 12; this
+    # query previously scored the corpus once per stage)
+    adc_df, rr_df = similarity.pq_two_stage(emb, probes, k=3, candidates=20)
+    adc = adc_df.select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
-    rr = similarity.pq_rerank_topk(emb, probes, k=3, candidates=20).select(
+    rr = rr_df.select(
         F.col("query_id").alias("rq"), F.col("neighbor_id").alias("rn")
     )
     ha = (
@@ -5649,10 +5653,10 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("__h").alias(name))
         )
 
-    raw = similarity.ivf_pq_topk(
-        emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=5
-    )
-    res = similarity.ivf_pq_residual_topk(
+    # ONE shared assignment/routing/norm subplan feeds both arms
+    # (similarity.ivf_pq_compare — VERDICT r11 #5); each arm keeps
+    # only its own encode scan + ADC tail
+    raw, res = similarity.ivf_pq_compare(
         emb, probes, IVF_CENTROIDS, k=3, nprobe=4, candidates=5
     )
     both = hits(raw, "n_hits_raw").join(hits(res, "n_hits_res"), "query_id")

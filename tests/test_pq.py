@@ -590,6 +590,55 @@ def test_train_ivf_centroids_failure_modes(spark):
         train_ivf_centroids(df, k=0)
 
 
+def test_pq_two_stage_matches_standalone(spark):
+    """pq_two_stage's shared ADC pass is ROW-IDENTICAL to the
+    standalone pq_adc_topk / pq_rerank_topk (the head-of-ranking
+    share must be a pure plan change)."""
+    from big_data_song_recommendation_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_rerank_topk,
+        pq_two_stage,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4)
+    a2, r2 = pq_two_stage(emb, probes, k=3, candidates=10)
+    assert sorted(map(tuple, a2.collect())) == sorted(
+        map(tuple, pq_adc_topk(emb, probes, k=3).collect())
+    )
+    assert sorted(map(tuple, r2.collect())) == sorted(
+        map(tuple, pq_rerank_topk(emb, probes, k=3, candidates=10).collect())
+    )
+
+
+def test_ivf_pq_compare_matches_standalone_arms(spark):
+    """ivf_pq_compare's shared-subplan arms are ROW-IDENTICAL to the
+    standalone operators (the one-corpus-scan fused encode + single
+    routing pass must be a pure plan change, never a value change)."""
+    from big_data_song_recommendation_spark.ml.centroids import IVF_CENTROIDS
+    from big_data_song_recommendation_spark.operators.similarity import (
+        ivf_pq_compare,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4)
+    kw = dict(k=3, nprobe=2, candidates=5)
+    raw2, res2 = ivf_pq_compare(emb, probes, IVF_CENTROIDS, **kw)
+    assert sorted(map(tuple, raw2.collect())) == sorted(
+        map(tuple, ivf_pq_topk(emb, probes, IVF_CENTROIDS, **kw).collect())
+    )
+    assert sorted(map(tuple, res2.collect())) == sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(emb, probes, IVF_CENTROIDS, **kw).collect(),
+        )
+    )
+
+
 def test_vector_index_sink_rebuilds_at_growth_threshold(spark, tmp_path):
     """VERDICT r11 #2 end-to-end: the corpus crosses 4× growth
     mid-stream, the maintenance epoch consults the advice and REBUILDS
