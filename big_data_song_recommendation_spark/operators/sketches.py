@@ -414,3 +414,251 @@ def bottomk_sample(
         .filter(F.col("rnk") <= int(k))
         .drop("__h")
     )
+
+
+@dataclass(frozen=True)
+class HHParams:
+    """Heavy-hitter summary parameters. ``k`` counters kept per shard,
+    ``shards`` deterministic md5 shards (each key lives in exactly ONE
+    shard), ``seed`` namespaces the hash family. State bound:
+    ``shards·k`` rows per epoch summary."""
+
+    k: int = 8
+    shards: int = 8
+    seed: str = "hh"
+
+
+def hh_summary(
+    df: DataFrame, col: str, *, params: HHParams = HHParams()
+) -> DataFrame:
+    """Misra-Gries/SpaceSaving-grade HEAVY-HITTER summary, DETERMINIZED
+    for the committed-artifact discipline: the classic streaming
+    algorithms keep k counters whose values depend on arrival order —
+    correct but un-hash-checkable across engines — so the summary here
+    derives from EXACT per-shard histograms instead: keys md5-shard
+    (``hash60 % shards``), each shard keeps its top-``k`` keys by
+    (count desc, key asc) with their EXACT counts, and records ``thr``
+    — the largest DROPPED count in the shard (0 when nothing dropped).
+
+    The two Misra-Gries guarantees carry over, gated in-query by q181:
+
+    - reported counts are exact (ε = 0 within one epoch — stronger
+      than MG's ε·n under-count);
+    - any UNREPORTED key's true count ≤ its shard's ``thr`` (the key
+      lives wholly in that shard, so missing top-k bounds it) —
+      every key with count > max(thr) is guaranteed reported.
+
+    100 TB shape: the build is ONE key-keyed count shuffle (map-side
+    combinable, spreadable keys) + a per-shard window over distinct
+    keys; the ARTIFACT kept per epoch is ``shards·k`` rows instead of
+    |vocab| — the same build-full/store-tiny warehouse pattern as
+    :func:`sketch_rollup`, and epoch summaries MERGE with bounded
+    error (:func:`hh_merge`). Output: (shard, key, cnt, thr)."""
+    from pyspark.sql import Window
+
+    from .dedup import hash60
+
+    v = F.col(col).cast("string")
+    counts = (
+        df.select(v.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "shard", (hash60(F.col("key"), params.seed) % params.shards)
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    wsh = Window.partitionBy("shard")
+    return (
+        ranked.withColumn(
+            "thr",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("__rn") > params.k, F.col("cnt"))
+                ).over(wsh),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .filter(F.col("__rn") <= params.k)
+        .select("shard", "key", "cnt", "thr")
+    )
+
+
+def hh_merge(
+    a: DataFrame, b: DataFrame, *, params: HHParams = HHParams()
+) -> DataFrame:
+    """Merge two epoch summaries (the Agarwal et al. 2012 mergeable-
+    summaries contract): full-outer sum on (shard, key) — a key kept
+    on one side only may have been dropped (count ≤ thr) on the other,
+    so its estimate UNDER-counts by at most that side's ``thr`` —
+    then re-top-k per shard. The merged ``thr`` bounds any unreported
+    key: ``thr_a + thr_b`` (dropped both epochs) vs the largest
+    estimate dropped AT the merge plus its absent-side slack,
+    whichever is larger. Gates carried per row for q181's in-query
+    audit: ``est ≤ true ≤ est + err`` with
+    ``err = (absent-side thr sum)``, and unreported keys ≤ ``thr``.
+    Associative state: ``shards·k`` rows in, same out."""
+    from pyspark.sql import Window
+
+    ka = a.select(
+        "shard", "key",
+        F.col("cnt").alias("cnt_a"), F.col("thr").alias("thr_a"),
+    )
+    kb = b.select(
+        "shard", "key",
+        F.col("cnt").alias("cnt_b"), F.col("thr").alias("thr_b"),
+    )
+    # per-shard thr of each side (constant within a shard) — recovered
+    # from any of the side's rows so absent-side slack joins in
+    tha = a.select("shard", "thr").groupBy("shard").agg(
+        F.max("thr").alias("__tha")
+    )
+    thb = b.select("shard", "thr").groupBy("shard").agg(
+        F.max("thr").alias("__thb")
+    )
+    merged = (
+        ka.join(kb, ["shard", "key"], "full_outer")
+        .join(tha, "shard", "left")
+        .join(thb, "shard", "left")
+        .na.fill({"__tha": 0, "__thb": 0})
+        .select(
+            "shard",
+            "key",
+            (
+                F.coalesce("cnt_a", F.lit(0))
+                + F.coalesce("cnt_b", F.lit(0))
+            ).alias("cnt"),
+            (
+                F.when(F.col("cnt_a").isNull(), F.col("__tha")).otherwise(0)
+                + F.when(F.col("cnt_b").isNull(), F.col("__thb")).otherwise(0)
+            ).cast("long").alias("err"),
+            (F.col("__tha") + F.col("__thb")).alias("__thrsum"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("cnt"), F.asc("key")
+    )
+    wsh = Window.partitionBy("shard")
+    ranked = merged.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "thr",
+            F.greatest(
+                F.col("__thrsum"),
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("__rn") > params.k,
+                            F.col("cnt") + F.col("err"),
+                        )
+                    ).over(wsh),
+                    F.lit(0).cast("long"),
+                ),
+            ),
+        )
+        .filter(F.col("__rn") <= params.k)
+        .select("shard", "key", "cnt", "err", "thr")
+    )
+
+
+def quantile_summary(df: DataFrame, col: str, *, k: int = 16) -> DataFrame:
+    """GK/KLL-grade mergeable QUANTILE summary, determinized the
+    :func:`hh_summary` way: instead of an order-dependent compactor
+    state, the summary is the value at the LAST global rank of each of
+    ``k`` equi-depth buckets — computed with the two-phase
+    ``bucketed_rank`` (equi-width value bucket; never a full
+    single-partition sort). Ranks are tie-insensitive for this use:
+    equal values may permute ranks, but the VALUE at a rank is a
+    multiset property, so the summary is bit-identical in any engine.
+
+    Output (≤ k rows): ``(q, value, r, n)`` — bucket index
+    ``q = ceil(r·k/n)``, the value at global rank ``r`` (r ascending,
+    r_last = n), epoch size ``n`` on every row. Any quantile answered
+    from the summary carries rank error ≤ ``ceil(n/k)``; summaries
+    from disjoint epochs merge by weighted union
+    (:func:`quantile_merge_estimate`) with errors adding. The build is
+    one count-shuffle rank pass; the ARTIFACT is k rows — the same
+    build-full/store-tiny contract as the other summaries here."""
+    from .ranks import bucketed_rank, with_equi_width_bucket
+
+    base = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    staged = with_equi_width_bucket(base, "__v", out="__vb")
+    ranked = bucketed_rank(
+        staged, [F.col("__v")], ["__vb"], out="__rn", checkpoint=False
+    )
+    nrow = base.agg(F.count("*").alias("__n"))
+    j = ranked.crossJoin(F.broadcast(nrow))
+    bucket_i = F.floor(
+        (F.col("__rn") * k + F.col("__n") - 1) / F.col("__n")
+    ).cast("long")
+    next_i = F.floor(
+        ((F.col("__rn") + 1) * k + F.col("__n") - 1) / F.col("__n")
+    ).cast("long")
+    return (
+        j.filter(next_i > bucket_i)
+        .select(
+            bucket_i.alias("q"),
+            F.col("__v").alias("value"),
+            F.col("__rn").alias("r"),
+            F.col("__n").alias("n"),
+        )
+    )
+
+
+def quantile_merge_estimate(
+    summaries: list[DataFrame], probes_pm: list[int]
+) -> DataFrame:
+    """Answer quantiles from MERGED epoch summaries (the mergeable-
+    summaries union): each summary point carries integer weight
+    ``r - lag(r)`` (its depth-bucket size), the union accumulates
+    weight in (value, side, r) order, and the ``p`` estimate is the
+    smallest value whose cumulative weight reaches
+    ``ceil(p·N)``, N = Σ epoch sizes. Probes are per-cent INTEGERS
+    (``probes_pm``) so targets stay exact int arithmetic. Rank error
+    ≤ Σ ceil(nᵢ/kᵢ) — q182 gates that bound in-query against the
+    exact ranks. The union is summary-sized (Σkᵢ rows), so the global
+    windows here are metadata-scale by construction — the
+    bucket-offset-table exemption, not a corpus window."""
+    from pyspark.sql import Window
+
+    pts = None
+    for i, s in enumerate(summaries):
+        p = s.select(
+            F.lit(i).alias("side"), "q", "value", "r", "n"
+        )
+        pts = p if pts is None else pts.unionByName(p)
+    w_side = Window.partitionBy("side").orderBy("r")
+    weighted = pts.withColumn(
+        "w", F.col("r") - F.coalesce(F.lag("r").over(w_side), F.lit(0))
+    )
+    w_cum = Window.orderBy("value", "side", "r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # drop the epoch-size column before the probe join: Spark's
+    # case-insensitive resolver would see pts' `n` and probes' `N`
+    # as one ambiguous name
+    cum = weighted.drop("n", "q").withColumn("cw", F.sum("w").over(w_cum))
+    total = (
+        pts.groupBy("side").agg(F.max("n").alias("__n"))
+        .agg(F.sum("__n").alias("N"))
+    )
+    probes = None
+    for pm in probes_pm:
+        pr = total.select(
+            F.lit(int(pm)).alias("pm"),
+            F.floor((F.lit(int(pm)) * F.col("N") + 99) / 100)
+            .cast("long")
+            .alias("target"),
+            "N",
+        )
+        probes = pr if probes is None else probes.unionByName(pr)
+    hit = cum.join(
+        F.broadcast(probes), F.col("cw") >= F.col("target"), "inner"
+    )
+    w_min = Window.partitionBy("pm").orderBy("value", "side", "r")
+    return (
+        hit.withColumn("__rk", F.row_number().over(w_min))
+        .filter(F.col("__rk") == 1)
+        .select("pm", F.col("value").alias("est"), "target", "N")
+    )

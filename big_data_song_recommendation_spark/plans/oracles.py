@@ -6192,3 +6192,172 @@ ORACLES["q180_decontamination_card"] = f"""
     WHERE d.doc_id % 20 <> 0
     ORDER BY d.doc_id
 """
+
+# q181: deterministic mergeable heavy-hitter summaries — exact
+# per-shard top-k + largest-dropped threshold per epoch (doc parity),
+# full-outer merge with absent-side slack, both Misra-Gries gates
+# replayed against the exact token counts.
+_HH_K, _HH_SHARDS = 4, 4
+def _hh_shard(col: str) -> str:
+    return _hash60(f"'hh:' || {col}") + f" % {_HH_SHARDS}"
+ORACLES["q181_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split({_NORMALIZED_TEXT}, ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    exact AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM toks GROUP BY 1),
+    ra AS (
+        SELECT *, row_number() OVER (PARTITION BY shard
+                                     ORDER BY cnt DESC, key ASC) AS rn
+        FROM (SELECT {_hh_shard("tok")} AS shard, tok AS key,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2)
+    ),
+    rb AS (
+        SELECT *, row_number() OVER (PARTITION BY shard
+                                     ORDER BY cnt DESC, key ASC) AS rn
+        FROM (SELECT {_hh_shard("tok")} AS shard, tok AS key,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+    ),
+    sa AS (SELECT shard, key, cnt FROM ra WHERE rn <= {_HH_K}),
+    sb AS (SELECT shard, key, cnt FROM rb WHERE rn <= {_HH_K}),
+    ta AS (SELECT shard,
+                  COALESCE(MAX(cnt) FILTER (WHERE rn > {_HH_K}),
+                           CAST(0 AS BIGINT)) AS thr
+           FROM ra GROUP BY shard),
+    tb AS (SELECT shard,
+                  COALESCE(MAX(cnt) FILTER (WHERE rn > {_HH_K}),
+                           CAST(0 AS BIGINT)) AS thr
+           FROM rb GROUP BY shard),
+    mg AS (
+        SELECT COALESCE(a.shard, b.shard) AS shard,
+               COALESCE(a.key, b.key) AS key,
+               COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt,
+               CAST(CASE WHEN a.key IS NULL THEN COALESCE(ta.thr, 0)
+                         ELSE 0 END
+                  + CASE WHEN b.key IS NULL THEN COALESCE(tb.thr, 0)
+                         ELSE 0 END AS BIGINT) AS err,
+               COALESCE(ta.thr, 0) + COALESCE(tb.thr, 0) AS thrsum
+        FROM sa a FULL OUTER JOIN sb b
+          ON a.shard = b.shard AND a.key = b.key
+        LEFT JOIN ta ON ta.shard = COALESCE(a.shard, b.shard)
+        LEFT JOIN tb ON tb.shard = COALESCE(a.shard, b.shard)
+    ),
+    rm AS (
+        SELECT *, row_number() OVER (PARTITION BY shard
+                                     ORDER BY cnt DESC, key ASC) AS rn
+        FROM mg
+    ),
+    thrm AS (
+        SELECT shard,
+               GREATEST(MAX(thrsum),
+                        COALESCE(MAX(cnt + err) FILTER (WHERE rn > {_HH_K}),
+                                 CAST(0 AS BIGINT))) AS thr
+        FROM rm GROUP BY shard
+    ),
+    rep AS (
+        SELECT rm.shard, rm.key, rm.cnt, rm.err, thrm.thr
+        FROM rm JOIN thrm USING (shard) WHERE rn <= {_HH_K}
+    ),
+    unrep AS (
+        SELECT {_hh_shard("e.key")} AS shard, e.true_cnt
+        FROM exact e LEFT JOIN rep r ON r.key = e.key
+        WHERE r.key IS NULL
+    ),
+    comp AS (
+        SELECT bool_and(ok) AS gate_complete FROM (
+            SELECT t.shard,
+                   COALESCE(MAX(u.true_cnt), 0) <= MAX(t.thr) AS ok
+            FROM thrm t LEFT JOIN unrep u ON u.shard = t.shard
+            GROUP BY t.shard
+        )
+    )
+    SELECT r.shard, r.key, r.cnt, r.err, r.thr, e.true_cnt,
+           (r.cnt <= e.true_cnt AND e.true_cnt <= r.cnt + r.err)
+               AS gate_bounds,
+           comp.gate_complete
+    FROM rep r JOIN exact e ON e.key = r.key CROSS JOIN comp
+    ORDER BY r.shard, r.key
+"""
+
+# q182: mergeable quantile summaries — equi-depth boundary-rank
+# construction per epoch, weighted union, smallest-value-at-target
+# estimate, and the additive rank-error gate vs exact counts.
+_QS_K = 16
+ORACLES["q182_quantile_sketch"] = f"""
+    WITH pall AS (
+        SELECT l_extendedprice AS v, l_orderkey FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    ra AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               (SELECT count(*) FROM pall WHERE l_orderkey % 2 = 0) AS n
+        FROM pall WHERE l_orderkey % 2 = 0
+    ),
+    rb AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               (SELECT count(*) FROM pall WHERE l_orderkey % 2 = 1) AS n
+        FROM pall WHERE l_orderkey % 2 = 1
+    ),
+    sa AS (
+        SELECT ((rn * {_QS_K} + n - 1) // n) AS q, v, rn AS r, n FROM ra
+        WHERE ((rn + 1) * {_QS_K} + n - 1) // n
+              > (rn * {_QS_K} + n - 1) // n
+    ),
+    sb AS (
+        SELECT ((rn * {_QS_K} + n - 1) // n) AS q, v, rn AS r, n FROM rb
+        WHERE ((rn + 1) * {_QS_K} + n - 1) // n
+              > (rn * {_QS_K} + n - 1) // n
+    ),
+    pts AS (
+        SELECT 0 AS side, q, v, r, n FROM sa
+        UNION ALL SELECT 1, q, v, r, n FROM sb
+    ),
+    wtd AS (
+        SELECT *, r - COALESCE(lag(r) OVER (PARTITION BY side
+                                            ORDER BY r), 0) AS w
+        FROM pts
+    ),
+    cum AS (
+        SELECT *, SUM(w) OVER (ORDER BY v, side, r
+                               ROWS UNBOUNDED PRECEDING) AS cw
+        FROM wtd
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS N
+        FROM (SELECT side, MAX(n) AS n FROM pts GROUP BY side)
+    ),
+    probes AS (
+        SELECT pm, CAST((pm * N + 99) // 100 AS BIGINT) AS target, N
+        FROM (VALUES (25), (50), (75), (90)) t(pm) CROSS JOIN tot
+    ),
+    est AS (
+        SELECT pm, v AS est, target, N FROM (
+            SELECT p.pm, c.v, p.target, p.N,
+                   row_number() OVER (PARTITION BY p.pm
+                                      ORDER BY c.v, c.side, c.r) AS rk
+            FROM probes p JOIN cum c ON c.cw >= p.target
+        ) WHERE rk = 1
+    ),
+    slk AS (
+        SELECT CAST(((SELECT MAX(n) FROM sa) + {_QS_K} - 1) // {_QS_K}
+             + ((SELECT MAX(n) FROM sb) + {_QS_K} - 1) // {_QS_K}
+             AS BIGINT) AS slack
+    ),
+    truth AS (
+        SELECT e.pm, e.est, e.target,
+               CAST(count(*) FILTER (WHERE p.v <= e.est) AS BIGINT)
+                   AS rank_le,
+               CAST(count(*) FILTER (WHERE p.v < e.est) AS BIGINT)
+                   AS rank_lt
+        FROM est e CROSS JOIN pall p GROUP BY 1, 2, 3
+    )
+    SELECT t.pm, t.est, t.target, t.rank_le, t.rank_lt, s.slack,
+           (t.rank_le >= t.target - s.slack
+            AND t.rank_lt + 1 <= t.target + s.slack) AS gate_rank_error
+    FROM truth t CROSS JOIN slk s ORDER BY t.pm
+"""

@@ -5671,6 +5671,150 @@ def q175_residual_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q182_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summaries with the GK/KLL rank-error bound
+    gated IN-QUERY (round 12 — operators/sketches.quantile_summary /
+    quantile_merge_estimate): the percentile monitoring a 100 TB lake
+    keeps per epoch — k values at equi-depth boundary ranks (two-phase
+    rank, never a single-partition sort; k rows stored per epoch, not
+    n), merged by weighted union with errors ADDING. lineitem prices
+    split into two epochs (l_orderkey parity, k=16 each); the merged
+    p25/p50/p75/p90 estimates are checked against the EXACT ranks:
+    the estimate's true-rank interval [count(<est)+1, count(≤est)]
+    must meet [target−slack, target+slack] with
+    slack = ceil(n_a/k) + ceil(n_b/k) — the additive mergeable-
+    summary guarantee, hash-pinned TRUE. Shape: one rank pass per
+    epoch; the merge windows run over Σk summary rows (metadata-
+    scale, the bucket-offset exemption). Twin replays the boundary-
+    rank rule, the weighted union, and both exact counts."""
+    from ..operators.sketches import quantile_merge_estimate, quantile_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = li.select("l_orderkey", F.col("l_extendedprice").alias("__v"))
+    sa = quantile_summary(
+        price.filter(F.col("l_orderkey") % 2 == 0), "__v", k=16
+    )
+    sb = quantile_summary(
+        price.filter(F.col("l_orderkey") % 2 == 1), "__v", k=16
+    )
+    ests = quantile_merge_estimate([sa, sb], [25, 50, 75, 90])
+    slack = (
+        sa.select(F.col("n").alias("__na"))
+        .limit(1)
+        .crossJoin(sb.select(F.col("n").alias("__nb")).limit(1))
+        .select(
+            (
+                F.floor((F.col("__na") + 15) / 16)
+                + F.floor((F.col("__nb") + 15) / 16)
+            )
+            .cast("long")
+            .alias("slack")
+        )
+    )
+    truth = (
+        price.select("__v")
+        .crossJoin(F.broadcast(ests))
+        .groupBy("pm", "est", "target", "N")
+        .agg(
+            F.sum((F.col("__v") <= F.col("est")).cast("long")).alias(
+                "rank_le"
+            ),
+            F.sum((F.col("__v") < F.col("est")).cast("long")).alias(
+                "rank_lt"
+            ),
+        )
+    )
+    return (
+        truth.crossJoin(F.broadcast(slack))
+        .select(
+            "pm",
+            "est",
+            "target",
+            "rank_le",
+            "rank_lt",
+            "slack",
+            (
+                (F.col("rank_le") >= F.col("target") - F.col("slack"))
+                & (F.col("rank_lt") + 1 <= F.col("target") + F.col("slack"))
+            ).alias("gate_rank_error"),
+        )
+        .transform(_ordered, "pm")
+    )
+
+
+def q181_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter summaries with in-query Misra-Gries
+    guarantees (round 12 — operators/sketches.hh_summary / hh_merge):
+    the hot-token monitoring a 100 TB ingest keeps per epoch (hot
+    boilerplate lines and tokens ARE heavy hitters — the C4 line
+    rule's SMALL side). The corpus tokens split into two epoch
+    summaries (doc_id parity), each an exact-per-shard top-k with the
+    largest-dropped-count threshold (shards·k state, never |vocab|),
+    merged with bounded under-count. Both guarantees gate IN-QUERY
+    against the exact token counts (q168's self-audit discipline):
+    ``gate_bounds`` — every reported key's est ≤ true ≤ est + err;
+    ``gate_complete`` — no unreported key exceeds its shard's
+    threshold. Shape: one token-keyed count shuffle per epoch
+    (map-side combinable) + per-shard windows over DISTINCT keys;
+    the merge is summary-sized. Twin replays the md5 shards, both
+    top-k/threshold constructions, the full-outer merge, and both
+    gates."""
+    from ..functions.text import normalized_text
+    from ..operators.dedup import hash60
+    from ..operators.sketches import HHParams, hh_merge, hh_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(normalized_text("text"), " "), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    P = HHParams(k=4, shards=4, seed="hh")
+    sa = hh_summary(toks.filter(F.col("doc_id") % 2 == 0), "tok", params=P)
+    sb = hh_summary(toks.filter(F.col("doc_id") % 2 == 1), "tok", params=P)
+    m = hh_merge(sa, sb, params=P)
+    exact = toks.groupBy(F.col("tok").alias("key")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    thr_by_shard = m.groupBy("shard").agg(F.max("thr").alias("__thr"))
+    unrep = (
+        exact.withColumn("shard", hash60(F.col("key"), P.seed) % P.shards)
+        .join(m.select("shard", "key"), ["shard", "key"], "left_anti")
+        .groupBy("shard")
+        .agg(F.max("true_cnt").alias("__max_unrep"))
+    )
+    comp = (
+        thr_by_shard.join(unrep, "shard", "left")
+        .select(
+            (
+                F.coalesce("__max_unrep", F.lit(0)) <= F.col("__thr")
+            ).alias("__ok")
+        )
+        .agg(F.min("__ok").alias("gate_complete"))
+    )
+    return (
+        m.join(exact, "key")
+        .crossJoin(F.broadcast(comp))
+        .select(
+            "shard",
+            "key",
+            "cnt",
+            "err",
+            "thr",
+            "true_cnt",
+            (
+                (F.col("cnt") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("cnt") + F.col("err"))
+            ).alias("gate_bounds"),
+            "gate_complete",
+        )
+        .transform(_ordered, "shard", "key")
+    )
+
+
 def q180_decontamination_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE verdict row per training document with BOTH decontamination
     passes (round 12, VERDICT r11 #6): modern data cards report n-gram
@@ -5897,6 +6041,8 @@ def q176_front_door_lm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q182_quantile_sketch": q182_quantile_sketch,
+    "q181_heavy_hitters": q181_heavy_hitters,
     "q180_decontamination_card": q180_decontamination_card,
     "q179_front_door_batch_dedup": q179_front_door_batch_dedup,
     "q178_corpus_line_dedup": q178_corpus_line_dedup,

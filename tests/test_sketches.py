@@ -387,3 +387,101 @@ def test_weighted_quantiles_matches_single(spark):
         }
         for g in ("a", "b"):
             assert multi[g][i] == single[g], (g, num, den)
+
+
+def test_hh_summary_and_merge_guarantees(spark):
+    """The determinized Misra-Gries contract: per-epoch reported
+    counts are EXACT, unreported keys are bounded by the shard
+    threshold, the merge under-counts by at most the absent-side
+    thresholds and its threshold still bounds every unreported key,
+    and state never exceeds shards*k rows."""
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.sketches import (
+        HHParams,
+        hh_merge,
+        hh_summary,
+    )
+
+    # zipf-ish deterministic stream: key i appears 60//(i+1)+1 times,
+    # split into two epochs by parity of a running index
+    rows = [
+        (j * 37 % 2, f"k{i:02d}")
+        for i in range(30)
+        for j in range(60 // (i + 1) + 1)
+    ]
+    df = spark.createDataFrame(rows, "epoch int, key string")
+    P = HHParams(k=3, shards=2, seed="t")
+    sa = hh_summary(df.filter("epoch = 0"), "key", params=P)
+    sb = hh_summary(df.filter("epoch = 1"), "key", params=P)
+    m = hh_merge(sa, sb, params=P).persist()
+    try:
+        assert sa.count() <= P.shards * P.k and m.count() <= P.shards * P.k
+        exact = {
+            r["key"]: r["n"]
+            for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()
+        }
+        ea = {
+            r["key"]: r["n"]
+            for r in df.filter("epoch = 0")
+            .groupBy("key")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # per-epoch: reported counts exact; unreported bounded by thr
+        thr_a = {}
+        for r in sa.collect():
+            assert r["cnt"] == ea[r["key"]], r
+            thr_a[r["shard"]] = r["thr"]
+        merged = {r["key"]: r for r in m.collect()}
+        thr_m = {r["shard"]: r["thr"] for r in m.collect()}
+        for k, r in merged.items():
+            assert r["cnt"] <= exact[k] <= r["cnt"] + r["err"], (k, r)
+        # completeness: every unreported key bounded by its shard thr
+        from big_data_song_recommendation_spark.operators.dedup import hash60
+
+        shards = {
+            r["key"]: r["s"]
+            for r in spark.createDataFrame(
+                [(k,) for k in exact], "key string"
+            )
+            .select("key", (hash60(F.col("key"), "t") % 2).alias("s"))
+            .collect()
+        }
+        for k, n in exact.items():
+            if k not in merged:
+                assert n <= thr_m[shards[k]], (k, n, thr_m)
+    finally:
+        m.unpersist()
+
+
+def test_quantile_summary_merge_rank_bound(spark):
+    """The mergeable-quantile contract: each epoch summary is at most
+    k rows with exact boundary ranks (last row at rank n), and every
+    merged estimate's true rank is within the additive
+    ceil(n_a/k)+ceil(n_b/k) bound of its target."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_song_recommendation_spark.operators.sketches import (
+        quantile_merge_estimate,
+        quantile_summary,
+    )
+
+    # deterministic skewed values: i^2 % 9973, two epochs by parity
+    rows = [(i % 2, float((i * i) % 9973)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "epoch int, v double")
+    k = 8
+    sa = quantile_summary(df.filter("epoch = 0"), "v", k=k)
+    sb = quantile_summary(df.filter("epoch = 1"), "v", k=k)
+    ra = sa.collect()
+    assert len(ra) <= k
+    assert max(r["r"] for r in ra) == 1000  # last boundary rank == n
+    ests = quantile_merge_estimate([sa, sb], [10, 50, 99]).collect()
+    vals = sorted(v for _, v in rows)
+    slack = 2 * math.ceil(1000 / k)
+    for r in ests:
+        le = sum(1 for v in vals if v <= r["est"])
+        lt = sum(1 for v in vals if v < r["est"])
+        assert le >= r["target"] - slack and lt + 1 <= r["target"] + slack, r
