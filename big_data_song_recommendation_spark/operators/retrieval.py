@@ -136,24 +136,51 @@ def bm25_topk(
         raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
 
-    toks = _tokenized(docs, id_col, text_col)
-    # ONE corpus pass: tf at (doc, token) grain for the query's terms
-    # only (the filter prunes before the shuffle), dl for every doc.
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("tf"))
+    # MAP-SIDE tf/dl (r12): the token array never leaves its row — dl
+    # is size(), per-term tf is an array filter, and only the ≤|q|
+    # matched (id, tok, tf, dl) rows are ever emitted. The previous
+    # shape exploded the corpus to token grain and shuffled ALL of it
+    # just to count per-doc lengths (plan: two token-grain Exchanges);
+    # at corpus scale that shuffle is ~200x the document bytes. Same
+    # tf/dl/df/totals values, so scores are bit-identical.
+    toks_arr = F.filter(
+        text.tokens(text_col), lambda x: x != F.lit("")
+    )
+    per_doc = (
+        docs.select(F.col(id_col), toks_arr.alias("__toks"))
+        .withColumn("dl", F.size("__toks"))
+        # docs with zero tokens never produced an exploded row in the
+        # old shape, so they were absent from dl/totals — keep that
+        .filter(F.col("dl") > 0)
+    )
+    tf_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tok"),
+                F.size(
+                    F.filter("__toks", lambda x: x == F.lit(t))
+                ).alias("tf"),
+            )
+            for t in terms
+        ]
+    )
+    tf_dl = (
+        per_doc.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.filter(tf_structs, lambda s: s["tf"] > 0)
+            ).alias("__t"),
+        )
+        .select(id_col, "__t.tok", "__t.tf", "dl")
     )
     # df per query term (≤|q| rows) and the corpus totals (1 row):
     # both broadcast — scoring is map-side over the tf rows.
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    totals = dl.agg(
+    df_ = tf_dl.groupBy("tok").agg(F.count("*").alias("df"))
+    totals = per_doc.agg(
         F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
     )
-    return _score_topk(
-        tf.join(dl, id_col), df_, totals, id_col=id_col, k=k
-    )
+    return _score_topk(tf_dl, df_, totals, id_col=id_col, k=k)
 
 
 def build_bm25_index(

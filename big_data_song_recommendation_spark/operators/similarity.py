@@ -1539,18 +1539,94 @@ def srp_knn(
     return _srp_rerank(p, c, dim, k)
 
 
-def _hamming1_buckets(planes: int) -> Column:
+def _hamming1_buckets(planes: int, col: str = "bucket") -> Column:
     """Array of the probe's own bucket plus every Hamming-1 flip —
     distinct values by construction (each flips a different bit), so
     the downstream bucket equi-join matches a candidate at most once
     (a corpus vector has exactly one bucket)."""
     return F.array(
-        F.col("bucket"),
+        F.col(col),
         *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            F.col(col).bitwiseXOR(F.lit(1 << i).cast("long"))
             for i in range(planes)
         ],
     )
+
+
+def srp_knn_compare(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(single, multi) SRP ANN top-k from ONE shared subplan — the
+    q168/q175 shared-arm discipline applied to the multi-probe recall
+    gate (q165): the single-probe candidate set is by construction the
+    ``bucket == own`` subset of the Hamming-1 multi-probe set, so the
+    two :func:`srp_knn` calls the gate used to make (two signature
+    pipelines, two corpus-norm passes, two bucket joins) collapse to
+    one signature pass, one norm pass, and one bucket join whose rows
+    carry an ``is-own-bucket`` flag; each arm is then just its own
+    rank window over the shared (lazily checkpointed, candidate-grain)
+    slice. Row-identical to the standalone calls — pinned by
+    tests/test_srp_index.py::test_srp_knn_compare_matches_standalone."""
+    sigs = srp_signatures(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes
+    ).localCheckpoint(eager=False)
+    dim = vectors.infer_dim(corpus, vec_col)
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    ).withColumn("n", F.sqrt(vectors.sq_norm_expanded("v", dim)))
+    with_sig = base.join(sigs, id_col)
+    p = (
+        with_sig.select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            F.col("bucket").alias("__own"),
+        )
+        .join(
+            probes.select(F.col(id_col).alias("query_id")),
+            "query_id",
+            "left_semi",
+        )
+        .withColumn("bucket", F.explode(_hamming1_buckets(planes, "__own")))
+    )
+    c = with_sig.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("n").alias("nn"),
+        "bucket",
+    )
+    sim = vectors.dot_expanded("qv", "nv", dim) / (F.col("qn") * F.col("nn"))
+    # candidate grain (bucket-bounded, never the corpus) feeds BOTH
+    # arms' rank windows — the two-consumer lazy-checkpoint rule
+    cand = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim, 6).alias("sim"),
+            (F.col("bucket") == F.col("__own")).alias("__single"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+
+    def _arm(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim", "rnk")
+        )
+
+    return _arm(cand.filter(F.col("__single"))), _arm(cand)
 
 
 def _srp_rerank(p: DataFrame, c: DataFrame, dim: int, k: int) -> DataFrame:

@@ -5153,12 +5153,18 @@ def q165_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_knn(emb, probes, k=3).select(
         "query_id", "neighbor_id"
     )
-    single = similarity.srp_knn(emb, probes, planes=6, k=3).select(
+    # ONE shared signature/norm/bucket-join subplan feeds both arms
+    # (similarity.srp_knn_compare — r12, the q168/q175 shared-arm
+    # slim): the single-probe candidates are the own-bucket subset of
+    # the multi-probe set, so the second srp_knn pipeline was pure
+    # recomputation. Rows pinned identical to the standalone calls.
+    single_df, multi_df = similarity.srp_knn_compare(
+        emb, probes, planes=6, k=3
+    )
+    single = single_df.select(
         F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sn")
     )
-    multi = similarity.srp_knn(
-        emb, probes, planes=6, k=3, multiprobe=True
-    ).select(
+    multi = multi_df.select(
         F.col("query_id").alias("mq"), F.col("neighbor_id").alias("mn")
     )
     hs = (

@@ -259,3 +259,31 @@ def test_srp_idempotent_merge_replay(spark):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_srp_knn_compare_matches_standalone(spark):
+    """The shared-subplan compare form (r12, q165's slim) must return
+    ROW-IDENTICAL arms to the two standalone srp_knn calls it
+    replaces — single == srp_knn(multiprobe=False), multi ==
+    srp_knn(multiprobe=True), same (query, neighbor, sim, rnk)."""
+    from big_data_song_recommendation_spark.operators.similarity import (
+        srp_knn_compare,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(emb.vec_id < 8)
+    single, multi = srp_knn_compare(emb, probes, planes=PLANES, k=3)
+    got_single = sorted(tuple(r) for r in single.collect())
+    got_multi = sorted(tuple(r) for r in multi.collect())
+    want_single = sorted(
+        tuple(r)
+        for r in srp_knn(emb, probes, planes=PLANES, k=3).collect()
+    )
+    want_multi = sorted(
+        tuple(r)
+        for r in srp_knn(
+            emb, probes, planes=PLANES, k=3, multiprobe=True
+        ).collect()
+    )
+    assert got_single == want_single
+    assert got_multi == want_multi
