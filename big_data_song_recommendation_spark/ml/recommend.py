@@ -327,12 +327,13 @@ def committed_factor_frames(spark):
     Factors are micro-unit int64, tiny (users·rank + items·rank ints)
     — both frames broadcast at any realistic rank."""
     from . import als_factors as AF
+    from ..sources.readers import local_frame
 
-    uf = spark.createDataFrame(
-        AF.ALS_USER_FACTORS, "user_id int, uf array<bigint>"
+    uf = local_frame(
+        spark, AF.ALS_USER_FACTORS, "user_id int, uf array<bigint>"
     )
-    itf = spark.createDataFrame(
-        AF.ALS_ITEM_FACTORS, "item_id int, itf array<bigint>"
+    itf = local_frame(
+        spark, AF.ALS_ITEM_FACTORS, "item_id int, itf array<bigint>"
     )
     return uf, itf
 

@@ -1606,7 +1606,10 @@ def build_minhash_index(
         n_buckets=n_buckets,
     )
     write_bucketed(sig, tables["sigs"], id_col, n_buckets=n_buckets)
-    spark.createDataFrame(
+    from ..sources.readers import local_frame
+
+    local_frame(
+        spark,
         [(num_hashes, bands, k, id_col)],
         "num_hashes int, bands int, k int, id_col string",
     ).write.format("parquet").mode("overwrite").saveAsTable(tables["meta"])

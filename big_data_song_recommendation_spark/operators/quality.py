@@ -255,16 +255,18 @@ def lm_perplexity_scores(
     from ..ml import lm
     from ..ml import lm_counts as LMC
 
+    from ..sources.readers import local_frame
+
     spark = df.sparkSession
     tri, bi23, uni = lm.score_maps()
-    tri_df = spark.createDataFrame(
-        list(tri.items()), "__kt string, __st long"
+    tri_df = local_frame(
+        spark, list(tri.items()), "__kt string, __st long"
     )
-    bi_df = spark.createDataFrame(
-        list(bi23.items()), "__kb string, __sb long"
+    bi_df = local_frame(
+        spark, list(bi23.items()), "__kb string, __sb long"
     )
-    uni_df = spark.createDataFrame(
-        list(uni.items()), "__ku string, __su long"
+    uni_df = local_frame(
+        spark, list(uni.items()), "__ku string, __su long"
     )
     vocab = lm.vocab()
 
@@ -1591,8 +1593,10 @@ def url_blocklist_filter(
 
     spark = df.sparkSession
     if isinstance(blocked, (list, tuple)):
-        bdf = spark.createDataFrame(
-            [(d,) for d in blocked], "domain string"
+        from ..sources.readers import local_frame
+
+        bdf = local_frame(
+            spark, [(d,) for d in blocked], "domain string"
         )
     else:
         bdf = blocked

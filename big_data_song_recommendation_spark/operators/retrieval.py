@@ -301,7 +301,9 @@ def bm25_topk_indexed_many(
             )
         qt.extend((qid, t) for t in sorted({t.lower() for t in ts}))
     all_terms = sorted({t for _, t in qt})
-    qdf = spark.createDataFrame(qt, "query_id string, tok string")
+    from ..sources.readers import local_frame
+
+    qdf = local_frame(spark, qt, "query_id string, tok string")
     tf_dl = spark.table(f"{name}_postings").filter(F.col("tok").isin(all_terms))
     df_ = spark.table(f"{name}_terms").filter(F.col("tok").isin(all_terms))
     totals = spark.table(f"{name}_totals")

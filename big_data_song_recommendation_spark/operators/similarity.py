@@ -227,6 +227,10 @@ from ..functions.scalars import int_array_lit as _int_array_lit  # noqa: E402
 # (shared: functions/scalars.int_array_lit — the round-11 py4j
 # literal-tax fix; langid/quality_clf stage their weight tables
 # through the same helper)
+from ..sources.readers import local_frame  # noqa: E402
+# (r12: literal row sets stage as in-JVM LocalRelations — the
+# createDataFrame RDD path schedules a defaultParallelism-task Python
+# scan per action; see sources/readers.local_frame)
 
 
 def _pq_probe_luts(
@@ -915,7 +919,9 @@ def ivf_index(
     model = km.fit(prepared)
     assigned = model.transform(prepared).withColumnRenamed("prediction", "cluster")
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    centroids_df = df.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
+    centroids_df = local_frame(
+        df.sparkSession, centroids, ["cluster", "centroid"]
+    )
     return centroids_df, assigned.drop("__features", "__hashes")
 
 
@@ -1774,7 +1780,8 @@ def build_srp_index(
     }
     write_bucketed(rows, tables["by_bucket"], "bucket", n_buckets=n_buckets)
     write_bucketed(rows, tables["by_id"], id_col, n_buckets=n_buckets)
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(planes, dim, id_col, label_col is not None)],
         "planes int, dim int, id_col string, has_label boolean",
     ).write.format("parquet").mode("overwrite").saveAsTable(tables["meta"])
@@ -2172,7 +2179,8 @@ def build_ivfpq_index(
     # compares against to decide merge vs K ∝ √n retrain; the count
     # reads the just-written bucketed table (metadata-cheap)
     n_at_build = spark.table(tables["by_id"]).count()
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [
             (
                 dim,
@@ -2404,8 +2412,8 @@ def ivfpq_topk_indexed(
         for r in rows
         for c, o in zip(r["routing"][:nprobe], r["offsets"][:nprobe])
     ]
-    routed = spark.createDataFrame(
-        routed_local, f"query_id {id_sql}, cluster int, __qc long"
+    routed = local_frame(
+        spark, routed_local, f"query_id {id_sql}, cluster int, __qc long"
     )
     if not residual:
         routed = routed.drop("__qc")
@@ -2413,7 +2421,8 @@ def ivfpq_topk_indexed(
     enc = spark.table(f"{name}_codes").filter(
         F.col("cluster").isin(clusters) if clusters else F.lit(False)
     ).select(F.col(idc).alias("neighbor_id"), "cluster", "codes")
-    pv_local = spark.createDataFrame(
+    pv_local = local_frame(
+        spark,
         [(r[idc], [float(x) for x in r["v"]], float(r["n"])) for r in rows],
         f"query_id {id_sql}, qv array<double>, qn double",
     )
@@ -2424,7 +2433,8 @@ def ivfpq_topk_indexed(
         # expresses) — the request plan then carries NO codebook
         # literals and no M·K·d expression tree, the round-11-verdict
         # literal weight that dominated the single-probe p50
-        p = spark.createDataFrame(
+        p = local_frame(
+            spark,
             [
                 (
                     r[idc],

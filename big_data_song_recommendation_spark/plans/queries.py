@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
-from ..sources.readers import load_table
+from ..sources.readers import load_table, local_frame
 
 
 def _revenue() -> F.Column:
@@ -1009,7 +1009,8 @@ def q35_fuzzy_category_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import fuzzy_lookup_join
 
     part = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(
+    dim = local_frame(
+        spark,
         [
             ("economy", "budget"),
             ("stand", "mainline"),
@@ -1171,7 +1172,7 @@ def q42_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter prunes before the shuffle), broadcast-join the ≤100-row
     # committed idf table (the lm_perplexity_scores tier discipline —
     # a literal map would re-scan linearly per row)
-    idf = spark.createDataFrame(active, "tok string, idf_micro long")
+    idf = local_frame(spark, active, "tok string, idf_micro long")
     mass = (
         per_doc.select("doc_id", F.explode("__toks").alias("tok"))
         .join(F.broadcast(idf), "tok")
@@ -4121,8 +4122,8 @@ def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "step int, left string, right string, merged string, pair_count long"
+    return local_frame(
+        spark, rows, "step int, left string, right string, merged string, pair_count long"
     ).transform(_ordered, "step")
 
 

@@ -167,6 +167,49 @@ def _redistribute_if_underpartitioned(
 _MIN_ROWS_PER_TASK = 250
 
 
+def local_frame(spark: SparkSession, data, schema) -> DataFrame:
+    """Stage a committed-literal table (LM tiers, ALS factors, vocab,
+    centroids, probe lists) as an in-JVM ``LocalRelation``.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    a pickled RDD of ``defaultParallelism`` slices; EVERY downstream
+    action then runs a 32-task scan stage in which each task spins a
+    Python worker to unpickle its slice — measured ~300 ms wall per
+    task at local[32], i.e. multi-second stages that carry a few
+    thousand literal rows (r12 stage profile: the q176 LM-tier stages
+    alone were 3×32 tasks ≈ 26 s of task runTime for ~100 ms of CPU).
+    Converting through pandas with the Arrow path instead materializes
+    the rows as a JVM ``LocalRelation`` at BUILD time: zero runtime
+    Python tasks, no scan stage at all, and the broadcast exchanges
+    these tables feed read driver-local rows directly.
+
+    Values are identical to the classic path (Arrow list/int/string
+    conversion is exact for the integer/string literals these tables
+    hold — pinned by tests/test_local_frame.py); anything the strict
+    path cannot take (empty lists, non-tuple rows, missing pandas)
+    falls back to classic ``createDataFrame``."""
+    rows = data if isinstance(data, list) else list(data)
+    if rows and all(isinstance(r, (tuple, list)) for r in rows):
+        try:
+            import pandas as pd
+
+            prev = spark.conf.get(
+                "spark.sql.execution.arrow.pyspark.enabled", "false"
+            )
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", "true"
+            )
+            try:
+                return spark.createDataFrame(pd.DataFrame(rows), schema)
+            finally:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.pyspark.enabled", prev
+                )
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 

@@ -187,7 +187,10 @@ def export_shuffled_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    df.sparkSession.createDataFrame(
+    from .readers import local_frame
+
+    local_frame(
+        df.sparkSession,
         [(str(seed), int(n_shards), id_col)],
         "seed string, n_shards int, id_col string",
     ).coalesce(1).write.mode(mode).json(path + "/_shuffle_meta")
