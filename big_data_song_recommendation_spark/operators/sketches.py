@@ -454,18 +454,31 @@ def hh_summary(
     |vocab| — the same build-full/store-tiny warehouse pattern as
     :func:`sketch_rollup`, and epoch summaries MERGE with bounded
     error (:func:`hh_merge`). Output: (shard, key, cnt, thr)."""
-    from pyspark.sql import Window
-
-    from .dedup import hash60
-
     v = F.col(col).cast("string")
     counts = (
         df.select(v.alias("key"))
         .groupBy("key")
         .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "shard", (hash60(F.col("key"), params.seed) % params.shards)
-        )
+    )
+    return hh_summary_from_counts(counts, params=params)
+
+
+def hh_summary_from_counts(
+    counts: DataFrame, *, params: HHParams = HHParams()
+) -> DataFrame:
+    """:func:`hh_summary` from a PRE-AGGREGATED exact histogram
+    ``(key string, cnt long)`` — the shard/top-k/threshold tail of the
+    build, split out (r12) so a caller holding one shared per-epoch
+    count table (q181: epoch summaries AND the exact-truth gate from
+    ONE token-grain shuffle) doesn't re-tokenize and re-count per
+    summary. Values are identical to :func:`hh_summary` by
+    construction — this IS its tail."""
+    from pyspark.sql import Window
+
+    from .dedup import hash60
+
+    counts = counts.withColumn(
+        "shard", (hash60(F.col("key"), params.seed) % params.shards)
     )
     w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
     ranked = counts.withColumn("__rn", F.row_number().over(w))

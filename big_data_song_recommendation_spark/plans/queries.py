@@ -5697,7 +5697,14 @@ def q182_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import quantile_merge_estimate, quantile_summary
 
     li = load_table(spark, sf_dir, "lineitem")
-    price = li.select("l_orderkey", F.col("l_extendedprice").alias("__v"))
+    # one lineitem scan, cut once (r12): the two epoch summaries each
+    # walk their slice ~4× (bucket stats, bucket counts, offset join,
+    # epoch size) and the exact-truth/slack arms walk it again — six
+    # consumers of the same two-column projection, the roster's
+    # multi-consumer lazy-checkpoint discipline
+    price = li.select(
+        "l_orderkey", F.col("l_extendedprice").alias("__v")
+    ).localCheckpoint(eager=False)
     sa = quantile_summary(
         price.filter(F.col("l_orderkey") % 2 == 0), "__v", k=16
     )
@@ -5761,14 +5768,21 @@ def q181_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact token counts (q168's self-audit discipline):
     ``gate_bounds`` — every reported key's est ≤ true ≤ est + err;
     ``gate_complete`` — no unreported key exceeds its shard's
-    threshold. Shape: one token-keyed count shuffle per epoch
-    (map-side combinable) + per-shard windows over DISTINCT keys;
-    the merge is summary-sized. Twin replays the md5 shards, both
-    top-k/threshold constructions, the full-outer merge, and both
-    gates."""
+    threshold. Shape (r12): ONE token-grain count shuffle at
+    (epoch, key) grain (map-side combinable) feeds both epoch
+    summaries AND the exact-truth gate — the epoch summary is the
+    parity slice, the exact count the parity roll-up (identical
+    values to per-epoch recounts by associativity of count) — then
+    per-shard windows over DISTINCT keys; the merge is summary-sized.
+    Twin replays the md5 shards, both top-k/threshold constructions,
+    the full-outer merge, and both gates."""
     from ..functions.text import normalized_text
     from ..operators.dedup import hash60
-    from ..operators.sketches import HHParams, hh_merge, hh_summary
+    from ..operators.sketches import (
+        HHParams,
+        hh_merge,
+        hh_summary_from_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -5780,11 +5794,26 @@ def q181_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     P = HHParams(k=4, shards=4, seed="hh")
-    sa = hh_summary(toks.filter(F.col("doc_id") % 2 == 0), "tok", params=P)
-    sb = hh_summary(toks.filter(F.col("doc_id") % 2 == 1), "tok", params=P)
+    # one tokenize pass + one (epoch, key)-grain count shuffle; three
+    # consumers (epoch A summary, epoch B summary, exact truth) — the
+    # roster's multi-consumer lazy-checkpoint discipline
+    counts_pk = (
+        toks.groupBy(
+            (F.col("doc_id") % 2).alias("__pm"),
+            F.col("tok").cast("string").alias("key"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    sa = hh_summary_from_counts(
+        counts_pk.filter(F.col("__pm") == 0).select("key", "cnt"), params=P
+    )
+    sb = hh_summary_from_counts(
+        counts_pk.filter(F.col("__pm") == 1).select("key", "cnt"), params=P
+    )
     m = hh_merge(sa, sb, params=P)
-    exact = toks.groupBy(F.col("tok").alias("key")).agg(
-        F.count("*").alias("true_cnt")
+    exact = counts_pk.groupBy("key").agg(
+        F.sum("cnt").alias("true_cnt")
     )
     thr_by_shard = m.groupBy("shard").agg(F.max("thr").alias("__thr"))
     unrep = (
