@@ -15,14 +15,28 @@ from pyspark.sql import types as T
 
 
 def int_array_lit(vals) -> Column:
-    """Integer array literal in ONE py4j call: ``F.lit(list)`` /
-    ``F.array(*[F.lit(v) ...])`` cost a py4j round trip PER ELEMENT
-    (measured round 11: ~0.67 s to stage 8x128 ints per serving
-    request), while parsing one ``array(...)`` text is a single call
-    and ConstantFolding collapses it to the same literal before
-    codegen. Use for every staged model table (codebooks, centroids,
-    classifier weights)."""
-    return F.expr("array(" + ",".join(str(int(v)) for v in vals) + ")")
+    """Integer array literal in ONE py4j call AND O(1) expression
+    nodes. ``F.lit(list)`` / ``F.array(*[F.lit(v) ...])`` cost a py4j
+    round trip PER ELEMENT (measured round 11: ~0.67 s to stage 8x128
+    ints per serving request). The round-11 fix — parsing one
+    ``array(v1,...,vN)`` text — is a single py4j call but still builds
+    a ``CreateArray`` with N literal CHILDREN, and the bench/serving
+    protocol re-optimizes the plan per run, so every Catalyst rule
+    walks all N nodes each time (round 12 profile: q47's two 1024-int
+    stagings put its noop wall ~2x over its stage time; A/B on a
+    1024-int fold: 0.72 -> 0.39 s/run). This form —
+    ``split(lit("v1,...,vN"), ",").cast(array<bigint>)`` — is 4 nodes
+    regardless of N; ConstantFolding still collapses it to the SAME
+    single array literal (one O(N) fold per plan, microseconds)
+    before codegen. Values are identical: canonical int strings cast
+    exactly; element type is pinned bigint (call sites do int64
+    micro-unit arithmetic, where the old form's int-vs-bigint
+    inference promoted identically). Use for every staged model table
+    (codebooks, centroids, classifier weights)."""
+    vs = [str(int(v)) for v in vals]
+    if not vs:
+        return F.expr("array()")
+    return F.split(F.lit(",".join(vs)), ",").cast("array<bigint>")
 
 
 def _c(col: Column | str) -> Column:
