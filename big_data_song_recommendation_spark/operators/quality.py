@@ -192,7 +192,14 @@ def bigram_lm_scores(
     [stable_round 4]).
     """
     big = shingle_rows(df, id_col, text_col, 2)
-    doc_bg = big.groupBy("sid", "sh").agg(F.count("*").alias("n_occ"))
+    # two consumers (the model-table derivation chain and the scoring
+    # join) — cut the doc-grain bigram counts once (r12: the stage
+    # profile showed the full shingle explode+count pass duplicated)
+    doc_bg = (
+        big.groupBy("sid", "sh")
+        .agg(F.count("*").alias("n_occ"))
+        .localCheckpoint(eager=False)
+    )
     bg = doc_bg.groupBy("sh").agg(F.sum("n_occ").alias("c12"))
     ctx = (
         bg.groupBy(F.substring_index("sh", " ", 1).alias("w1"))

@@ -164,20 +164,24 @@ def bm25_topk(
             for t in terms
         ]
     )
-    tf_dl = (
-        per_doc.select(
-            id_col,
-            "dl",
-            F.explode(
-                F.filter(tf_structs, lambda s: s["tf"] > 0)
-            ).alias("__t"),
-        )
-        .select(id_col, "__t.tok", "__t.tf", "dl")
-    )
+    # One tokenize pass (r12): per_doc has three transitive consumers
+    # (the scoring tf rows, the per-term df, the corpus totals), each
+    # of which would re-run the scan+tokenize. Cut the SLIM per-doc
+    # form — (id, dl, matched-term tf structs), a few bytes per row,
+    # never the token array — with the roster's multi-consumer lazy
+    # checkpoint. Same tf/dl/df/totals values by construction.
+    slim = per_doc.select(
+        F.col(id_col),
+        "dl",
+        F.filter(tf_structs, lambda s: s["tf"] > 0).alias("__tfs"),
+    ).localCheckpoint(eager=False)
+    tf_dl = slim.select(
+        id_col, "dl", F.explode("__tfs").alias("__t")
+    ).select(id_col, "__t.tok", "__t.tf", "dl")
     # df per query term (≤|q| rows) and the corpus totals (1 row):
     # both broadcast — scoring is map-side over the tf rows.
     df_ = tf_dl.groupBy("tok").agg(F.count("*").alias("df"))
-    totals = per_doc.agg(
+    totals = slim.agg(
         F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
     )
     return _score_topk(tf_dl, df_, totals, id_col=id_col, k=k)

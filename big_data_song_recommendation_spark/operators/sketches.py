@@ -125,6 +125,40 @@ def cms_counters(
     return rows.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
 
 
+def cms_counters_from_counts(
+    counts: DataFrame,
+    key: str = "key",
+    cnt: str = "cnt",
+    *,
+    params: CMSParams = CMSParams(),
+) -> DataFrame:
+    """:func:`cms_counters` from a PRE-AGGREGATED exact histogram
+    ``(key, cnt)`` — cell counts are Σ over keys hashing to the cell,
+    so summing per-key counts is identical to counting raw rows
+    (r12: q142 shares ONE key-grain aggregation between its exact
+    top-k and the sketch build instead of scanning the stream
+    twice)."""
+    from .dedup import hash60
+
+    v = F.col(key).cast("string")
+    rows = counts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(params.depth - 1))).alias("j"),
+        v.alias("__v"),
+        F.col(cnt).alias("__n"),
+    ).select(
+        "j",
+        (
+            hash60(
+                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("__v")),
+                params.seed,
+            )
+            % F.lit(int(params.width))
+        ).alias("bucket"),
+        "__n",
+    )
+    return rows.groupBy("j", "bucket").agg(F.sum("__n").alias("cnt"))
+
+
 def cms_estimate(
     items: DataFrame,
     counters: DataFrame,
@@ -575,7 +609,13 @@ def hh_merge(
     )
 
 
-def quantile_summary(df: DataFrame, col: str, *, k: int = 16) -> DataFrame:
+def quantile_summary(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 16,
+    group: list[str] | None = None,
+) -> DataFrame:
     """GK/KLL-grade mergeable QUANTILE summary, determinized the
     :func:`hh_summary` way: instead of an order-dependent compactor
     state, the summary is the value at the LAST global rank of each of
@@ -592,16 +632,37 @@ def quantile_summary(df: DataFrame, col: str, *, k: int = 16) -> DataFrame:
     from disjoint epochs merge by weighted union
     (:func:`quantile_merge_estimate`) with errors adding. The build is
     one count-shuffle rank pass; the ARTIFACT is k rows — the same
-    build-full/store-tiny contract as the other summaries here."""
+    build-full/store-tiny contract as the other summaries here.
+
+    ``group`` (r12) builds one summary PER GROUP in a single pass —
+    the stats/rank/size machinery all take the same group key, so N
+    epoch summaries cost one pipeline instead of N (q182: both parity
+    epochs in one rank pass; guide §2.4, share the exchange). The
+    per-group summary values are IDENTICAL to separate per-epoch
+    calls: min/max, ranks, and sizes are all computed within the
+    group, which is exactly what a filtered per-epoch call sees.
+    Output gains the group columns."""
     from .ranks import bucketed_rank, with_equi_width_bucket
 
-    base = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
-    staged = with_equi_width_bucket(base, "__v", out="__vb")
+    g = list(group or [])
+    base = df.select(
+        *g, F.col(col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    staged = with_equi_width_bucket(base, "__v", out="__vb", group=g or None)
     ranked = bucketed_rank(
-        staged, [F.col("__v")], ["__vb"], out="__rn", checkpoint=False
+        staged,
+        [F.col("__v")],
+        ["__vb"],
+        group=g or None,
+        out="__rn",
+        checkpoint=False,
     )
-    nrow = base.agg(F.count("*").alias("__n"))
-    j = ranked.crossJoin(F.broadcast(nrow))
+    if g:
+        nrow = base.groupBy(*g).agg(F.count("*").alias("__n"))
+        j = ranked.join(F.broadcast(nrow), g)
+    else:
+        nrow = base.agg(F.count("*").alias("__n"))
+        j = ranked.crossJoin(F.broadcast(nrow))
     bucket_i = F.floor(
         (F.col("__rn") * k + F.col("__n") - 1) / F.col("__n")
     ).cast("long")
@@ -611,6 +672,7 @@ def quantile_summary(df: DataFrame, col: str, *, k: int = 16) -> DataFrame:
     return (
         j.filter(next_i > bucket_i)
         .select(
+            *g,
             bucket_i.alias("q"),
             F.col("__v").alias("value"),
             F.col("__rn").alias("r"),

@@ -1230,7 +1230,11 @@ def q43_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     emb = load_table(spark, sf_dir, "embeddings")
-    users = _event_users(spark, sf_dir, 10)
+    # two consumers (the collaborative arm's factor scoring and the
+    # content arm's plays semi-join) — parse/distinct the events user
+    # set once (r12; the stage profile showed three full events scans,
+    # two of them this subplan)
+    users = _event_users(spark, sf_dir, 10).localCheckpoint(eager=False)
 
     collab = recommend.recommend_top_n_committed(spark, users, 10).select(
         "user_id",
@@ -4212,12 +4216,27 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5 hash rows, so the sketch is bit-identical in any
     engine; the counter table is bounded at depth×width cells and
     broadcasts."""
-    from ..operators.sketches import CMSParams, cms_counters, cms_estimate
+    from ..operators.sketches import (
+        CMSParams,
+        cms_counters_from_counts,
+        cms_estimate,
+    )
 
     cms = CMSParams(depth=4, width=1024)
     ev = load_table(spark, sf_dir, "events")
-    counters = cms_counters(ev, "user_id", params=cms)
-    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    # ONE user-grain aggregation feeds both the exact top-k and the
+    # sketch build (r12 — cms_counters_from_counts: cell counts are
+    # Σ per-key counts, identical by associativity); previously the
+    # events stream was scanned and depth-exploded a second time just
+    # to recount what `exact` already holds
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+    counters = cms_counters_from_counts(
+        exact, "user_id", "exact_n", params=cms
+    )
     top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
     est = cms_estimate(top, counters, "user_id", params=cms, out="est_n")
     # deliberately a separate count-star pass: it scans NO columns
@@ -5524,7 +5543,15 @@ def q172_admission_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    # both tiers (signature estimate + exact shingle verify) re-derive
+    # the corpus and probe slices — cut each once (r12, two consumers
+    # apiece; the synthesized probe union alone is two more documents
+    # scans per consumer)
+    old = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     probes = (
         docs.filter(F.col("doc_id") % 2 == 1)
         .select(
@@ -5538,6 +5565,7 @@ def q172_admission_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") + 2000000).alias("doc_id"), "text"
             )
         )
+        .localCheckpoint(eager=False)
     )
     pairs = near_dup_pairs_vs_corpus(old, probes)
     return (
@@ -5697,20 +5725,23 @@ def q182_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import quantile_merge_estimate, quantile_summary
 
     li = load_table(spark, sf_dir, "lineitem")
-    # one lineitem scan, cut once (r12): the two epoch summaries each
-    # walk their slice ~4× (bucket stats, bucket counts, offset join,
-    # epoch size) and the exact-truth/slack arms walk it again — six
-    # consumers of the same two-column projection, the roster's
-    # multi-consumer lazy-checkpoint discipline
+    # one lineitem scan, cut once (r12): the summary pipeline walks it
+    # 4× (bucket stats, bucket counts, offset join, epoch sizes) and
+    # the exact-truth arm again — the roster's multi-consumer
+    # lazy-checkpoint discipline. Both parity epochs run through ONE
+    # grouped rank pass (quantile_summary(group=["__pm"]) — identical
+    # per-epoch values, half the stages), and the ≤2k-row grouped
+    # summary is cut once for its two epoch slices so the rank
+    # pipeline executes once.
     price = li.select(
-        "l_orderkey", F.col("l_extendedprice").alias("__v")
+        (F.col("l_orderkey") % 2).alias("__pm"),
+        F.col("l_extendedprice").alias("__v"),
     ).localCheckpoint(eager=False)
-    sa = quantile_summary(
-        price.filter(F.col("l_orderkey") % 2 == 0), "__v", k=16
-    )
-    sb = quantile_summary(
-        price.filter(F.col("l_orderkey") % 2 == 1), "__v", k=16
-    )
+    s = quantile_summary(
+        price, "__v", k=16, group=["__pm"]
+    ).localCheckpoint(eager=False)
+    sa = s.filter(F.col("__pm") == 0).drop("__pm")
+    sb = s.filter(F.col("__pm") == 1).drop("__pm")
     ests = quantile_merge_estimate([sa, sb], [25, 50, 75, 90])
     slack = (
         sa.select(F.col("n").alias("__na"))
