@@ -537,23 +537,28 @@ def _route_with_offsets(
         .withColumn("__dc", _bind_xq(inner, vec_col))
         .drop("__cb")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("__d"), F.asc("cluster")
-    )
-    return (
-        staged.select(
-            F.col(id_col).alias("query_id"),
-            F.posexplode("__dc").alias("cluster", "__s"),
-        )
-        .select(
-            "query_id",
-            "cluster",
-            F.col("__s.d").alias("__d"),
-            F.col("__s.qc").alias("__qc"),
-        )
-        .withColumn("__crnk", F.row_number().over(w))
-        .filter(F.col("__crnk") <= nprobe)
-        .select("query_id", "cluster", "__qc")
+    # first nprobe of the per-row (d, cluster) lexicographic sort —
+    # identical to the previous row_number-over-(d asc, cluster asc)
+    # window, with no exchange and no window (r12, guide §2.4); (d,
+    # cluster) is unique per row so the trailing qc never breaks a tie
+    return staged.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.expr(
+                        "transform(__dc, (s, i) -> "
+                        "struct(s.d AS d, i AS cluster, s.qc AS qc))"
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("__s"),
+    ).select(
+        "query_id",
+        F.col("__s.cluster").alias("cluster"),
+        F.col("__s.qc").alias("__qc"),
     )
 
 
@@ -1324,21 +1329,30 @@ def ivf_route_committed(
     centroids (integer L2, ties toward the lower cluster id) — the
     standard IVF probe fan-out, replayable because the routing rule is
     pure integer arithmetic over committed literals. Returns
-    (query_id, qv, cluster); per probe the fan-out is a K-element
-    posexplode, so routing cost is O(K·dim) per probe independent of
-    corpus size."""
+    (query_id, qv, cluster); per probe the fan-out is the first
+    ``nprobe`` entries of a per-row ``array_sort`` over
+    (distance, cluster) structs — identical to the previous
+    row_number-over-(d asc, cluster asc) window (lexicographic struct
+    order IS that rank), but computed entirely map-side: the old form
+    exploded all K cells and paid an exchange + two-phase window just
+    to keep nprobe of them (r12, guide §2.4). Routing cost stays
+    O(K·dim + K log K) per probe, independent of corpus size."""
     staged = _with_centroid_dists(probes, centroids, vec_col)
-    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cluster"))
-    return (
-        staged.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.posexplode("__cdist").alias("cluster", "__d"),
-        )
-        .withColumn("__crnk", F.row_number().over(w))
-        .filter(F.col("__crnk") <= nprobe)
-        .select("query_id", "qv", "cluster")
-    )
+    return staged.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.expr(
+                        "transform(__cdist, (d, i) -> struct(d AS d, i AS cluster))"
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("__s"),
+    ).select("query_id", "qv", F.col("__s.cluster").alias("cluster"))
 
 
 def ivf_knn_committed(
