@@ -508,8 +508,15 @@ def weighted_quantile(
     100 TB shape: collapse to VALUE grain first (``groupBy(group,
     value)``) — the running-sum window then ranks distinct values per
     group, not fact rows, so a 25-brand × billions-rows table windows
-    over brands × distinct-prices only. One exchange: the value-grain
-    aggregate's hash partitioning on ``group`` feeds both windows.
+    over brands × distinct-prices only. Two exchanges, both value
+    grain: the aggregate's (group, value) hash (fed map-side by the
+    partial agg — the only fact-grain work) and the window's re-key
+    to ``group`` alone (r12 audit; a single ``group``-keyed exchange
+    would serve both but only by repartitioning BEFORE the aggregate,
+    which forfeits the map-side partial over fact rows — the wrong
+    trade at scale). Bounded-value-domain columns (2-decimal prices,
+    integer counts) keep the window input metadata-sized; unbounded
+    domains should bucket through :func:`bucketed_cumsum` instead.
     """
     return weighted_quantiles(
         df,
