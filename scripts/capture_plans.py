@@ -1,6 +1,7 @@
 """Capture .explain("formatted") for named queries under the bench
 session conf (same sizing as bench.py so the audited plan is the
-benched plan). Writes plans/r12/<qNN>_<suffix>.txt per query.
+benched plan). Writes plans/$SPARK_GRAFT_PLANS_ROUND/<qNN>_<suffix>.txt
+per query (round dir defaults to the current round).
 
 Usage: python scripts/capture_plans.py <suffix> qNN [qNN ...]
 """
@@ -23,7 +24,9 @@ from big_data_song_recommendation_spark.plans import QUERIES  # noqa: E402
 from big_data_song_recommendation_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
 )
 
 

@@ -32,19 +32,33 @@ PINS_P50_MS = {
     "bm25_indexed": 650.0,  # measured 304 (r8, postings layout)
 }
 
+# Same-run control p50 (serving_probe: fresh tiny single-stage plan +
+# one job + collect; min of a start-of-probe and end-of-probe sample)
+# measured on this box idle: ~68 ms.  The endpoints and the control
+# share the same floor (py4j assembly + Catalyst + job scheduling), so
+# on a loaded box both inflate together: the pins scale by
+# control_now / CONTROL_REF instead of failing on ambient load —
+# VERDICT r12 "What's wrong #2" (the r12 driver run tripped these
+# absolute pins purely on host contention).
+CONTROL_REF_P50_MS = 65.0
+
 
 @pytest.mark.slow
 def test_precomputed_serving_latency_pins(spark):
     from serving_probe import run_probe
 
-    report = run_probe(SF_DIR, n_req=10, spark=spark)
+    report = run_probe(SF_DIR, n_req=15, spark=spark)
+    # never scale DOWN (an unusually fast control must not turn the
+    # generous 2x pins into tight ones); scale up under observed load
+    scale = max(1.0, report["control"]["p50_ms"] / CONTROL_REF_P50_MS)
     failures = {
-        k: (report[k]["p50_ms"], pin)
+        k: (report[k]["p50_ms"], pin, round(scale, 2))
         for k, pin in PINS_P50_MS.items()
-        if report[k]["p50_ms"] > pin
+        if report[k]["p50_ms"] > pin * scale
     }
     assert not failures, (
-        f"serving p50 regression (got_ms, pin_ms): {failures}; "
+        f"serving p50 regression (got_ms, pin_ms, load_scale): {failures}; "
+        f"control: {report['control']}; "
         f"full report: { {k: report[k] for k in PINS_P50_MS} }"
     )
     # the layout claims themselves: precomputed must beat on-demand,
