@@ -39,6 +39,23 @@ def int_array_lit(vals) -> Column:
     return F.split(F.lit(",".join(vs)), ",").cast("array<bigint>")
 
 
+def double_array_lit(vals) -> Column:
+    """:func:`int_array_lit` for doubles — one py4j call, O(1)
+    expression nodes, ConstantFolding collapses it to the identical
+    array literal. Values are exact: ``repr(float)`` emits the
+    shortest round-trip decimal and Java ``Double.parseDouble``
+    recovers the same IEEE-754 bits (both sides are the standard
+    shortest-repr/parse pair). Used for percentile grids and any
+    staged double table — ``F.array(*[F.lit(v) ...])`` costs a py4j
+    round trip AND a plan node per element (the with_equi_depth_bucket
+    256-bin grid was 255 of each, walked by every Catalyst rule on
+    every re-optimization)."""
+    vs = [repr(float(v)) for v in vals]
+    if not vs:
+        return F.expr("array()").cast("array<double>")
+    return F.split(F.lit(",".join(vs)), ",").cast("array<double>")
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

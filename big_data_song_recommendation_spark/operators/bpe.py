@@ -162,6 +162,41 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (default parser:
+    backslash is the escape character)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pair_sql(inner: str, left: str, right: str) -> str:
+    """SQL text of :func:`merge_pair_expr` applied to the expression
+    text ``inner`` — same fold, same CASE arms."""
+    l, r, m = _sql_str(left), _sql_str(right), _sql_str(left + right)
+    return (
+        f"aggregate({inner}, cast(array() as array<string>), "
+        f"(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {l} "
+        f"AND x = {r} THEN concat(slice(acc, 1, size(acc) - 1), array({m})) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def merge_rules_expr(col_name: str, rules) -> Column:
+    """The WHOLE ordered rule chain as ONE parsed SQL expression.
+
+    Semantically identical to folding :func:`merge_pair_expr` over the
+    rules (each ``aggregate`` nests the previous one), but built in a
+    single py4j ``expr`` parse instead of ~5 Column/lambda round trips
+    per rule — PySpark's ``_create_lambda`` alone costs ~40 ms of py4j
+    per higher-order call (r13 build profile: 0.89 s of q164's plan
+    build was 16 merge folds), and the trainer + encoder build 16-24
+    of these per query. Rules may be ``(left, right)`` or
+    ``(left, right, count)`` tuples."""
+    inner = f"`{col_name}`"
+    for rule in rules:
+        inner = _merge_pair_sql(inner, rule[0], rule[1])
+    return F.expr(inner)
+
+
 def _safe_batch(
     page: list, *, exact_sequence: bool = True
 ) -> list[tuple[str, str, int]]:
@@ -260,12 +295,50 @@ def _safe_batch(
     return selected
 
 
+def _merge_symbols(syms: list, left: str, right: str) -> list:
+    """Driver-side twin of :func:`merge_pair_expr`'s fold (greedy
+    leftmost non-overlapping) — kept next to it so they cannot
+    drift."""
+    out: list = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _train_collected(
+    rows: list, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic one-at-a-time BPE over a COLLECTED vocabulary — the
+    same count/tie-break/merge semantics as the distributed pager
+    (count desc, then (left, right) lexicographic; UTF-8 byte order ==
+    code-point order, so Python string comparison matches Spark's),
+    pinned equal by test_bpe."""
+    merges: list[tuple[str, str, int]] = []
+    cur = [(list(s), int(f)) for s, f in rows]
+    for _ in range(int(n_merges)):
+        pc: dict = {}
+        for syms, freq in cur:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + freq
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, cnt))
+        cur = [(_merge_symbols(s, left, right), f) for s, f in cur]
+    return merges
+
+
 def bpe_train(
     wf: DataFrame,
     *,
     n_merges: int = 8,
     batch_cap: int = 64,
     exact_sequence: bool = True,
+    driver_vocab_cap: int = 4096,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` merge rules from a word-frequency table.
 
@@ -273,16 +346,43 @@ def bpe_train(
     list of ``(left, right, pair_count)`` and ``final_wf`` the
     vocabulary table with all merges applied.
 
-    Batched selection: each round collects the top-``batch_cap``
-    pairs ONCE and merges the maximal provably-safe prefix
-    (:func:`_safe_batch` — symbol-disjoint, strictly above the first
-    rejected count) in a single chained fold, so the number of
+    Small-vocabulary fast path (r13; guide §8 "decide with small
+    rows"): the pager below already ships a 64-row page to the driver
+    PER ROUND — when the whole vocabulary is at most
+    ``driver_vocab_cap`` rows (checked with one bounded
+    ``limit(cap+1)`` collect, which short-circuits on big tables), one
+    collect replaces every round's job and the classic loop runs
+    driver-side in microseconds. The learned sequence is IDENTICAL
+    (same count/tie-break/merge semantics; pinned vs the distributed
+    pager by test_bpe), ``final_wf`` is the same lazy
+    :func:`bpe_apply` plan, and nothing is memoized — the collect
+    recomputes from the input per call. At sf0.1 this turned 4
+    sequential ~0.6 s page jobs into one ~0.1 s collect per training.
+    ``driver_vocab_cap=0`` forces the distributed pager; the fast path
+    only serves ``exact_sequence=True`` (the relaxed mode's sequence
+    is defined by the batch algebra, not by one-at-a-time order).
+
+    Batched selection (the at-scale path): each round collects the
+    top-``batch_cap`` pairs ONCE and merges the maximal provably-safe
+    prefix (:func:`_safe_batch` — symbol-disjoint, strictly above the
+    first rejected count) in a single chained fold, so the number of
     sequential Spark jobs is the number of ROUNDS, not the number of
     merges — the scale lever for real vocabularies (30k merges would
     otherwise be 30k sequential jobs; tests pin the batched sequence
     == the one-at-a-time sequence). The vocabulary table is
     checkpointed per round (localCheckpoint) so the merge-fold
     lineage stays flat instead of nesting ``n_merges`` deep."""
+    if exact_sequence and int(driver_vocab_cap) > 0:
+        head = (
+            wf.select("syms", "freq")
+            .limit(int(driver_vocab_cap) + 1)
+            .collect()
+        )
+        if len(head) <= int(driver_vocab_cap):
+            merges = _train_collected(
+                [(r["syms"], r["freq"]) for r in head], n_merges
+            )
+            return merges, (bpe_apply(wf, merges) if merges else wf)
     merges: list[tuple[str, str, int]] = []
     cur = wf.localCheckpoint(eager=False)
     while len(merges) < int(n_merges):
@@ -293,10 +393,9 @@ def bpe_train(
             : int(n_merges) - len(merges)
         ]
         merges.extend(batch)
-        syms = F.col("syms")
-        for left, right, _ in batch:
-            syms = merge_pair_expr(syms, left, right)
-        cur = cur.withColumn("syms", syms).localCheckpoint(eager=False)
+        cur = cur.withColumn(
+            "syms", merge_rules_expr("syms", batch)
+        ).localCheckpoint(eager=False)
     return merges, cur
 
 
@@ -307,10 +406,8 @@ def bpe_apply(
     syms_col: str = "syms",
 ) -> DataFrame:
     """Apply a learned merge list, in order, to a symbol-array column.
-    Chains one fold per rule — fine for the tens of rules this
-    trainer targets; production-size vocabularies (~50k rules) should
-    bake the rules into an Arrow-batched Pandas UDF instead."""
-    out = F.col(syms_col)
-    for rule in merges:
-        out = merge_pair_expr(out, rule[0], rule[1])
-    return df.withColumn(syms_col, out)
+    Chains one fold per rule (one parsed expression for the whole
+    chain — :func:`merge_rules_expr`) — fine for the tens of rules
+    this trainer targets; production-size vocabularies (~50k rules)
+    should bake the rules into an Arrow-batched Pandas UDF instead."""
+    return df.withColumn(syms_col, merge_rules_expr(syms_col, merges))

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NullType, NumericType
 
+from ..functions import scalars
+
 __all__ = [
     "with_equi_width_bucket",
     "with_equi_depth_bucket",
@@ -168,9 +170,14 @@ def with_equi_depth_bucket(
             out,
             F.when(v.isNull(), F.lit(None)).otherwise(F.lit(0)).cast("int"),
         )
+    # percentile grid as a split-literal (functions.scalars
+    # double_array_lit): one py4j call and 4 plan nodes instead of a
+    # round trip + CreateArray child per bin — ConstantFolding
+    # collapses it to the identical foldable array literal before the
+    # aggregate sees it (values exact: repr/parse round-trip)
     pcts = [i / b for i in range(1, b)]
     edges_agg = F.percentile_approx(
-        v, F.array(*[F.lit(p) for p in pcts]), F.lit(int(accuracy))
+        v, scalars.double_array_lit(pcts), F.lit(int(accuracy))
     ).alias("__edges")
     stats = df.groupBy(*g).agg(edges_agg) if g else df.agg(edges_agg)
     m = b - 1  # edge-array length

@@ -56,6 +56,13 @@ def get_spark(
         # lets Python DataSources (sources/batchfile_source.py) receive
         # pushed filters for file-level pruning
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # PySpark wraps every DataFrame/Column API call to capture the
+        # Python call site for error context — 2-3 extra py4j round
+        # trips per op (set origin / read stack-depth conf / clear).
+        # On plan-construction-heavy paths that is 30-40% of the build
+        # wall (measured: q01 plan build 0.128 -> 0.074 s with it off).
+        # Costs only error-message verbosity; results unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -185,11 +185,11 @@ def test_batched_sequence_equals_sequential(spark, monkeypatch):
     monkeypatch.setattr(bpe, "_pair_page", counting)
 
     rounds["n"] = 0
-    seq, _ = bpe.bpe_train(wf, n_merges=24, batch_cap=1)
+    seq, _ = bpe.bpe_train(wf, n_merges=24, batch_cap=1, driver_vocab_cap=0)
     seq_rounds = rounds["n"]
 
     rounds["n"] = 0
-    batched, _ = bpe.bpe_train(wf, n_merges=24, batch_cap=64)
+    batched, _ = bpe.bpe_train(wf, n_merges=24, batch_cap=64, driver_vocab_cap=0)
     bat_rounds = rounds["n"]
 
     assert batched == seq
@@ -203,7 +203,8 @@ def test_batched_sequence_equals_sequential(spark, monkeypatch):
     # created pair out-prioritized a tail selection)
     rounds["n"] = 0
     fast, _ = bpe.bpe_train(
-        wf, n_merges=24, batch_cap=8, exact_sequence=False
+        wf, n_merges=24, batch_cap=8, exact_sequence=False,
+        driver_vocab_cap=0,
     )
     fast_rounds = rounds["n"]
     assert fast_rounds * 4 <= seq_rounds, (fast_rounds, seq_rounds)
@@ -296,3 +297,20 @@ def test_safe_batch_equals_sequential_property(words, n_merges, cap):
     want = _py_train(dict(wf), n_merges)[0]
     got = _py_train_batched(dict(wf), n_merges, cap)
     assert got == want
+
+
+def test_driver_fast_path_matches_distributed_pager(spark):
+    """The r13 small-vocabulary fast path (one bounded collect +
+    driver-side classic loop) must learn the IDENTICAL sequence the
+    distributed pager learns, and its final_wf must row-match."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = bpe.word_frequency_table(docs)
+
+    fast, fast_final = bpe.bpe_train(wf, n_merges=12)  # default cap: fast path
+    paged, paged_final = bpe.bpe_train(wf, n_merges=12, driver_vocab_cap=0)
+    assert fast == paged
+    a = {r["word"]: r["syms"] for r in fast_final.collect()}
+    b = {r["word"]: r["syms"] for r in paged_final.collect()}
+    assert a == b
