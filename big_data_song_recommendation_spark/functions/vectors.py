@@ -55,7 +55,16 @@ def normalize(a: Column) -> Column:
 # lifetime, and a recycled id for a *different* df of the same column
 # would require that cache to have dropped it first, which it never does
 # within a session.
-_DIM_CACHE: dict[tuple[int, str], int] = {}
+#
+# Second-level key (r13): DERIVED frames get a fresh id() on every
+# plan construction, so under the honest bench protocol (no prepared-
+# plan reuse) each rebuild re-ran the 1-row job (~0.2 s of pure job
+# floor, 2-3× per PQ query). Semantically identical analyzed plans in
+# the same session resolve through (session id, vec_col, plan
+# semanticHash, column type): one py4j metadata call instead of a job.
+# This caches a schema-level scalar (the array width) — never rows —
+# the same class of metadata memo as sources.readers._TABLE_CACHE.
+_DIM_CACHE: dict[tuple, int] = {}
 
 
 def infer_dim(df, vec_col: str) -> int:
@@ -64,10 +73,27 @@ def infer_dim(df, vec_col: str) -> int:
     hit = _DIM_CACHE.get(key)
     if hit is not None:
         return hit
+    skey = None
+    try:
+        skey = (
+            id(df.sparkSession),
+            vec_col,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            df.schema[vec_col].dataType.simpleString(),
+        )
+    except Exception:
+        pass
+    if skey is not None:
+        hit = _DIM_CACHE.get(skey)
+        if hit is not None:
+            _DIM_CACHE[key] = hit
+            return hit
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
     if row is None:
         raise ValueError(f"cannot infer dim of {vec_col!r}: empty DataFrame")
     _DIM_CACHE[key] = row["d"]
+    if skey is not None:
+        _DIM_CACHE[skey] = row["d"]
     return row["d"]
 
 

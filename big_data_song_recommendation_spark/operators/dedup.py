@@ -1929,6 +1929,21 @@ def admission_verify_exact(
     sets_c = _shingle_sets(corpus, id_col, text_col, k).select(
         F.col("sid").alias(corpus_id_col), F.col("sh").alias("__sh")
     )
+    return _verify_exact_from_sets(
+        sets_p, sets_c, pairs, probe_id_col, corpus_id_col
+    )
+
+
+def _verify_exact_from_sets(
+    sets_p: DataFrame,
+    sets_c: DataFrame,
+    pairs: DataFrame,
+    probe_id_col: str,
+    corpus_id_col: str,
+) -> DataFrame:
+    """The exact-Jaccard tail of :func:`admission_verify_exact` over
+    PRECOMPUTED (id, __sh) shingle sets — shared with
+    :func:`admission_two_tier` so the fused path cannot drift."""
     ids = pairs.select(probe_id_col, corpus_id_col)
     ps = sets_p.join(F.broadcast(ids.select(probe_id_col).distinct()), probe_id_col)
     cs = sets_c.join(
@@ -1960,4 +1975,70 @@ def admission_verify_exact(
         .withColumn("__nc", F.coalesce("__nc", F.lit(0)))
         .withColumn("exact_jaccard_micro", exact)
         .drop("__c", "__np", "__nc")
+    )
+
+
+def admission_two_tier(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold_micro: int = 500_000,
+    probe_id_out: str = "probe_id",
+    corpus_id_out: str = "corpus_id",
+) -> DataFrame:
+    """Both admission tiers in one pass over ONE shingle pipeline per
+    side — the fused form of ``near_dup_pairs_vs_corpus`` →
+    ``admission_verify_exact`` (r13, guide §2.3: the composed pair
+    shingled every document twice per side — a multiset pass for the
+    signatures plus a distinct pass for the exact verify).
+
+    The distinct (id, shingle) sets are cut once per side
+    (``localCheckpoint``, two consumers each: signatures + exact
+    tier). Signatures computed from the DISTINCT sets are IDENTICAL to
+    the multiset form — ``min`` is invariant under dedup (the
+    ``minhash_signatures`` docstring's own algebra, applied in the
+    other direction: here the distinct shuffle is already paid by the
+    exact tier, so hashing the multiset would be pure extra md5) — and
+    the exact tier reads the same sets, so the output is row-identical
+    to the composed path (test-pinned)."""
+    if num_hashes % bands:
+        raise ValueError("admission_two_tier: bands must divide num_hashes")
+    sets_c = _shingle_sets(corpus, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    sets_p = _shingle_sets(probes, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    sig_c = signatures_from_sets(
+        sets_c, id_col, num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
+    sig_p = signatures_from_sets(
+        sets_p, id_col, num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
+    pairs = _mh_agreement_pairs(
+        _band_key_rows(sig_p, id_col, num_hashes=num_hashes, bands=bands).select(
+            F.col("sid").alias(probe_id_out), "key"
+        ),
+        sig_p,
+        _band_key_rows(sig_c, id_col, num_hashes=num_hashes, bands=bands).select(
+            F.col("sid").alias(id_col), "key"
+        ),
+        sig_c,
+        idc=id_col,
+        nh=num_hashes,
+        threshold_micro=threshold_micro,
+        probe_id_out=probe_id_out,
+        corpus_id_out=corpus_id_out,
+    )
+    return _verify_exact_from_sets(
+        sets_p.select(F.col("sid").alias(probe_id_out), F.col("sh").alias("__sh")),
+        sets_c.select(F.col("sid").alias(corpus_id_out), F.col("sh").alias("__sh")),
+        pairs,
+        probe_id_out,
+        corpus_id_out,
     )

@@ -5543,10 +5543,7 @@ def q172_admission_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest discipline: gate on the estimate, verify before
     destructive decisions. Twin wraps the q167 oracle verbatim as the
     candidate subquery and adds the exact intersection tier."""
-    from ..operators.dedup import (
-        admission_verify_exact,
-        near_dup_pairs_vs_corpus,
-    )
+    from ..operators.dedup import admission_two_tier
 
     docs = load_table(spark, sf_dir, "documents")
     # both tiers (signature estimate + exact shingle verify) re-derive
@@ -5573,9 +5570,11 @@ def q172_admission_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    pairs = near_dup_pairs_vs_corpus(old, probes)
+    # r13: both tiers fused over one shingle pipeline per side
+    # (dedup.admission_two_tier — row-identical to the composed
+    # near_dup_pairs_vs_corpus → admission_verify_exact, test-pinned)
     return (
-        admission_verify_exact(old, probes, pairs)
+        admission_two_tier(old, probes)
         .select(
             "probe_id", "corpus_id", "est_jaccard_micro",
             "exact_jaccard_micro",

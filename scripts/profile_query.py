@@ -1,13 +1,11 @@
 """Decompose a query's bench wall into plan-construction vs execution
 under the EXACT bench session conf (same sizing knobs as bench.py).
 
-For each named query prints:
-  build_s    — wall to call QUERIES[name] (py4j plan assembly; bench
-               pays this once thanks to the prepared-plan cache)
-  noop1..N   — wall of each df.write.format("noop") run (bench metric:
-               min of these; each pays Catalyst re-optimization +
-               codegen-cache-warm execution)
-  exec_min   — min of the noop runs
+For each named query, each run REBUILDS the plan and releases all
+cache/checkpoint blocks afterwards — the r13 honest bench protocol —
+and prints per-run (build, exec) plus build_min / exec_min /
+total_min, where total_min = min(build_i + exec_i) corresponds to the
+bench's recorded number.
 Usage: python scripts/profile_query.py qNN [qNN ...] [--runs N]
 """
 
@@ -111,26 +109,41 @@ def main() -> None:
         wdf.withColumn(
             "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
         ).filter("r <= 3").collect()
+    # r13: mirror the honest bench protocol — REBUILD the plan per run
+    # and release all cache/checkpoint blocks between runs, so no run
+    # is served from a previous run's materialized state. build/exec
+    # are reported per run; the bench's recorded number corresponds to
+    # min(build_i + noop_i).
+    os.environ.setdefault("SPARK_GRAFT_PLAN_CACHE", "0")
+    from big_data_song_recommendation_spark.session import (  # noqa: E402
+        release_query_state,
+    )
+
     for name in names:
         spark.sparkContext.setJobDescription(name)
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        build = time.perf_counter() - t0
-        walls = []
+        builds, walls = [], []
         for i in range(runs):
             if stages and i == runs - 1:
                 _stage_report(spark)  # flush stages from earlier runs
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            builds.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             walls.append(time.perf_counter() - t0)
+            if stages and i == runs - 1:
+                for line in _stage_report(spark):
+                    print(line)
+            release_query_state(spark)
         print(
-            f"{name}: build={build:.3f}s "
-            + " ".join(f"noop{i + 1}={w:.3f}" for i, w in enumerate(walls))
-            + f" exec_min={min(walls):.3f}"
+            f"{name}: "
+            + " ".join(
+                f"run{i + 1}=(b={b:.3f},x={w:.3f})"
+                for i, (b, w) in enumerate(zip(builds, walls))
+            )
+            + f" build_min={min(builds):.3f} exec_min={min(walls):.3f}"
+            + f" total_min={min(b + w for b, w in zip(builds, walls)):.3f}"
         )
-        if stages:
-            for line in _stage_report(spark):
-                print(line)
         spark.sparkContext.setJobDescription(None)
     spark.stop()
 

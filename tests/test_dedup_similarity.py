@@ -715,3 +715,38 @@ def test_semantic_decontaminate_multiprobe_superset(spark):
         ).collect()
     }
     assert single <= multi
+
+
+def test_admission_two_tier_matches_composed(spark):
+    """The r13 fused two-tier admission (one shingle pipeline per
+    side; signatures from DISTINCT sets — min is dedup-invariant) must
+    be row-identical to the composed near_dup_pairs_vs_corpus →
+    admission_verify_exact path q172 used before."""
+    from big_data_song_recommendation_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    probes = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail note.")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    cols = ["probe_id", "corpus_id", "est_jaccard_micro", "exact_jaccard_micro"]
+    pairs = dedup.near_dup_pairs_vs_corpus(old, probes)
+    composed = sorted(
+        map(tuple, dedup.admission_verify_exact(old, probes, pairs).select(*cols).collect())
+    )
+    fused = sorted(
+        map(tuple, dedup.admission_two_tier(old, probes).select(*cols).collect())
+    )
+    assert fused == composed
+    assert len(fused) > 0
