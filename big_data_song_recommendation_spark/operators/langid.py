@@ -78,6 +78,22 @@ def padded_text(text_col: Column | str) -> Column:
     ).otherwise(F.lit(""))
 
 
+def trigrams_from_padded(padded: Column | str) -> Column:
+    """Every trigram substring of an already-staged :func:`padded_text`
+    column (positions 1..len-2; empty array below length 3). The ONE
+    definition of trigram semantics — :func:`trigram_buckets_from_padded`
+    (training/bucketing) and :func:`langid_model_scores` (the r12
+    distinct-first scorer) both express their streams through it, so a
+    change to the guard/window/padding cannot silently diverge the
+    scorer from the trainer (ADVICE r12 #2)."""
+    s = F.col(padded) if isinstance(padded, str) else padded
+    n = F.length(s)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - F.lit(2))).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    return F.transform(idx, lambda i: s.substr(i, F.lit(3)))
+
+
 def trigram_buckets_from_padded(
     padded: Column | str,
     *,
@@ -88,16 +104,10 @@ def trigram_buckets_from_padded(
     :func:`padded_text` column (see the staging note there)."""
     from .dedup import hash60
 
-    s = F.col(padded) if isinstance(padded, str) else padded
-    n = F.length(s)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - F.lit(2))).otherwise(
-        F.expr("array()").cast("array<int>")
-    )
     return F.coalesce(
         F.transform(
-            idx,
-            lambda i: hash60(s.substr(i, F.lit(3)), seed)
-            % F.lit(int(n_features)),
+            trigrams_from_padded(padded),
+            lambda t: hash60(t, seed) % F.lit(int(n_features)),
         ),
         F.expr("array()").cast("array<bigint>"),
     )
@@ -156,14 +166,7 @@ def langid_model_scores(
     # hashes-of-distinct ∘ distinct).
     from .dedup import hash60
 
-    s = F.col("__lid_s")
-    ln = F.length(s)
-    idx = F.when(
-        ln >= 3, F.sequence(F.lit(1), ln - F.lit(2))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    tris = F.array_distinct(
-        F.transform(idx, lambda i: s.substr(i, F.lit(3)))
-    )
+    tris = F.array_distinct(trigrams_from_padded("__lid_s"))
     staged = (
         df.withColumn("__lid_s", padded_text(text_col))
         .withColumn("__lid_tris", tris)

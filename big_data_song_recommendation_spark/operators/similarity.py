@@ -515,7 +515,9 @@ def _route_with_offsets(
     (query_id, cluster, __qc) where ``__qc = ⟨q, c_L⟩`` in micro² int64
     — the constant term of the residual-ADC decomposition
     ``⟨q, x⟩ = ⟨q, c_L⟩ + ⟨q, r⟩``. Distances (for the routing order)
-    and dots (for the offsets) compute in ONE xq binding per probe."""
+    and dots (for the offsets) compute in ONE xq binding per probe.
+    Same per-ROW fan-out grain as :func:`ivf_route_committed` (see its
+    grain note): probe ids must be unique — dedupe first if not."""
     k = len(centroids)
     dim = len(centroids[0])
     if vectors.infer_dim(probes, vec_col) != dim:
@@ -1336,7 +1338,16 @@ def ivf_route_committed(
     order IS that rank), but computed entirely map-side: the old form
     exploded all K cells and paid an exchange + two-phase window just
     to keep nprobe of them (r12, guide §2.4). Routing cost stays
-    O(K·dim + K log K) per probe, independent of corpus size."""
+    O(K·dim + K log K) per probe, independent of corpus size.
+
+    Grain note (ADVICE r12 #1): the fan-out is PER ROW. The old
+    window partitioned by ``id_col``, so duplicated probe ids would
+    have shared ONE nprobe fan-out across their rows; per-row routing
+    gives each duplicate row its own nprobe cells. Equivalent only
+    when probe ids are unique — which every caller here guarantees
+    (probes are id-keyed index rows or distinct-projected corpus
+    slices). Callers with possibly-duplicated probe rows must dedupe
+    on ``id_col`` first."""
     staged = _with_centroid_dists(probes, centroids, vec_col)
     return staged.select(
         F.col(id_col).alias("query_id"),
